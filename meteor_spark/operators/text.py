@@ -1,0 +1,144 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting. All pure
+`pyspark.sql.functions` expressions — JVM-side, whole-stage-codegen,
+zero Python in the hot path — so a 100 TB documents table is one scan
+with column pruning to (doc_id, text).
+
+Determinism contract: every function here has an exact ANSI-SQL
+equivalent (used by the DuckDB oracle); hash functions are md5 (stable
+across engines), floats are rounded at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language ID
+# heuristic. Order = tie-break priority (first wins on equal scores).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para", "en", "que"),
+}
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or single
+# non-space symbols — a portable approximation of byte-pair pretokenization.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish regex token count (letters / digits / symbol singletons)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """How many whitespace tokens are in the stopword list."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words(F.lower(text)), lambda w: F.array_contains(sw, w)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, sws) for lang, sws in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits; 'und' when no stopword matches.
+
+    Ties break by LANG_STOPWORDS declaration order (deterministic).
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def quality_features(text: Column, round_to: int = 4) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features.
+
+    n_chars, n_tokens, mean_token_len, punct_ratio (symbol tokens over all
+    regex tokens), stopword_ratio (english stopwords over tokens),
+    uppercase_ratio.
+    """
+    n_chars = F.length(text)
+    toks = words(text)
+    n_tokens = F.size(toks)
+    n_regex = regex_token_count(text)
+    n_symbol = F.size(F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), 0))
+    mean_tok = F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)) / F.greatest(n_tokens, F.lit(1)),
+        round_to,
+    )
+    sw_ratio = F.round(
+        stopword_hits(text, LANG_STOPWORDS["en"]).cast("double") / F.greatest(n_tokens, F.lit(1)),
+        round_to,
+    )
+    punct_ratio = F.round(n_symbol.cast("double") / F.greatest(n_regex, F.lit(1)), round_to)
+    upper_ratio = F.round(
+        (F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+        round_to,
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": sw_ratio,
+        "uppercase_ratio": upper_ratio,
+    }
+
+
+def quality_score(text: Column, round_to: int = 4) -> Column:
+    """Scalar quality score in [0,1]: rewards stopword presence and sane
+    token lengths, penalizes punctuation density. Deterministic, portable."""
+    f = quality_features(text, round_to=6)
+    score = (
+        F.least(f["stopword_ratio"] * 2, F.lit(1.0)) * 0.4
+        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.4).otherwise(0.1)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - f["punct_ratio"])
+    )
+    return F.round(score, round_to)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint(text: Column, bits: int = 64) -> Column:
+    """Content fingerprint: md5 of normalized text, truncated to bits/4 hex
+    chars. md5 is stable across Spark/DuckDB/Python — the oracle contract."""
+    return F.substring(F.md5(normalize_text(text)), 1, bits // 4)
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full text-analysis pass: one row per doc with id, language guess,
+    token counts, quality features + score, fingerprint. Single scan."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        F.col(id_col),
+        lang_id(t).alias("lang_guess"),
+        token_count(t).alias("n_tokens"),
+        regex_token_count(t).alias("n_regex_tokens"),
+        *[v.alias(k) for k, v in feats.items() if k != "n_tokens"],
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

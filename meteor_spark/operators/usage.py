@@ -1,0 +1,73 @@
+"""Usage & join-statistics aggregation — the audit-log workload.
+
+Reference computation (plugins/extractors/bigquery/auditlog/stats.go):
+from a log of completed queries, derive per-table stats:
+  - TableUsage:  urn -> how many queries referenced it        (stats.go:69-75)
+  - JoinDetail:  urn -> joined-urn -> {usage count, conditions} (stats.go:77-115)
+  - FilterConditions: urn -> set of filter predicates           (stats.go:117-129)
+merged into TableProfile.usage_count / joins / filters
+(bigquery/profile.go:8-47).
+
+Spark design (all shuffle-lean, 100 TB-ready):
+  - usage:   explode(referenced)  -> groupBy(urn).count()  — one shuffle,
+             map-side partial aggregation.
+  - joins:   explode ordered pairs per query -> groupBy(urn, joined).
+             Pairs are emitted with urn < joined to halve the shuffle
+             volume; conditions aggregated with collect_set.
+  - filters: explode(filters) -> groupBy(urn) collect_set.
+
+The log schema expected here: one row per query with
+  referenced: array<string>   (table urns touched)
+  conditions: array<string>   (join/filter condition strings, optional)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_usage(log: DataFrame, referenced_col: str = "referenced") -> DataFrame:
+    """urn -> usage_count (stats.go:69-75). One explode + one groupBy."""
+    return (
+        log.select(F.explode(F.array_distinct(F.col(referenced_col))).alias("urn"))
+        .groupBy("urn")
+        .agg(F.count("*").alias("usage_count"))
+    )
+
+
+def join_usage(log: DataFrame, referenced_col: str = "referenced", conditions_col: str | None = None) -> DataFrame:
+    """(urn, joined_urn) -> join count [+ conditions] (stats.go:77-115).
+
+    Unordered pairs from each query's referenced set; emitted once with
+    urn < joined_urn so the pair space (and the shuffle) is halved.
+    """
+    refs = F.array_sort(F.array_distinct(F.col(referenced_col)))
+    pairs = log.select(
+        refs.alias("refs"),
+        *([F.col(conditions_col).alias("conds")] if conditions_col else []),
+    ).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(refs, (x, i) -> "
+                "transform(slice(refs, i + 2, size(refs)), y -> struct(x as urn, y as joined_urn))))"
+            )
+        ).alias("pair"),
+        *([F.col("conds")] if conditions_col else []),
+    )
+    grouped = pairs.groupBy("pair.urn", "pair.joined_urn")
+    if conditions_col:
+        return grouped.agg(
+            F.count("*").alias("join_count"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("conds")))).alias("conditions"),
+        )
+    return grouped.agg(F.count("*").alias("join_count"))
+
+
+def filter_conditions(log: DataFrame, referenced_col: str = "referenced", filters_col: str = "filters") -> DataFrame:
+    """urn -> sorted distinct filter conditions (stats.go:117-129)."""
+    return (
+        log.select(F.explode(F.array_distinct(F.col(referenced_col))).alias("urn"), F.col(filters_col))
+        .groupBy("urn")
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list(filters_col)))).alias("filters"))
+    )

@@ -1,0 +1,5 @@
+"""Source plugins (extractors). Importing this package registers the
+built-ins, the analogue of the reference's blank-import registration
+(reference: plugins/extractors/populate.go)."""
+
+from meteor_spark.sources import csv_source, jdbc, parquet_catalog  # noqa: F401

@@ -1,0 +1,167 @@
+"""Generic JDBC information-schema extractor family.
+
+One shared walker parameterized by dialect, covering the reference's
+eight JDBC-shaped extractors (SURVEY.md §2.3): mysql (mysql.go:95-192),
+mariadb, postgres (postgres.go:107-251), mssql (mssql.go:97-191),
+clickhouse (clickhouse.go:79-143), oracle (oracle.go:80-219), presto
+(presto.go:99-251), snowflake (snowflake.go:107-225).
+
+Each dialect contributes: the system databases to exclude, the
+information-schema query for (table, column, type, nullable, length),
+and URN service name. The walk itself is identical everywhere:
+  databases -> tables -> columns  ==>
+  one `spark.read.jdbc` on the catalog view, then
+  groupBy(database, table) -> collect_list(struct(column...)) — the
+  whole catalog in ONE distributed read + ONE shuffle, instead of the
+  reference's N+1 query loop. At 100 TB / 100k-table scale that is the
+  difference between minutes and hours.
+
+No JDBC driver or live database exists in the test container, so
+`extract` raises unless a jdbc URL is reachable; the traversal logic is
+tested through ParquetCatalogExtractor which shares the same
+assemble-assets path, and `catalog_assets_from_columns` is tested
+directly against fixture DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meteor_spark.plugins_base import Extractor, Field
+from meteor_spark.registry import register_extractor
+
+# Per-dialect exclusion lists, mirroring the reference's constants:
+# mysql.go:28-33, postgres.go:31, mssql system DBs, clickhouse system.
+DIALECTS: dict[str, dict] = {
+    "mysql": {
+        "exclude": ("information_schema", "mysql", "performance_schema", "sys"),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "is_nullable, IFNULL(character_maximum_length, 0) AS length, column_comment AS description "
+            "FROM information_schema.columns"
+        ),
+    },
+    "mariadb": {
+        "exclude": ("information_schema", "mysql", "performance_schema", "sys"),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "is_nullable, IFNULL(character_maximum_length, 0) AS length, column_comment AS description "
+            "FROM information_schema.columns"
+        ),
+    },
+    "postgres": {
+        "exclude": ("information_schema", "pg_catalog", "root", "postgres"),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "is_nullable, COALESCE(character_maximum_length, 0) AS length, '' AS description "
+            "FROM information_schema.columns WHERE table_schema = 'public'"
+        ),
+    },
+    "mssql": {
+        "exclude": ("master", "msdb", "model", "tempdb"),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "is_nullable, COALESCE(character_maximum_length, 0) AS length, '' AS description "
+            "FROM INFORMATION_SCHEMA.COLUMNS"
+        ),
+    },
+    "clickhouse": {
+        "exclude": ("system",),
+        "columns_query": (
+            "SELECT database AS table_schema, table AS table_name, name AS column_name, "
+            "type AS data_type, 'YES' AS is_nullable, 0 AS length, '' AS description "
+            "FROM system.columns"
+        ),
+    },
+    "oracle": {
+        "exclude": ("SYS", "SYSTEM"),
+        "columns_query": (
+            "SELECT owner AS table_schema, table_name, column_name, data_type, "
+            "nullable AS is_nullable, COALESCE(data_length, 0) AS length, '' AS description "
+            "FROM all_tab_columns"
+        ),
+    },
+    "snowflake": {
+        "exclude": ("INFORMATION_SCHEMA",),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "is_nullable, COALESCE(character_maximum_length, 0) AS length, comment AS description "
+            "FROM information_schema.columns"
+        ),
+    },
+    "presto": {
+        "exclude": ("information_schema", "system"),
+        "columns_query": (
+            "SELECT table_schema, table_name, column_name, data_type, "
+            "'YES' AS is_nullable, 0 AS length, '' AS description "
+            "FROM information_schema.columns"
+        ),
+    },
+}
+
+
+def catalog_assets_from_columns(columns_df: DataFrame, *, service: str, host: str) -> DataFrame:
+    """information_schema.columns rows -> one asset row per table.
+
+    Input columns: table_schema, table_name, column_name, data_type,
+    is_nullable ('YES'/'NO', reference mysql.go:201-203), length,
+    description. Entirely JVM-side: sort_array over collected structs
+    reproduces the reference's ORDER BY COLUMN_NAME ASC
+    (mysql.go:163-167) without a per-table query.
+    """
+    col_struct = F.struct(
+        F.col("column_name").alias("name"),
+        F.col("description").alias("description"),
+        F.col("data_type").alias("data_type"),
+        (F.upper(F.col("is_nullable")) == "YES").alias("is_nullable"),
+        F.col("length").cast("long").alias("length"),
+    )
+    return (
+        columns_df.groupBy("table_schema", "table_name")
+        .agg(F.sort_array(F.collect_list(col_struct)).alias("schema"))
+        .select(
+            F.struct(
+                F.format_string(f"{service}::{host}/%s/%s", F.col("table_schema"), F.col("table_name")).alias("urn"),
+                F.col("table_name").alias("name"),
+                F.lit(service).alias("service"),
+                F.lit("table").alias("type"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(None).cast("string").alias("description"),
+            ).alias("resource"),
+            F.lit("Table").alias("asset_type"),
+            F.col("schema"),
+        )
+    )
+
+
+class JdbcCatalogExtractor(Extractor):
+    CONFIG = {
+        "url": Field(required=True, type=str),  # jdbc:mysql://host:3306
+        "user_id": Field(required=True, type=str),
+        "password": Field(required=True, type=str),
+        "dialect": Field(default="mysql", oneof=tuple(DIALECTS)),
+        "exclude": Field(default=()),
+    }
+
+    def extract(self, spark: SparkSession) -> DataFrame:
+        d = DIALECTS[self.config["dialect"]]
+        exclude = tuple(d["exclude"]) + tuple(self.config["exclude"] or ())
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.config["url"])
+            .option("user", self.config["user_id"])
+            .option("password", self.config["password"])
+            .option("query", d["columns_query"])
+        )
+        cols = reader.load().filter(~F.col("table_schema").isin(*exclude))
+        host = self.config["url"].split("://")[-1].split("/")[0]
+        return catalog_assets_from_columns(cols, service=self.config["dialect"], host=host)
+
+
+for _name in DIALECTS:
+    _cfg = dict(JdbcCatalogExtractor.CONFIG)
+    _cfg["dialect"] = Field(default=_name, oneof=tuple(DIALECTS))
+    register_extractor(_name, f"{_name} catalog extractor (JDBC information-schema walk)")(
+        type(f"{_name.title()}Extractor", (JdbcCatalogExtractor,), {"CONFIG": _cfg})
+    )

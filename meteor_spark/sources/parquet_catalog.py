@@ -1,0 +1,109 @@
+"""Parquet-catalog extractor — walks a directory of parquet tables as if it
+were a database, emitting one Table asset per file with columns, row
+counts, preview, and (optionally) full column profiles.
+
+This is the Spark-native generalization of the reference's
+information-schema walkers (mysql.go:95-192, postgres.go:107-251, ...):
+the traversal loop databases -> tables -> columns becomes
+directory -> parquet footers -> StructType fields. Columns are sorted by
+name ascending, matching the reference's `ORDER BY COLUMN_NAME ASC`
+(mysql.go:163-167); TotalRows mirrors oracle.go:145-146 `count(*)`;
+preview mirrors bigquery.go:280-337 first-N rows; column profiles mirror
+bigquery.go:386-411 (see meteor_spark.operators.profile — computed in ONE
+aggregation pass over the table instead of one SQL query per column).
+
+At 100 TB scale the count/profile path reads each table once with only
+the needed columns (parquet column pruning); the schema walk itself reads
+only footers.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from meteor_spark.model.urn import table_urn
+from meteor_spark.operators.profile import profile_columns
+from meteor_spark.plugins_base import Extractor, Field
+from meteor_spark.registry import register_extractor
+from meteor_spark.sources.base import assets_df, column_dict
+
+
+@register_extractor("parquet_catalog", "Directory of parquet tables as a database")
+class ParquetCatalogExtractor(Extractor):
+    CONFIG = {
+        "path": Field(required=True, type=str),
+        "database": Field(default=None, type=str),
+        "exclude": Field(default=()),  # table names to skip (reference: postgres.go:36 user exclude list)
+        "include_row_count": Field(default=True),
+        "include_preview": Field(default=False),
+        "max_preview_rows": Field(default=30, type=int),  # reference default (bigquery.go:37)
+        "include_column_profile": Field(default=False),  # reference gate (bigquery.go:36)
+    }
+
+    def extract(self, spark: SparkSession) -> DataFrame:
+        root = Path(self.config["path"])
+        database = self.config["database"] or root.name
+        exclude = set(self.config["exclude"] or ())
+        tables = sorted(p for p in root.glob("*.parquet") if p.stem not in exclude)
+        rows = []
+        for t in tables:
+            df = spark.read.parquet(str(t))
+            name = t.stem
+            profiles: dict[str, dict] = {}
+            if self.config["include_column_profile"]:
+                profiles = profile_columns(df)
+            columns = [
+                column_dict(
+                    name=f.name,
+                    data_type=f.dataType.simpleString(),
+                    is_nullable=f.nullable,
+                    length=0,
+                    profile=profiles.get(f.name),
+                )
+                for f in sorted(df.schema.fields, key=lambda f: f.name)
+            ]
+            profile = None
+            if self.config["include_row_count"]:
+                profile = {"total_rows": df.count()}
+            preview = None
+            if self.config["include_preview"]:
+                n = self.config["max_preview_rows"]
+                sample = df.limit(n).collect()
+                preview = {
+                    "fields": df.columns,
+                    "rows": json.dumps([[_js(v) for v in r] for r in sample]),
+                }
+            rows.append(
+                {
+                    "resource": {
+                        "urn": table_urn("parquet", str(root), database, name),
+                        "name": name,
+                        "service": "parquet",
+                        "type": "table",
+                        "url": None,
+                        "description": None,
+                    },
+                    "asset_type": "Table",
+                    "schema": columns,
+                    "profile": profile,
+                    "preview": preview,
+                }
+            )
+        return assets_df(spark, rows)
+
+
+def _js(v):
+    """JSON-safe scalar: timestamps -> isoformat, \x00 -> "null" string
+    (the reference sanitizes unicode nulls, bigquery.go:315-318)."""
+    if v is None:
+        return None
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, str):
+        return v.replace("\x00", "null")
+    if isinstance(v, (list, tuple)):
+        return [_js(x) for x in v]
+    return v
