@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship: catalog extraction over sf0.001 (the engine's
+                 core workload — parquet_catalog source → asset DataFrame).
+queries()     -> every implemented operator from SURVEY.md §2 (+ the
+                 beyond-reference dedup/similarity/text operators).
+oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
+                 approximate operators are rows-only and have no oracle).
 """
 
 from __future__ import annotations
@@ -13,26 +14,32 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import meteor_spark.sources  # noqa: F401 — registers extractors
+import meteor_spark.processors  # noqa: F401
+import meteor_spark.sinks  # noqa: F401
+from meteor_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract the full catalog of sf0.001 as asset records."""
+    from meteor_spark.registry import extractors
+    from pyspark.sql import functions as F
+
+    ex = extractors.get("parquet_catalog")
+    ex.init({"path": "/root/testdata/sf0.001", "include_row_count": True})
+    assets = ex.extract(spark)
+    return assets.select(
+        F.col("resource.urn").alias("urn"),
+        F.col("resource.name").alias("table_name"),
+        F.col("asset_type"),
+        F.size("schema").alias("n_columns"),
+        F.col("profile.total_rows").alias("total_rows"),
+    ).orderBy("table_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

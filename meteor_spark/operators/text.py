@@ -107,8 +107,11 @@ def quality_features(text: Column, round_to: int = 4) -> dict[str, Column]:
 
 def quality_score(text: Column, round_to: int = 4) -> Column:
     """Scalar quality score in [0,1]: rewards stopword presence and sane
-    token lengths, penalizes punctuation density. Deterministic, portable."""
-    f = quality_features(text, round_to=6)
+    token lengths, penalizes punctuation density. Deterministic, portable.
+
+    Computed from the round_to-rounded features so the SQL oracle can
+    reproduce it digit-for-digit from the same feature expressions."""
+    f = quality_features(text, round_to=round_to)
     score = (
         F.least(f["stopword_ratio"] * 2, F.lit(1.0)) * 0.4
         + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.4).otherwise(0.1)

@@ -1,0 +1,717 @@
+"""The engine's query catalog: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable with (where SQL-expressible) an
+exactly-equivalent DuckDB oracle SQL string.
+
+Determinism contract shared by every pair:
+- aggregates over doubles are round()ed (2dp for large sums, 4dp for
+  ratios/averages) so engine-side summation-order noise cannot flip the
+  value hash;
+- hashes are md5 (identical across Spark/DuckDB/Python);
+- top-k queries order by (rounded metric, id) so both engines pick the
+  same row set;
+- every computed column is aliased identically in both formulations.
+
+Reference parity notes are cited per query (file:line into
+/root/reference) — see SURVEY.md §2 for the inventory this covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from meteor_spark.operators import dedup, similarity, text, usage
+from meteor_spark.operators.profile import profile_df
+from meteor_spark.functions import sqlparser
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from meteor_spark.io import read_parquet_table
+
+    return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Relational / aggregation queries (the profiling & usage-stats workload
+# family of SURVEY.md §2.6-2.7 exercised on the TPC-H-ish fixtures)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                           AS sum_qty,
+           round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 4)                                           AS avg_qty,
+           round(avg(l_extendedprice), 4)                                      AS avg_price,
+           round(avg(l_discount), 4)                                           AS avg_disc,
+           count(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+aggregate: the canonical 'one wide groupBy'
+    profile workload. Filter pushes to the parquet scan; partial
+    aggregation makes the shuffle 6 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR)                         AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1995-03-15' AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k. The customer dim is
+    broadcast (small side); ordering is on the rounded metric + key so
+    the selected set is engine-independent."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(o.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: every dim is broadcast; only lineitem-orders
+    shuffles (and under AQE even that can go broadcast at small SF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "top_customers",
+    """
+    SELECT o_custkey,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 2)   AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage-count-style aggregation (reference: audit-log TableUsage,
+    auditlog/stats.go:69-75 — 'how often is each entity touched')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.col("total_spent").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Events: usage stats, join-pair mining, sessionization, JSON props
+# (the audit-log workload family, reference bigquery/auditlog/stats.go)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_usage",
+    """
+    SELECT event_type,
+           count(*)                    AS n_events,
+           count(DISTINCT user_id)     AS n_users,
+           round(sum(value), 2)        AS total_value,
+           round(avg(value), 4)        AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-usage aggregation (reference: auditlog/stats.go:69-75)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "event_join_pairs",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS urn, b.event_type AS joined_urn, count(*) AS join_count
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def event_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-pair mining (reference: auditlog/stats.go:77-115 JoinDetail):
+    which entity pairs co-occur in one 'query' (here: one user's event
+    set). Uses the ordered-pair explode of operators.usage.join_usage —
+    pairs emitted once (urn < joined_urn), halving the shuffle."""
+    e = _t(spark, sf_dir, "events")
+    log = e.groupBy("user_id").agg(F.collect_set("event_type").alias("referenced"))
+    return usage.join_usage(log)
+
+
+@query(
+    "user_sessions",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000 OR
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window lag: a new session starts after a
+    30-minute gap. Window partitioned by user — one shuffle, then a
+    map-side-combined groupBy on the same key (no second shuffle thanks
+    to the shared partitioning)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag = F.lag(us).over(w)
+    new_session = F.when(lag.isNull() | ((us - lag) > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup — the batch shape of the streaming windowed
+    aggregation (meteor_spark.streaming uses the same expression under
+    a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "props_json_agg",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))                    AS sum_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-JSON attribute handling (the structpb.Struct decision of
+    SURVEY.md §1.5): attributes live as JSON strings, extracted with
+    get_json_object — still JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Column profiling (reference: bigquery.go:386-411) & catalog extraction
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = {
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus"],
+    "orders": ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+}
+
+_NUMERIC_SQL_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "FLOAT"}
+
+
+def _profile_oracle(table: str, cols: list[str], numeric: set[str]) -> str:
+    parts = []
+    for c in cols:
+        if c in numeric:
+            avg = f"round(avg({c}), 4)"
+            med = f"round(median({c}), 4)"
+        else:
+            avg = "CAST(NULL AS DOUBLE)"
+            med = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", CAST(min({c}) AS VARCHAR) AS \"min\", "
+            f"CAST(max({c}) AS VARCHAR) AS \"max\", {avg} AS \"avg\", {med} AS \"med\", "
+            f'count(DISTINCT {c}) AS "unique", count({c}) AS "count" FROM {table}'
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "profile_lineitem",
+    _profile_oracle(
+        "lineitem",
+        _PROFILE_COLS["lineitem"],
+        {"l_quantity", "l_extendedprice", "l_discount", "l_tax"},
+    ),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiles in ONE aggregation pass (vs the reference's
+    query-per-column, bigquery.go:237-254). Exact aggregates here so the
+    oracle matches; the approx variants (percentile_approx,
+    approx_count_distinct, mode) live in operators.profile."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_df(li, _PROFILE_COLS["lineitem"]).drop("top")
+
+
+@query(
+    "profile_orders",
+    _profile_oracle("orders", _PROFILE_COLS["orders"], {"o_custkey", "o_totalprice"}),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return profile_df(o, _PROFILE_COLS["orders"]).drop("top")
+
+
+_TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
+
+# static column counts of the fixture schemas (TESTDATA.md)
+_N_COLS = {
+    "customer": 5, "documents": 5, "embeddings": 3, "events": 6, "lineitem": 11,
+    "nation": 3, "orders": 6, "part": 6, "region": 2, "supplier": 4,
+}
+
+
+@query(
+    "row_counts",
+    " UNION ALL ".join(f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in _TABLES),
+)
+def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalRows per table (reference: oracle.go:145-146 count(*) per
+    table; mongodb.go:138 EstimatedDocumentCount). Counts run as one
+    Spark job per table on parquet metadata (fast path)."""
+    rows = [(t, _t(spark, sf_dir, t).count()) for t in _TABLES]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
+
+
+@query(
+    "catalog_assets",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, {_N_COLS[t]} AS n_columns, count(*) AS total_rows FROM {t}"
+        for t in _TABLES
+    ),
+)
+def catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog extraction path end-to-end (parquet_catalog source →
+    asset DataFrame → projection), reduced to engine-independent columns."""
+    from meteor_spark.registry import extractors
+
+    ex = extractors.get("parquet_catalog")
+    ex.init({"path": sf_dir, "include_row_count": True})
+    assets = ex.extract(spark)
+    return assets.select(
+        F.col("resource.name").alias("table_name"),
+        F.size("schema").alias("n_columns"),
+        F.col("profile.total_rows").alias("total_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL condition mining (reference: bigquery/sqlparser/parser.go)
+# --------------------------------------------------------------------------
+
+_JOIN_PAT_SQL = sqlparser.JOIN_ON_PATTERN.replace("'", "''")
+_FILTER_PAT_SQL = sqlparser.FILTER_PATTERN.replace("'", "''")
+
+
+@query(
+    "sql_condition_mining",
+    f"""
+    WITH q AS (
+      SELECT 'SELECT * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_orderpriority = '
+             || o_orderpriority AS qtext
+      FROM orders)
+    SELECT regexp_extract(qtext, '{_JOIN_PAT_SQL}', 1)   AS join_condition,
+           regexp_extract(qtext, '{_FILTER_PAT_SQL}', 1) AS filter_condition,
+           count(*) AS n_queries
+    FROM q
+    GROUP BY 1, 2
+    """,
+)
+def sql_condition_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex join/filter condition extraction over a query log
+    (reference: parser.go:58-77), run JVM-side with regexp_extract —
+    the identical pattern strings drive Spark, DuckDB, and the Python
+    helpers in functions.sqlparser."""
+    o = _t(spark, sf_dir, "orders")
+    qtext = F.concat(
+        F.lit("SELECT * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_orderpriority = "),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select(
+            F.regexp_extract(qtext, sqlparser.JOIN_ON_PATTERN, 1).alias("join_condition"),
+            F.regexp_extract(qtext, sqlparser.FILTER_PATTERN, 1).alias("filter_condition"),
+        )
+        .groupBy("join_condition", "filter_condition")
+        .agg(F.count("*").alias("n_queries"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (beyond-reference: training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+_SW_SQL = {lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]" for lang, ws in text.LANG_STOPWORDS.items()}
+
+_TEXT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+')                 AS ws,
+         regexp_split_to_array(trim(lower(text)), '\\s+')          AS lws,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))       AS norm
+  FROM documents),
+feat AS (
+  SELECT doc_id, text, ws, norm,
+         len(list_filter(lws, w -> list_contains({_SW_SQL['en']}, w))) AS s_en,
+         len(list_filter(lws, w -> list_contains({_SW_SQL['de']}, w))) AS s_de,
+         len(list_filter(lws, w -> list_contains({_SW_SQL['fr']}, w))) AS s_fr,
+         len(list_filter(lws, w -> list_contains({_SW_SQL['es']}, w))) AS s_es,
+         len(ws)                                                        AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))               AS n_symbol,
+         length(text)                                                   AS n_chars
+  FROM base),
+feat2 AS (
+  SELECT doc_id, norm, n_tokens, n_regex_tokens, n_chars,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+              ELSE 'und' END                                            AS lang_guess,
+         round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+               / greatest(n_tokens, 1), 4)                              AS mean_token_len,
+         round(CAST(n_symbol AS DOUBLE) / greatest(n_regex_tokens, 1), 4) AS punct_ratio,
+         round(CAST(s_en AS DOUBLE) / greatest(n_tokens, 1), 4)         AS stopword_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+               / greatest(n_chars, 1), 4)                               AS uppercase_ratio
+  FROM feat)
+SELECT doc_id, lang_guess, n_tokens, n_regex_tokens, n_chars, mean_token_len,
+       punct_ratio, stopword_ratio, uppercase_ratio,
+       round(least(stopword_ratio * 2, 1.0) * 0.4 +
+             CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10 THEN 0.4 ELSE 0.1 END +
+             greatest(0.0, 0.2 - punct_ratio), 4)                       AS quality,
+       substr(md5(norm), 1, 16)                                         AS fingerprint
+FROM feat2
+"""
+
+
+@query("text_analysis", _TEXT_ORACLE)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + quality scoring + token counts + fingerprint in one
+    scan (operators.text.analyze). Pure built-in functions — the whole
+    row fuses into one codegen stage."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.analyze(docs)
+
+
+# --------------------------------------------------------------------------
+# Deduplication (beyond-reference)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact_survivors",
+    f"""
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(normalized text), min(doc_id)
+    survives. One shuffle on the 32-char hash key."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).select("doc_id")
+
+
+@query(
+    "exact_dup_groups",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_duplicates(docs)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.array_min("doc_ids").alias("min_doc"),
+            F.array_max("doc_ids").alias("max_doc"),
+        )
+    )
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB mirror of operators.dedup.shingles (distinct word k-grams
+    over normalized text)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(nws) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(nws, i, i + {k - 1}), ' ')))"
+    )
+
+
+_MINHASH_K = 3
+_MINHASH_HASHES = 12
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = _MINHASH_HASHES // _MINHASH_BANDS
+
+_SIG_SQL = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(_MINHASH_HASHES)
+)
+_BAND_SQL = ", ".join(
+    "md5(" + " || '|' || ".join(f"sig[{b * _MINHASH_ROWS + r + 1}]" for r in range(_MINHASH_ROWS)) + f") AS band{b}"
+    for b in range(_MINHASH_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+sh AS (
+  SELECT doc_id, {_shingle_sql(_MINHASH_K)} AS sh FROM nd),
+sig AS (
+  SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, sh, {_BAND_SQL} FROM sig),
+pairs AS (
+  {" UNION ".join(
+    f'''SELECT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id'''
+    for b in range(_MINHASH_BANDS)
+  )}
+),
+verified AS (
+  SELECT p.a, p.b,
+         round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM (SELECT DISTINCT a, b FROM pairs) p
+  JOIN sh x ON x.doc_id = p.a
+  JOIN sh y ON y.doc_id = p.b)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+@query("minhash_near_duplicates", _MINHASH_ORACLE)
+def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → 12 md5-minhashes →
+    4 bands → bucket-equi-join → exact Jaccard ≥ 0.5 verification.
+    The oracle builds the identical sketch (md5 is the shared hash
+    family), so even the candidate generation is checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array({_NORM_SQL}, ' '))) AS w FROM documents)),
+wb AS (
+  SELECT doc_id, w, unnest(range(32)) AS pos FROM w),
+bits AS (
+  SELECT doc_id, pos,
+         (((strpos('0123456789abcdef', substr(md5(w), (pos // 4) + 1, 1)) - 1) >> (pos % 4)) & 1) * 2 - 1 AS contrib
+  FROM wb),
+sums AS (
+  SELECT doc_id, pos, sum(contrib) AS s FROM bits GROUP BY doc_id, pos)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+@query("simhash_docs", _SIMHASH_ORACLE)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (relational formulation — see
+    operators.dedup.simhash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+_NGRAM_K = 2
+_NGRAM_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id, lang, source, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+sh AS (
+  SELECT doc_id, lang, source, {_shingle_sql(_NGRAM_K)} AS sh FROM nd)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+"""
+
+
+@query("ngram_jaccard_pairs", _NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: candidate pairs only within a
+    (lang, source) block — the blocking key bounds the quadratic term;
+    at scale swap the block key for LSH bands (minhash_near_duplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.05)
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (beyond-reference)
+# --------------------------------------------------------------------------
+
+_ANN_K = 5
+_ANN_NQUERY = 5
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < {_ANN_NQUERY}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+  FROM q, c WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM s) WHERE rank <= {_ANN_K}
+"""
+
+
+@query("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN exactness baseline): query side
+    broadcast, corpus never shuffled, dot products via zip_with/aggregate
+    higher-order functions (JVM, no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.brute_force_topk(emb, q, k=_ANN_K)
+
+
+@query("srp_ann_topk")  # no oracle: approximate bucketing, checked rows-only
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN (the scale path): signature bucket join + exact
+    re-rank. Approximate by construction — recorded as rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.srp_topk(emb, q, dim=64, k=_ANN_K, bits=4)
+
+
+@query("embedding_near_dup_pairs")  # no oracle: SRP blocking is approximate
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP blocking + verification."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.9, bits=4, dim=64)

@@ -24,6 +24,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from meteor_spark.io import read_parquet_table
 from meteor_spark.model.urn import table_urn
 from meteor_spark.operators.profile import profile_columns
 from meteor_spark.plugins_base import Extractor, Field
@@ -50,7 +51,7 @@ class ParquetCatalogExtractor(Extractor):
         tables = sorted(p for p in root.glob("*.parquet") if p.stem not in exclude)
         rows = []
         for t in tables:
-            df = spark.read.parquet(str(t))
+            df = read_parquet_table(spark, str(t))
             name = t.stem
             profiles: dict[str, dict] = {}
             if self.config["include_column_profile"]:
