@@ -79,35 +79,121 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, exact: bool
     }
 
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = True, round_to: int = 4) -> DataFrame:
     """DataFrame-shaped profile: one output row per column, columns
-    (column, min, max, avg, med, unique, count, top). Still one scan:
-    the single wide agg row is unpivoted with a stack() expression —
-    no per-column jobs, no driver loop over data.
+    (column, min, max, avg, med, unique, count, top).
+
+    Plan shape (chosen over a single wide agg after measuring): unpivot
+    FIRST into long form (column_name, value), then ONE groupBy per type
+    family. A wide agg with N exact count_distincts triggers Catalyst's
+    Expand rewrite (N+1 copies of every row) plus giant sort buffers for
+    the percentiles — measured 36s on 600k x 6 columns. The long form
+    keeps each distinct-aggregate single-column (two-phase hash agg, no
+    Expand): same answer in ~3s, and at 100 TB the shuffle carries only
+    partial aggs keyed by column name.
+
+    Type families keep min/max/top rendering faithful to the source type
+    (integral columns must print '1', not '1.0' — the reference casts
+    the typed value to string, bigquery.go:387-396).
     """
+    from pyspark.sql import Window
+
     cols = columns or profilable_columns(df)
-    types = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
-    aggs: list[Column] = []
-    for c in cols:
-        aggs.extend(_aggs_for(c, types[c], exact))
-    wide = df.agg(*aggs)
-    # unpivot: stack(n, 'col1', col1__min, ..., 'coln', ...) -> rows
-    parts = []
-    for c in cols:
-        fields = ", ".join(
-            f"cast(`{c}__{f}` as {'double' if f in ('avg', 'med') else 'string' if f in ('min', 'max', 'top') else 'bigint'})"
-            for f in _PROFILE_FIELDS
+    types = {f.name: f.dataType for f in df.schema.fields}
+    integral = [c for c in cols if isinstance(types[c], _INTEGRAL)]
+    fractional = [c for c in cols if isinstance(types[c], _NUMERIC) and c not in integral]
+    other = [c for c in cols if c not in integral and c not in fractional]
+
+    def long_form(group: list[str], value_type: str) -> DataFrame:
+        pairs = F.array(
+            *[F.struct(F.lit(c).alias("column"), F.col(c).cast(value_type).alias("v")) for c in group]
         )
-        parts.append(f"('{c}', {fields})")
-    struct_rows = f"array({', '.join('struct' + p for p in parts)})"
-    out = wide.select(F.explode(F.expr(struct_rows)).alias("p")).select(
-        F.col("p.col1").alias("column"),
-        F.col("p.col2").alias("min"),
-        F.col("p.col3").alias("max"),
-        F.round(F.col("p.col4"), round_to).alias("avg"),
-        F.round(F.col("p.col5"), round_to).alias("med"),
-        F.col("p.col6").cast("long").alias("unique"),
-        F.col("p.col7").cast("long").alias("count"),
-        F.col("p.col8").alias("top"),
-    )
+        return df.select(F.explode(pairs).alias("p")).select("p.column", "p.v").filter(F.col("v").isNotNull())
+
+    def agg_family(group: list[str], value_type: str, numeric: bool) -> DataFrame:
+        lf = long_form(group, value_type)
+        if not exact:
+            med = (
+                F.round(F.percentile_approx(F.col("v").cast("double"), 0.5), round_to)
+                if numeric
+                else F.lit(None).cast("double")
+            )
+            avg = F.round(F.avg(F.col("v").cast("double")), round_to) if numeric else F.lit(None).cast("double")
+            return lf.groupBy("column").agg(
+                F.min("v").cast("string").alias("min"),
+                F.max("v").cast("string").alias("max"),
+                avg.alias("avg"),
+                med.alias("med"),
+                F.approx_count_distinct("v").cast("long").alias("unique"),
+                F.count("v").alias("count"),
+                F.mode("v").cast("string").alias("top"),
+            )
+        # Exact path: pre-aggregate value frequencies, then derive every
+        # statistic from the compact (column, v, cnt) frame. Rationale:
+        # mixing count_distinct (Expand rewrite) with TypedImperative
+        # aggregates (percentile, mode) degrades the whole plan to a
+        # sort-based aggregate — measured 32s vs 3s on 600k x 4 cols.
+        # The frequency frame gives: unique = row count, count = sum cnt,
+        # avg = weighted mean, mode = deterministic arg-max (ties -> min
+        # value), median = interpolated cumulative-count lookup — all
+        # hash aggregates and one window, no Expand, no sort fallback.
+        pre = lf.groupBy("column", "v").agg(F.count("*").alias("cnt"))
+        stats = pre.groupBy("column").agg(
+            F.min("v").cast("string").alias("min"),
+            F.max("v").cast("string").alias("max"),
+            (
+                F.round(F.sum(F.col("v").cast("double") * F.col("cnt")) / F.sum("cnt"), round_to)
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("avg"),
+            F.count("*").cast("long").alias("unique"),
+            F.sum("cnt").alias("count"),
+            F.min_by("v", F.struct((-F.col("cnt")).alias("nc"), F.col("v").alias("vv"))).cast("string").alias("top"),
+        )
+        if not numeric:
+            return stats.select(
+                "column", "min", "max", "avg", F.lit(None).cast("double").alias("med"), "unique", "count", "top"
+            )
+        # exact interpolated median (percentile(v, 0.5) semantics:
+        # index q*(N-1), linear interpolation between floor/ceil rows)
+        w = Window.partitionBy("column").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = pre.select("column", "v", "cnt", F.sum("cnt").over(w).alias("cum"))
+        n = pre.groupBy("column").agg(F.sum("cnt").alias("n"))
+        cum = cum.join(n, "column")
+        idx = (F.col("n") - 1) / 2.0
+        v_lo = (
+            cum.filter(F.col("cum") >= F.floor(idx) + 1)
+            .groupBy("column")
+            .agg(F.min("v").cast("double").alias("v_lo"))
+        )
+        v_hi = (
+            cum.filter(F.col("cum") >= F.ceil(idx) + 1)
+            .groupBy("column")
+            .agg(F.min("v").cast("double").alias("v_hi"))
+        )
+        med = (
+            n.join(v_lo, "column")
+            .join(v_hi, "column")
+            .select(
+                "column",
+                F.round(
+                    F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * (idx - F.floor(idx)),
+                    round_to,
+                ).alias("med"),
+            )
+        )
+        return stats.join(med, "column").select(
+            "column", "min", "max", "avg", "med", "unique", "count", "top"
+        )
+
+    outs = []
+    for group, vt, numeric in ((integral, "long", True), (fractional, "double", True), (other, "string", False)):
+        if group:
+            outs.append(agg_family(group, vt, numeric))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
     return out

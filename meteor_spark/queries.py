@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import meteor_spark.sources  # noqa: F401 — registers source plugins used by catalog queries
 from meteor_spark.operators import dedup, similarity, text, usage
 from meteor_spark.operators.profile import profile_df
 from meteor_spark.functions import sqlparser
@@ -384,8 +385,11 @@ def row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TotalRows per table (reference: oracle.go:145-146 count(*) per
     table; mongodb.go:138 EstimatedDocumentCount). Counts run as one
     Spark job per table on parquet metadata (fast path)."""
-    rows = [(t, _t(spark, sf_dir, t).count()) for t in _TABLES]
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_TABLES)) as pool:
+        counts = list(pool.map(lambda t: (t, _t(spark, sf_dir, t).count()), _TABLES))
+    return spark.createDataFrame(counts, "table_name string, n_rows long")
 
 
 @query(
@@ -567,11 +571,20 @@ _MINHASH_HASHES = 12
 _MINHASH_BANDS = 4
 _MINHASH_ROWS = _MINHASH_HASHES // _MINHASH_BANDS
 
+# Kirsch-Mitzenmacher double hashing from ONE md5 per shingle — must
+# mirror operators.dedup.minhash_signature exactly (int64 arithmetic).
 _SIG_SQL = ", ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(_MINHASH_HASHES)
+    f"list_min(list_transform(hs, h -> h.h1 + {i} * h.h2))" for i in range(_MINHASH_HASHES)
+)
+_HS_SQL = (
+    "list_transform(sh, s -> struct_pack("
+    "h1 := ('0x' || substr(md5(s), 1, 8))::BIGINT, "
+    "h2 := ('0x' || substr(md5(s), 9, 8))::BIGINT))"
 )
 _BAND_SQL = ", ".join(
-    "md5(" + " || '|' || ".join(f"sig[{b * _MINHASH_ROWS + r + 1}]" for r in range(_MINHASH_ROWS)) + f") AS band{b}"
+    "md5("
+    + " || '|' || ".join(f"CAST(sig[{b * _MINHASH_ROWS + r + 1}] AS VARCHAR)" for r in range(_MINHASH_ROWS))
+    + f") AS band{b}"
     for b in range(_MINHASH_BANDS)
 )
 
@@ -580,8 +593,10 @@ WITH nd AS (
   SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
 sh AS (
   SELECT doc_id, {_shingle_sql(_MINHASH_K)} AS sh FROM nd),
+hs AS (
+  SELECT doc_id, sh, {_HS_SQL} AS hs FROM sh),
 sig AS (
-  SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM sh),
+  SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM hs),
 bands AS (
   SELECT doc_id, sh, {_BAND_SQL} FROM sig),
 pairs AS (
@@ -661,11 +676,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) block — the blocking key bounds the quadratic term;
     at scale swap the block key for LSH bands (minhash_near_duplicates)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh"))
+    sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh")).persist()
     a, b = sh.alias("a"), sh.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(F.array_union("a.sh", "b.sh"))
+    si = F.size(F.array_intersect("a.sh", "b.sh"))
+    jac = si.cast("double") / (F.size("a.sh") + F.size("b.sh") - si)
     return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(jac >= 0.05)
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 4).alias("jaccard"))
     )

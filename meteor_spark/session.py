@@ -29,6 +29,7 @@ def get_spark(app_name: str = "meteor_spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

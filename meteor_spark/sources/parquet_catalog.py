@@ -49,51 +49,53 @@ class ParquetCatalogExtractor(Extractor):
         database = self.config["database"] or root.name
         exclude = set(self.config["exclude"] or ())
         tables = sorted(p for p in root.glob("*.parquet") if p.stem not in exclude)
-        rows = []
-        for t in tables:
-            df = read_parquet_table(spark, str(t))
-            name = t.stem
-            profiles: dict[str, dict] = {}
-            if self.config["include_column_profile"]:
-                profiles = profile_columns(df)
-            columns = [
-                column_dict(
-                    name=f.name,
-                    data_type=f.dataType.simpleString(),
-                    is_nullable=f.nullable,
-                    length=0,
-                    profile=profiles.get(f.name),
-                )
-                for f in sorted(df.schema.fields, key=lambda f: f.name)
-            ]
-            profile = None
-            if self.config["include_row_count"]:
-                profile = {"total_rows": df.count()}
-            preview = None
-            if self.config["include_preview"]:
-                n = self.config["max_preview_rows"]
-                sample = df.limit(n).collect()
-                preview = {
-                    "fields": df.columns,
-                    "rows": json.dumps([[_js(v) for v in r] for r in sample]),
-                }
-            rows.append(
-                {
-                    "resource": {
-                        "urn": table_urn("parquet", str(root), database, name),
-                        "name": name,
-                        "service": "parquet",
-                        "type": "table",
-                        "url": None,
-                        "description": None,
-                    },
-                    "asset_type": "Table",
-                    "schema": columns,
-                    "profile": profile,
-                    "preview": preview,
-                }
-            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, min(len(tables), 16))) as pool:
+            rows = list(pool.map(lambda t: self._table_asset(spark, root, database, t), tables))
         return assets_df(spark, rows)
+
+    def _table_asset(self, spark: SparkSession, root: Path, database: str, t: Path) -> dict:
+        df = read_parquet_table(spark, str(t))
+        name = t.stem
+        profiles: dict[str, dict] = {}
+        if self.config["include_column_profile"]:
+            profiles = profile_columns(df)
+        columns = [
+            column_dict(
+                name=f.name,
+                data_type=f.dataType.simpleString(),
+                is_nullable=f.nullable,
+                length=0,
+                profile=profiles.get(f.name),
+            )
+            for f in sorted(df.schema.fields, key=lambda f: f.name)
+        ]
+        profile = None
+        if self.config["include_row_count"]:
+            profile = {"total_rows": df.count()}
+        preview = None
+        if self.config["include_preview"]:
+            n = self.config["max_preview_rows"]
+            sample = df.limit(n).collect()
+            preview = {
+                "fields": df.columns,
+                "rows": json.dumps([[_js(v) for v in r] for r in sample]),
+            }
+        return {
+            "resource": {
+                "urn": table_urn("parquet", str(root), database, name),
+                "name": name,
+                "service": "parquet",
+                "type": "table",
+                "url": None,
+                "description": None,
+            },
+            "asset_type": "Table",
+            "schema": columns,
+            "profile": profile,
+            "preview": preview,
+        }
 
 
 def _js(v):
