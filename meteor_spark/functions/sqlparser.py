@@ -34,7 +34,7 @@ JOIN_USING_PATTERN = r"(?i)\bUSING\s*\(([^)]+)\)"
 # WHERE/HAVING predicate forms (parser.go:27-53): =,<,>,<=,>=,!=,LIKE,BETWEEN,IS,IN
 FILTER_PATTERN = (
     r"(?i)\b(?:WHERE|HAVING)\s+"
-    r"([\w.`\"']+\s*(?:=|<>|!=|<=|>=|<|>|\s+LIKE\s+|\s+BETWEEN\s+|\s+IS\s+|\s+IN\s*)"
+    r"([\w.`\"']+(?:\([^)]*\))?\s*(?:=|<>|!=|<=|>=|<|>|\s+LIKE\s+|\s+BETWEEN\s+|\s+IS\s+|\s+IN\s*)"
     r"[^;()]*?)(?:\s+(?:GROUP|ORDER|LIMIT|UNION|WINDOW)\b|;|$)"
 )
 _COMMENT_RE = re.compile(r"(--[^\n]*\n?)|(/\*.*?\*/)", re.S)

@@ -1,0 +1,75 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+
+from meteor_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE QUICK  BROWN fox jumps over the lazy dog"),  # exact dup after normalize
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "completely different content about spark engines and shuffles"),  # exact dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    sets = sorted(tuple(g["doc_ids"]) for g in groups)
+    assert sets == [(1, 2), (4, 5)]
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_shingles(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(dedup.shingles(F.col("text"), 3).alias("sh")).first()
+    assert sorted(row["sh"]) == ["a b c", "b c d"]
+    # shorter than k -> single partial shingle
+    df2 = spark.createDataFrame([("a b",)], "text string")
+    assert df2.select(dedup.shingles(F.col("text"), 3).alias("sh")).first()["sh"] == ["a b"]
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in dedup.minhash_near_duplicates(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingle sets
+    assert (4, 5) in pairs and pairs[(4, 5)] == 1.0
+    assert (1, 3) in pairs  # near dup caught by LSH
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+
+
+def test_minhash_identical_signatures(docs, spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.dedup import minhash_signature, shingles
+
+    sigs = docs.select(
+        "doc_id", minhash_signature(shingles(F.col("text"), 3), 12).alias("sig")
+    ).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[2]  # normalization makes 1 and 2 identical
+    assert by_id[1] != by_id[4]
+    assert len(by_id[1]) == 12
+
+
+def test_simhash_properties(docs):
+    rows = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert rows[1] == rows[2]  # same normalized word set
+    assert rows[4] == rows[5]
+    assert all(0 <= v < 2**32 for v in rows.values())
+    # hamming distance between near-dups smaller than between unrelated docs
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])

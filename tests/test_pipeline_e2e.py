@@ -1,0 +1,74 @@
+"""End-to-end recipe run: csv source -> enrich -> file + console sinks —
+the Spark translation of the reference e2e test (test/e2e/e2e_test.go,
+mysql -> enrich -> kafka) per SURVEY.md §5 layer 3."""
+
+from __future__ import annotations
+
+import json
+
+from meteor_spark.recipe.loader import parse_recipe
+from meteor_spark.runner import Agent
+
+
+def test_csv_enrich_file_e2e(spark, tmp_path):
+    csv = tmp_path / "applicant.csv"
+    csv.write_text("applicant_id,last_name,first_name\n1,test1,test11\n")
+    csv2 = tmp_path / "jobs.csv"
+    csv2.write_text("job_id,job,department\n2,test2,test22\n")
+    out = tmp_path / "out.ndjson"
+
+    recipe = parse_recipe(
+        f"""
+name: e2e
+version: v1beta1
+source:
+  name: csv
+  config:
+    path: {tmp_path}
+sinks:
+  - name: file
+    config:
+      path: {out}
+processors:
+  - name: enrich
+    config:
+      fieldA: valueA
+""",
+        default_name="e2e",
+    )
+    agent = Agent(spark)
+    assert agent.validate(recipe) == []
+    run = agent.run(recipe)
+    assert run.success, run.error
+    # one Table asset per csv file (reference csv.go:146-167)
+    assert run.record_count == 2
+
+    lines = [json.loads(line) for line in out.read_text().splitlines()]
+    by_name = {r["resource"]["name"]: r for r in lines}
+    assert set(by_name) == {"applicant.csv", "jobs.csv"}
+    # header-only columns, sorted by name (csv.go:131-144 + FIXTURES.md §7)
+    cols = [c["name"] for c in by_name["applicant.csv"]["schema"]]
+    assert cols == ["applicant_id", "first_name", "last_name"]
+    assert all(c.get("data_type") is None for c in by_name["applicant.csv"]["schema"])
+    # enrich merged config into properties.attributes (processor.go:57-86)
+    attrs = json.loads(by_name["jobs.csv"]["properties"]["attributes"])
+    assert attrs == {"fieldA": "valueA"}
+
+
+def test_enrich_overwrites_existing_key(spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.processors.enrich import merge_attributes
+    from meteor_spark.sources.base import assets_df
+
+    df = assets_df(
+        spark,
+        [{"resource": {"urn": "u1", "name": "n", "service": "s", "type": "t", "url": None, "description": None},
+          "asset_type": "Table",
+          "properties": {"tags": ["t1"], "labels": {"l": "1"}, "attributes": json.dumps({"keep": "old", "fieldA": "old"})}}],
+    )
+    out = merge_attributes(df, {"fieldA": "new"})
+    row = out.select(F.col("properties.attributes")).first()[0]
+    assert json.loads(row) == {"keep": "old", "fieldA": "new"}
+    tags = out.select(F.col("properties.tags")).first()[0]
+    assert tags == ["t1"]

@@ -1,0 +1,60 @@
+"""Column profiling (reference: bigquery.go:386-411 aggregates)."""
+
+from __future__ import annotations
+
+import pytest
+
+from meteor_spark.operators.profile import profile_columns, profile_df
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "b"), (4, None, None)],
+        "id long, val double, cat string",
+    )
+
+
+def test_profile_columns_wide(df):
+    p = profile_columns(df, exact=True)
+    assert p["id"]["min"] == "1" and p["id"]["max"] == "4"
+    assert p["id"]["count"] == 4 and p["id"]["unique"] == 4
+    assert p["val"]["count"] == 3  # nulls excluded (COUNT(col))
+    assert p["val"]["avg"] == 20.0 and p["val"]["med"] == 20.0
+    assert p["cat"]["top"] == "b"
+
+
+def test_profile_df_exact(df):
+    rows = {r["column"]: r.asDict() for r in profile_df(df).collect()}
+    assert rows["id"]["min"] == "1"           # integral renders without .0
+    assert rows["val"]["min"] == "10.0"       # fractional keeps .0
+    assert rows["val"]["med"] == 20.0
+    assert rows["id"]["med"] == 2.5           # interpolated even count
+    assert rows["cat"]["unique"] == 2 and rows["cat"]["count"] == 3
+    assert rows["cat"]["avg"] is None and rows["cat"]["med"] is None
+    assert rows["cat"]["top"] == "b"
+
+
+def test_profile_df_mode_deterministic_ties(spark):
+    # tie on frequency -> smallest value wins (documented determinism)
+    df = spark.createDataFrame([(1,), (1,), (2,), (2,), (3,)], "x long")
+    rows = {r["column"]: r.asDict() for r in profile_df(df).collect()}
+    assert rows["x"]["top"] == "1"
+
+
+def test_profile_skips_complex_types(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "id long, arr array<long>")
+    p = profile_columns(df)
+    assert "arr" not in p  # bigquery.go:340-343 skips repeated/record
+
+
+def test_median_interpolation_matches_duckdb(spark):
+    import duckdb
+
+    vals = [1.0, 3.0, 7.0, 20.0, 21.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["column"]: r.asDict() for r in profile_df(df).collect()}
+    expected = duckdb.sql(
+        "SELECT round(median(x), 4) FROM (SELECT unnest(?::DOUBLE[]) AS x)", params=[vals]
+    ).fetchone()[0]
+    assert rows["x"]["med"] == expected

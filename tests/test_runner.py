@@ -1,0 +1,153 @@
+"""Agent runner: validate, run, multi-sink fan-out, sink error policy,
+retry classification — mirrors reference agent/agent_test.go behaviors
+with mock plugins (SURVEY.md §5 layer 1)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from meteor_spark import registry
+from meteor_spark.plugins_base import Extractor, Field, InvalidConfigError, RetryError, Sink, build_config
+from meteor_spark.recipe.loader import PluginRecipe, Recipe
+from meteor_spark.runner import Agent
+from meteor_spark.runner.agent import LoggingMonitor
+from meteor_spark.runner.retrier import retry
+
+
+@pytest.fixture(scope="module", autouse=True)
+def mock_plugins(request):
+    calls = {"fail_once": 0}
+
+    class MockExtractor(Extractor):
+        CONFIG = {"n": Field(default=3, type=int)}
+
+        def extract(self, spark):
+            return spark.range(self.config["n"]).withColumnRenamed("id", "v")
+
+    class CollectSink(Sink):
+        rows: list = []
+
+        def sink(self, df):
+            rows = [json.loads(s) for s in df.toJSON().collect()]
+            CollectSink.rows.extend(rows)
+            return len(rows)
+
+    class FailingSink(Sink):
+        def sink(self, df):
+            raise RuntimeError("permanent boom")
+
+    class FlakySink(Sink):
+        def sink(self, df):
+            calls["fail_once"] += 1
+            if calls["fail_once"] == 1:
+                raise RetryError("503")
+            return df.count()
+
+    for name, cls, reg in [
+        ("mock", MockExtractor, registry.extractors),
+        ("collect", CollectSink, registry.sinks),
+        ("failing", FailingSink, registry.sinks),
+        ("flaky", FlakySink, registry.sinks),
+    ]:
+        if not reg.has(name):
+            reg.register(name, cls)
+    return calls
+
+
+def _recipe(sinks, source_cfg=None):
+    return Recipe(
+        name="r1",
+        version="v1beta1",
+        source=PluginRecipe("mock", source_cfg or {}),
+        sinks=[PluginRecipe(s) for s in sinks],
+    )
+
+
+def test_validate_collects_errors():
+    # reference: agent/agent.go:60-91 — all errors collected, not fail-fast
+    r = Recipe(
+        name="bad",
+        version="v1beta1",
+        source=PluginRecipe("nope", {}),
+        sinks=[PluginRecipe("also-nope")],
+    )
+    agent = Agent(spark=None)
+    errs = agent.validate(r)
+    assert len(errs) == 2
+    assert all(isinstance(e, registry.NotFoundError) for e in errs)
+
+
+def test_run_happy_path(spark):
+    agent = Agent(spark)
+    run = agent.run(_recipe(["collect"], {"n": 5}))
+    assert run.success and run.error is None
+    assert run.record_count == 5
+    assert run.sink_records["collect"] == 5
+    assert run.duration_ms >= 0
+
+
+def test_sink_failure_logged_not_fatal(spark):
+    # reference: agent/agent.go:270-275 — default log-and-continue
+    agent = Agent(spark)
+    run = agent.run(_recipe(["failing", "collect"]))
+    assert run.success
+    assert "permanent boom" in (run.error or "")
+    assert run.sink_records.get("collect") == 3
+
+
+def test_stop_on_sink_error(spark):
+    # reference: config/config.go:18 STOP_ON_SINK_ERROR=true aborts
+    agent = Agent(spark, stop_on_sink_error=True)
+    run = agent.run(_recipe(["failing"]))
+    assert not run.success
+    assert "permanent boom" in run.error
+
+
+def test_retry_only_retry_errors(spark, mock_plugins):
+    # reference: agent/retrier.go:36-59 — RetryError retried w/ backoff
+    agent = Agent(spark, retry_initial_interval_s=0.01)
+    run = agent.run(_recipe(["flaky"]))
+    assert run.success and run.error is None
+    assert mock_plugins["fail_once"] == 2  # one failure + one retry
+
+
+def test_retrier_gives_up():
+    attempts = []
+
+    def boom():
+        attempts.append(1)
+        raise RetryError("always")
+
+    with pytest.raises(RetryError):
+        retry(boom, max_retries=3, initial_interval_s=0, sleep=lambda s: None)
+    assert len(attempts) == 4  # initial + 3 retries
+
+
+def test_run_multiple_isolated(spark):
+    # reference: agent/agent.go:94-113 — one failure doesn't affect others
+    agent = Agent(spark)
+    bad = Recipe(name="bad", version="v1beta1", source=PluginRecipe("nope"), sinks=[PluginRecipe("collect")])
+    runs = agent.run_multiple([_recipe(["collect"]), bad])
+    assert [r.success for r in runs] == [True, False]
+    assert runs[0].recipe.name == "r1" and runs[1].recipe.name == "bad"
+
+
+def test_monitor_records(spark):
+    mon = LoggingMonitor()
+    agent = Agent(spark, monitors=[mon])
+    agent.run(_recipe(["collect"]))
+    assert mon.runs and mon.runs[-1]["runRecordCount"] == 3
+    assert mon.runs[-1]["extractor"] == "mock"
+
+
+def test_build_config_validation():
+    # reference: utils/config.go:29-55 semantics
+    spec = {"path": Field(required=True), "fmt": Field(default="json", oneof=("json", "yaml"))}
+    cfg = build_config({"path": "x"}, spec)
+    assert cfg == {"path": "x", "fmt": "json"}
+    with pytest.raises(InvalidConfigError) as ei:
+        build_config({"fmt": "xml"}, spec)
+    keys = {e.key for e in ei.value.errors}
+    assert keys == {"path", "fmt"}

@@ -1,0 +1,59 @@
+"""Similarity search: brute-force cosine top-k, SRP-LSH ANN."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from meteor_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [0.0, 0.9, 0.1, 0.0]),   # close to 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(emb):
+    q = emb.filter("vec_id = 0")
+    out = similarity.brute_force_topk(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    expected = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert out[0]["cos"] == pytest.approx(round(expected, 4))
+    assert out[0]["rank"] == 1
+
+
+def test_topk_respects_k(emb):
+    out = similarity.brute_force_topk(emb, emb, k=2).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 2 for v in per_query.values())
+
+
+def test_srp_matches_brute_force_for_identical_vectors(spark):
+    # identical vectors always share every SRP bucket -> found at cos 1.0
+    rows = [(i, [float(i % 3 == 0), 1.0, float(i % 2)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    out = similarity.srp_topk(emb, q, dim=3, k=3, bits=4).collect()
+    assert out, "identical vectors must collide in SRP buckets"
+    assert out[0]["cos"] == 1.0
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),  # near-identical
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(emb, threshold=0.99, bits=4, dim=3).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == [(0, 1)]
