@@ -722,6 +722,50 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, q, k=_ANN_K)
 
 
+@query(
+    "streaming_hourly_rollup",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation driven to completion
+    (availableNow trigger, complete mode, memory sink). On bounded input
+    the watermarked tumbling-window result must equal the batch rollup —
+    which is exactly what the oracle asserts."""
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events, windowed_rollup
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_batch(windowed_rollup(events))
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))                          AS n_bytes,
+           md5(text)                                           AS content_md5,
+           ('0x' || substr(md5(text), 1, 2))::INTEGER          AS width,
+           ('0x' || substr(md5(text), 3, 2))::INTEGER          AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach utf-8 blobs + typed metadata, then
+    Arrow-batched mapInPandas feature extraction (stubbed decode — see
+    operators.multimodal). The oracle checks byte counts, digests, and
+    the deterministic fake dimensions, i.e. the full plumbing."""
+    from meteor_spark.operators.multimodal import attach_binary, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs))
+
+
 @query("srp_ann_topk")  # no oracle: approximate bucketing, checked rows-only
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH ANN (the scale path): signature bucket join + exact

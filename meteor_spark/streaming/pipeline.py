@@ -1,0 +1,95 @@
+"""Structured Streaming surface.
+
+The reference has NO true streaming (its 'stream' is an in-process
+channel, agent/stream.go — see SURVEY.md §2.8), so this module is the
+forward-looking translation: the same pipeline algebra
+(source -> transforms -> fan-out sinks) over unbounded input.
+
+Components:
+- stream_events: file-based streaming read of the events table (the
+  fixture stand-in for a Kafka topic; swap `format("parquet")` for
+  `format("kafka")` + from_json in production).
+- windowed_rollup: watermarked tumbling-window aggregation.
+- run_stream_to_batch: drives a streaming query to completion with the
+  availableNow trigger into an in-memory sink and returns the result as
+  a plain DataFrame — this is how the oracle checks streaming semantics
+  against batch SQL (they must agree on bounded input).
+- streaming dedup: dropDuplicates within the watermark horizon.
+
+Scale notes: watermark + window state lives in the state store keyed by
+(window, event_type) — bounded cardinality; shuffle partitions sized by
+spark.sql.shuffle.partitions as usual. availableNow processes a bounded
+backlog in rate-limited batches without keeping the driver loop alive.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet -> long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; glob-filter to the table
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream by event_id within the watermark horizon
+    (the streaming twin of dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a (bounded) streaming query to completion; return results.
+
+    Uses trigger(availableNow) + the in-memory sink. Complete mode emits
+    every window, so on bounded input the result must equal the batch
+    aggregation — the property the oracle asserts.
+    """
+    spark = stream_df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out
