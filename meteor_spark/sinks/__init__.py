@@ -1,3 +1,3 @@
 """Sink plugins. Importing registers built-ins."""
 
-from meteor_spark.sinks import console, file, http  # noqa: F401
+from meteor_spark.sinks import compass, console, file, http, kafka_sink, stencil  # noqa: F401

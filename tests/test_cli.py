@@ -1,0 +1,62 @@
+"""CLI surface: lint, list, info, new (run covered by e2e pipeline test)."""
+
+from __future__ import annotations
+
+from meteor_spark.cli import main
+
+RECIPE = """
+name: ok
+version: v1beta1
+source:
+  name: csv
+  config:
+    path: /tmp/x.csv
+sinks:
+  - name: console
+"""
+
+
+def test_lint_ok(tmp_path, capsys):
+    p = tmp_path / "r.yaml"
+    p.write_text(RECIPE)
+    assert main(["lint", str(p)]) == 0
+    assert "ok: OK" in capsys.readouterr().out
+
+
+def test_lint_bad_plugin(tmp_path, capsys):
+    p = tmp_path / "r.yaml"
+    p.write_text(RECIPE.replace("name: csv", "name: nope"))
+    assert main(["lint", str(p)]) == 1
+    out = capsys.readouterr().out
+    assert "could not find extractor" in out
+
+
+def test_lint_missing_config(tmp_path, capsys):
+    p = tmp_path / "r.yaml"
+    p.write_text(RECIPE.replace("  config:\n    path: /tmp/x.csv\n", ""))
+    assert main(["lint", str(p)]) == 1
+    assert "required" in capsys.readouterr().out
+
+
+def test_list_extractors(capsys):
+    assert main(["list", "extractors"]) == 0
+    out = capsys.readouterr().out
+    for name in ("csv", "mysql", "postgres", "kafka", "bigquery", "parquet_catalog"):
+        assert name in out
+
+
+def test_info(capsys):
+    assert main(["info", "extractor", "csv"]) == 0
+    assert "csv" in capsys.readouterr().out
+    assert main(["info", "extractor", "nope"]) == 1
+
+
+def test_new_recipe_is_parseable(capsys):
+    assert main(["new", "recipe", "gen", "-s", "csv", "-p", "enrich", "-k", "console", "file"]) == 0
+    text = capsys.readouterr().out
+    from meteor_spark.recipe.loader import parse_recipe
+
+    r = parse_recipe(text, default_name="gen")
+    assert r.source.name == "csv"
+    assert [s.name for s in r.sinks] == ["console", "file"]
+    assert [p.name for p in r.processors] == ["enrich"]
