@@ -47,6 +47,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
+_TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
+
+# static column counts of the fixture schemas (TESTDATA.md)
+_N_COLS = {
+    "customer": 5, "documents": 5, "embeddings": 3, "events": 6, "lineitem": 11,
+    "nation": 3, "orders": 6, "part": 6, "region": 2, "supplier": 4,
+}
+
+
 # --------------------------------------------------------------------------
 # Relational / aggregation queries (the profiling & usage-stats workload
 # family of SURVEY.md §2.6-2.7 exercised on the TPC-H-ish fixtures)
@@ -184,6 +193,134 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
         .orderBy(F.col("total_spent").desc(), "o_custkey")
         .limit(10)
+    )
+
+
+@query(
+    "orders_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT)            AS rn,
+           round(sum(o_totalprice) OVER w, 2)             AS running_total
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence + running revenue.
+    One shuffle on the partition key; the filter prunes at the scan."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+@query(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over status x priority (subtotals + grand
+    total) — Catalyst expands to a single Expand+Aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "customer_order_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def customer_order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT of two key sets (semi-join under AQE)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return building.intersect(big)
+
+
+@query(
+    "user_event_grants",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS grants
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg-style aggregation — the postgres grants computation
+    (reference: postgres.go:221-224 string_agg(privilege_type, ',')
+    GROUP BY grantee) re-expressed as concat_ws(sort_array(collect_set))."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("grants")
+    )
+
+
+@query(
+    "preview_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5
+    """,
+)
+def preview_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preview rows (reference: bigquery.go:280-337 first-N preview) made
+    deterministic with an explicit key ordering before the limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5)
+    )
+
+
+@query(
+    "enrich_catalog",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, 'prod' AS env, 'meteor' AS managed_by" for t in _TABLES
+    ),
+)
+def enrich_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enrich processor end-to-end inside the gate: catalog assets ->
+    enrich (attributes JSON merge, processor.go:57-86) -> projected
+    attribute values via get_json_object."""
+    from meteor_spark.registry import extractors, processors
+
+    ex = extractors.get("parquet_catalog")
+    ex.init({"path": sf_dir, "include_row_count": False})
+    proc = processors.get("enrich")
+    proc.init({"env": "prod", "managed_by": "meteor"})
+    assets = proc.process(ex.extract(spark))
+    return assets.select(
+        F.col("resource.name").alias("table_name"),
+        F.get_json_object(F.col("properties.attributes"), "$.env").alias("env"),
+        F.get_json_object(F.col("properties.attributes"), "$.managed_by").alias("managed_by"),
     )
 
 
@@ -366,15 +503,6 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return profile_df(o, _PROFILE_COLS["orders"]).drop("top")
-
-
-_TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
-
-# static column counts of the fixture schemas (TESTDATA.md)
-_N_COLS = {
-    "customer": 5, "documents": 5, "embeddings": 3, "events": 6, "lineitem": 11,
-    "nation": 3, "orders": 6, "part": 6, "region": 2, "supplier": 4,
-}
 
 
 @query(
