@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import meteor_spark.processors  # noqa: F401 — registers processor plugins (enrich_catalog)
 import meteor_spark.sources  # noqa: F401 — registers source plugins used by catalog queries
 from meteor_spark.operators import dedup, similarity, text, usage
 from meteor_spark.operators.profile import profile_df
