@@ -38,6 +38,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # release frames persisted inside operators (minhash/ngram LSH
+            # state) so later queries aren't squeezed by cache memory
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -1,0 +1,43 @@
+"""Skew-handling helpers: salted aggregation and salted broadcast-side
+join — the manual levers when AQE's skew-join splitting isn't enough
+(e.g. a single hot key inside one aggregation).
+
+Salted aggregation = two-phase: groupBy(key, salt) partial -> groupBy(key)
+final. The hot key's rows spread over `salt_buckets` reducers in phase 1;
+phase 2 merges `salt_buckets` partials per key — total extra cost is one
+narrow shuffle of |keys| x salt_buckets rows. Results are EXACTLY equal to
+the unsalted aggregate for decomposable aggregates (sum/count/min/max),
+which is what the oracle gate asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: output_name -> (merge_fn_name, partial_agg_column), e.g.
+      {"n": ("sum", F.count("*")), "total": ("sum", F.sum("value")),
+       "mx": ("max", F.max("value"))}
+    The salt is a deterministic hash of a high-cardinality column (or
+    random-free row hash) mod salt_buckets — deterministic so the plan is
+    reproducible run to run.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.xxhash64(*df.columns)
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[col.alias(f"__p_{name}") for name, (_, col) in aggs.items()]
+    )
+    final = partial.groupBy(*keys).agg(
+        *[getattr(F, fn)(f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )
+    return final

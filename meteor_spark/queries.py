@@ -451,6 +451,138 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_purchase",
+    """
+    SELECT e.event_id, e.user_id,
+           p.event_id                 AS purchase_event_id_asof,
+           round(p.value, 2)          AS purchase_value_asof
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.asof): each event annotated with the user's
+    most recent purchase at or before it. Spark lacks ASOF JOIN; the
+    union+window formulation costs ONE shuffle of |L|+|R| rows — checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from meteor_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        e,
+        purchases.select("user_id", "ts", F.col("event_id").alias("purchase_event_id"), F.col("value").alias("purchase_value")),
+        ts_col="ts",
+        by_col="user_id",
+        value_cols=["purchase_event_id", "purchase_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_event_id_asof"),
+        F.round(F.col("purchase_value_asof"), 2).alias("purchase_value_asof"),
+    )
+
+
+@query(
+    "events_usage_salted",
+    """
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_usage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators.skew.salted_agg):
+    identical results to the plain groupBy — which is exactly what this
+    oracle asserts — while a hot key spreads over 16 reducers."""
+    from meteor_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("sum", F.count("*")),
+            "total_value": ("sum", F.sum("value")),
+            "max_value": ("max", F.max("value")),
+        },
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@query(
+    "events_multi_rollup",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)  AS day,
+           CAST(date_trunc('hour', ts) AS VARCHAR)                    AS hour,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((day, event_type), (day, hour, event_type))
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour- and day-granularity
+    rollups in one pass via GROUPING SETS (one Expand + one aggregate,
+    instead of two scans)."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn("day", F.date_trunc("day", "ts").cast("string")).withColumn(
+        "hour", F.date_trunc("hour", "ts").cast("string")
+    )
+    e.createOrReplaceTempView("events_mr")
+    return spark.sql(
+        """
+        SELECT day, hour, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events_mr
+        GROUP BY GROUPING SETS ((day, event_type), (day, hour, event_type))
+        """
+    )
+
+
+@query(
+    "sql_api_revenue",
+    """
+    SELECT n.n_name, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() path: identical text to the oracle, Catalyst plans
+    it the same as the DataFrame API (temp views over the parquet)."""
+    for t in ("lineitem", "orders", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, o.o_orderpriority
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # Column profiling (reference: bigquery.go:386-411) & catalog extraction
 # --------------------------------------------------------------------------
@@ -472,10 +604,16 @@ def _profile_oracle(table: str, cols: list[str], numeric: set[str]) -> str:
         else:
             avg = "CAST(NULL AS DOUBLE)"
             med = "CAST(NULL AS DOUBLE)"
+        # deterministic mode: most frequent value, ties -> smallest value
+        # (mirrors profile_df's min_by(v, (-cnt, v)))
+        top = (
+            f"(SELECT CAST(v AS VARCHAR) FROM (SELECT {c} AS v, count(*) AS cnt FROM {table} "
+            f"WHERE {c} IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, v ASC LIMIT 1))"
+        )
         parts.append(
             f"SELECT '{c}' AS \"column\", CAST(min({c}) AS VARCHAR) AS \"min\", "
             f"CAST(max({c}) AS VARCHAR) AS \"max\", {avg} AS \"avg\", {med} AS \"med\", "
-            f'count(DISTINCT {c}) AS "unique", count({c}) AS "count" FROM {table}'
+            f'count(DISTINCT {c}) AS "unique", count({c}) AS "count", {top} AS "top" FROM {table}'
         )
     return " UNION ALL ".join(parts)
 
@@ -494,7 +632,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches; the approx variants (percentile_approx,
     approx_count_distinct, mode) live in operators.profile."""
     li = _t(spark, sf_dir, "lineitem")
-    return profile_df(li, _PROFILE_COLS["lineitem"]).drop("top")
+    return profile_df(li, _PROFILE_COLS["lineitem"])
 
 
 @query(
@@ -503,7 +641,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    return profile_df(o, _PROFILE_COLS["orders"]).drop("top")
+    return profile_df(o, _PROFILE_COLS["orders"])
 
 
 @query(
