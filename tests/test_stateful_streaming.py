@@ -1,0 +1,67 @@
+"""Cross-batch stateful sessionization must equal the batch window
+computation once the stream is drained."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from meteor_spark.streaming.pipeline import EVENTS_SCHEMA
+from meteor_spark.streaming.stateful import sessionize_stateful
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    # split events into 4 time-ordered chunks staged with increasing
+    # mtimes (the file source orders by modification time) -> 4
+    # micro-batches in event-time order, so state genuinely carries
+    # across batches
+    import glob
+    import os
+    import time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chunks = str(tmp_path / "chunks")
+    bounds = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    edges = [float("-inf"), *bounds, float("inf")]
+    base = time.time() - 1000
+    seen: set[str] = set()
+    for i in range(4):
+        part = raw.filter((raw.ts >= edges[i]) & (raw.ts < edges[i + 1])) if i else raw.filter(raw.ts < edges[1])
+        part.coalesce(1).write.mode("append").parquet(chunks)
+        for f in glob.glob(f"{chunks}/part-*"):
+            if f not in seen:
+                os.utime(f, (base + i * 10, base + i * 10))
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); the final totals are
+    # the row with the max n_events per user
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions")).alias("s"))
+        .select("user_id", "s.n_events", "s.n_sessions")
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in out.collect()}
+
+    from meteor_spark.queries import user_sessions
+
+    expected = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in user_sessions(spark, sf_dir).collect()}
+    assert got == expected
