@@ -128,6 +128,64 @@ def srp_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer + multi-probe + exact re-rank.
+
+    Index build = one KMeans fit (seeded, deterministic) + one pass
+    assigning each corpus vector to its cell. Search = each query probes
+    its n_probe nearest centroids, candidates are the union of those
+    cells (an equi-join on cell id — scales with cell sizes, not corpus
+    size), then exact cosine re-ranks. Recall/latency tunes with
+    n_cells x n_probe, the classic IVF trade.
+
+    On a real cluster the assigned corpus would be written partitioned by
+    cell (partition pruning turns a query into n_probe partition reads).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(corpus_v)
+    assigned = model.transform(corpus_v).select("neighbor_id", "cv", "cell")
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
+    # per query: rank centroids by cosine, keep n_probe cells
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = (
+        q.select("query_id", "qv", F.posexplode(centers_arr).alias("cell", "center"))
+        .withColumn("c_cos", cosine(F.col("qv").cast("array<double>"), F.col("center")))
+        .withColumn("p_rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), "cell")))
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",

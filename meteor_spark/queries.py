@@ -1042,6 +1042,15 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_topk(emb, q, dim=64, k=_ANN_K, bits=4)
 
 
+@query("ivf_ann_topk")  # no oracle: approximate (kmeans cells), rows-only
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded k-means coarse quantizer, multi-probe, exact
+    re-rank (see operators.similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.ivf_topk(emb, q, k=_ANN_K, n_cells=8, n_probe=3)
+
+
 @query("embedding_near_dup_pairs")  # no oracle: SRP blocking is approximate
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP blocking + verification."""

@@ -57,3 +57,27 @@ def test_embedding_near_duplicates(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = similarity.embedding_near_duplicates(emb, threshold=0.99, bits=4, dim=3).collect()
     assert [(p["a"], p["b"]) for p in pairs] == [(0, 1)]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from meteor_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, q, k=5, n_cells=8, n_probe=4).collect()}
+    # every query answered with k candidates
+    assert len(approx) == len(exact)
+    # multi-probe over half the cells should recover most true neighbors
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from meteor_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
+    assert a == b
