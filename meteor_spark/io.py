@@ -13,10 +13,12 @@ def read_parquet_table(spark: SparkSession, path: str, ts_cols: tuple[str, ...] 
     truncate nanos-long columns back to microsecond timestamps — the
     same truncation DuckDB applies reading the identical file."""
     try:
-        df = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — PARQUET_TYPE_ILLEGAL for nanos
+        # proactive: avoids a failed-then-retried job when the footer has
+        # nanos columns (PARQUET_TYPE_ILLEGAL); harmless for normal files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — conf may be restricted; fall through
+        pass
+    df = spark.read.parquet(path)
     for c in ts_cols:
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # the conf may have been pre-set, so detect nanos-long here

@@ -13,6 +13,8 @@ across engines), floats are rounded at the call site.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,6 +131,67 @@ def fingerprint(text: Column, bits: int = 64) -> Column:
     """Content fingerprint: md5 of normalized text, truncated to bits/4 hex
     chars. md5 is stable across Spark/DuckDB/Python — the oracle contract."""
     return F.substring(F.md5(normalize_text(text)), 1, bits // 4)
+
+
+def compression_ratio(text_col: str = "text") -> Column:
+    """zlib-compressed size / raw size — a classic data-quality signal
+    (repetitive/templated text compresses far better than natural prose).
+
+    zlib has no SQL equivalent, so this is the scalar Pandas-UDF path:
+    Arrow-batched, one Python call per batch of strings — the sanctioned
+    shape for Python-only logic (never a row-at-a-time UDF).
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def _cr(s: "pd.Series") -> "pd.Series":
+        def ratio(t: str) -> float:
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(ratio)
+
+    return _cr(F.col(text_col))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash local
+    fingerprinting scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every word k-gram, slide a window of `window` consecutive
+    k-gram hashes, keep the minimum of each window, output the distinct
+    selected hashes per document.
+
+    Guarantees: any shared run of window+k-1 words between two documents
+    shares at least one fingerprint — the basis for plagiarism/near-dup
+    detection that is robust to local edits.
+
+    Fully relational (posexplode -> one window min -> distinct), hashes
+    via md5 prefix so the SQL oracle reproduces them exactly. Returns
+    (doc_id, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    ws = words(normalize_text(F.col(text_col)))
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+    )
+    pos = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        pos.select(F.col(id_col), F.min(h).over(w).alias("fp"))
+        .distinct()
+    )
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

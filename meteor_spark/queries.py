@@ -50,6 +50,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
 
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
 # static column counts of the fixture schemas (TESTDATA.md)
 _N_COLS = {
     "customer": 5, "documents": 5, "embeddings": 3, "events": 6, "lineitem": 11,
@@ -772,6 +774,41 @@ FROM feat2
 """
 
 
+_WINNOW_K = 3
+_WINNOW_W = 4
+_WINNOW_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(nws) - {_WINNOW_K - 1}, 1) + 1),
+                i -> array_to_string(list_slice(nws, i, i + {_WINNOW_K - 1}), ' '))) AS gram,
+         unnest(range(1, greatest(len(nws) - {_WINNOW_K - 1}, 1) + 1)) AS pos
+  FROM nd),
+hashes AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM grams),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM hashes)
+SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+FROM winnowed GROUP BY doc_id
+"""
+
+
+@query("winnowing_fingerprints", _WINNOW_ORACLE)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SWA'03) local fingerprints: k-gram md5 hashes, sliding
+    window-min selection, distinct per doc — summarized per document.
+    The oracle reproduces the identical selection."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"), F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp")
+    )
+
+
 @query("text_analysis", _TEXT_ORACLE)
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality scoring + token counts + fingerprint in one
@@ -785,7 +822,6 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication (beyond-reference)
 # --------------------------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 @query(

@@ -49,3 +49,35 @@ def test_analyze_schema(spark, sf_dir):
         "quality", "fingerprint",
     }
     assert out.count() == docs.count()
+
+
+def test_winnow_fingerprints_shared_run(spark):
+    from meteor_spark.operators.text import winnow_fingerprints
+
+    # docs sharing a run of window+k-1 = 6 words must share a fingerprint
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "DIFFERENT start alpha beta gamma delta epsilon zeta tail"),
+            (3, "totally unrelated words with nothing common here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_compression_ratio(spark):
+    from meteor_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaaa aaaa aaaa"), (2, "zq xv jk wp mn bd fg hs lt rc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cr"] for r in df.select("doc_id", compression_ratio("text").alias("cr")).collect()}
+    assert out[1] < out[2]  # repetitive text compresses better
+    assert 0 < out[1] < 1.0
