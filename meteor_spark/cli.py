@@ -41,6 +41,11 @@ def cmd_run(args) -> int:
         get_spark("meteor-run"),
         stop_on_sink_error=os.environ.get("STOP_ON_SINK_ERROR", "").lower() == "true",
     )
+    # SIGINT/SIGTERM -> cancel in-flight jobs (reference: cmd/run.go:81-82)
+    import signal
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: agent.cancel())
     runs = agent.run_multiple(recipes)
     # reference renders a per-recipe result table (cmd/run.go:94-128)
     width = max(len(r.recipe.name) for r in runs)

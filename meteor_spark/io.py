@@ -1,4 +1,7 @@
-"""Fixture-tolerant parquet reading shared by queries and sources."""
+"""IO helpers: fixture-tolerant parquet reading, plus the two write-side
+levers that matter at 100 TB — bucketing (shuffle-free co-located joins)
+and partitioned layout (partition pruning at the scan).
+"""
 
 from __future__ import annotations
 
@@ -24,3 +27,25 @@ def read_parquet_table(spark: SparkSession, path: str, ts_cols: tuple[str, ...] 
             # the conf may have been pre-set, so detect nanos-long here
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32, sort: bool = True) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Two tables bucketed the same way join WITHOUT an exchange — the
+    pre-shuffle is paid once at write time and amortized over every
+    later join/aggregate on that key. This is the 100 TB answer to
+    repeated fact-fact joins; see tests/test_scale_io.py for the
+    plan-level assertion (no Exchange on either side).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Persist a table hive-partitioned by low-cardinality columns so
+    predicate-bearing scans prune whole directories (PartitionFilters in
+    the scan node, zero IO for excluded partitions)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

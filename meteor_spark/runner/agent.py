@@ -142,6 +142,13 @@ class Agent:
                     log.exception("monitor failed")
         return report
 
+    def cancel(self) -> None:
+        """Graceful cancel: abort every in-flight Spark job (the analogue
+        of the reference's ctx.Done() closing the stream,
+        agent/agent.go:160-164). Wire to SIGINT/SIGTERM in the CLI."""
+        if self.spark is not None:
+            self.spark.sparkContext.cancelAllJobs()
+
     def run_multiple(self, recipes: list[Recipe], max_workers: int = 8) -> list[Run]:
         """Concurrent recipe execution, input order preserved
         (reference: agent/agent.go:94-113)."""
