@@ -252,30 +252,36 @@ def minhash_near_duplicates(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash per document, relational formulation.
 
-    explode(words) x explode(bit positions) -> per-(doc,bit) signed sum ->
-    per-doc hash = Σ (sum>0) << bit. Bit b of word w is taken from hex
-    digit b//4 of md5(w): (digit_value >> (b%4)) & 1. Pure integer
-    arithmetic on md5 hex — portable to the SQL oracle verbatim.
+    explode(distinct words) -> per-word ±1 contribution for each of the
+    `bits` positions as separate columns -> ONE groupBy(doc) with `bits`
+    map-side-combined sums -> hash = Σ (sum_b>0) << b. Bit b of word w is
+    taken from hex digit b//4 of md5(w): (digit_value >> (b%4)) & 1 —
+    pure integer arithmetic on md5 hex, portable to the SQL oracle.
 
-    Two shuffles (doc,bit then doc); at scale the first groupBy is
-    map-side-combined so the shuffle carries at most |docs| x bits rows.
+    One shuffle carrying |doc words| rows of `bits` small ints (vs the
+    naive words x bits explode, which shuffles 32x the rows and needs a
+    second aggregation): at 100 TB the bit-position explode would be the
+    bottleneck, not the text scan.
     """
     w = df.select(F.col(id_col), F.explode(F.array_distinct(words(normalize_text(F.col(text_col))))).alias("w"))
-    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos")
-    wb = w.select(id_col, "w", pos).withColumn(
-        "hexval",
-        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("w")), (F.col("pos") / 4).cast("int") + 1, 1)) - 1,
-    )
-    # bit = (hexval >> (pos % 4)) & 1; contribution = 2*bit - 1
-    contrib = F.expr("(shiftright(hexval, pos % 4) & 1) * 2 - 1").alias("contrib")
+    # each md5 hex digit covers 4 bit positions; compute the digit value
+    # once per nibble and derive its 4 contributions in codegen
+    h = F.md5(F.col("w"))
+    contribs = []
+    for nib in range(bits // 4):
+        hexval = F.instr(F.lit("0123456789abcdef"), F.substring(h, nib + 1, 1)) - 1
+        for r in range(4):
+            b = nib * 4 + r
+            contribs.append(((F.shiftright(hexval, r).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"c{b}"))
     return (
-        wb.select(id_col, "pos", contrib)
-        .groupBy(id_col, "pos")
-        .agg(F.sum("contrib").alias("s"))
+        w.select(id_col, *contribs)
         .groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), pos)")).otherwise(F.lit(0))).alias(
-                "simhash"
-            )
+        .agg(*[F.sum(f"c{b}").alias(f"s{b}") for b in range(bits)])
+        .select(
+            F.col(id_col),
+            sum(
+                [F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0)) for b in range(bits)],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
         )
     )

@@ -64,13 +64,21 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# probed once at import: a failed import is NOT cached in sys.modules, so
+# probing per-row would re-scan sys.path for every blob
+try:
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
 def decode_image(content: bytes) -> tuple[int, int]:
     """STUB — real decode needs an image codec not present in this
     container. Deterministic fake: dimensions from the first md5 bytes,
     so tests and the SQL oracle can verify the plumbing end to end."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
+    if not _HAS_PIL:
         digest = hashlib.md5(content).hexdigest()
         return int(digest[0:2], 16), int(digest[2:4], 16)
     raise NotImplementedError("real image decode not wired; container has no codec fixtures")

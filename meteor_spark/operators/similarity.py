@@ -158,8 +158,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(corpus_v)
+    ).persist()  # KMeans makes one pass per iteration; never re-read parquet
+    # random init (seeded, deterministic) skips the k-means|| init jobs;
+    # quantizer cells only need to be roughly balanced, not optimal, so a
+    # short iteration budget is plenty
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell", initMode="random", maxIter=5
+    ).fit(corpus_v)
     assigned = model.transform(corpus_v).select("neighbor_id", "cv", "cell")
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
@@ -199,7 +204,11 @@ def embedding_near_duplicates(
     blocking + exact verification — the embedding twin of MinHash LSH."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sigs = df.select(F.col(id_col), F.col(vec_col).alias("v"), srp_signature(F.col(vec_col), dim, bits).alias("sig"))
+    # persist: both sides of the self-join would otherwise recompute the
+    # bits*dim-term signature expression from raw vectors
+    sigs = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
+    ).persist()
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(r, "sig")

@@ -981,18 +981,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh")).persist()
     a, b = sh.alias("a"), sh.alias("b")
+    # project the intersect size to a scalar BEFORE filtering so the
+    # dominant array_intersect runs once per pair (filter-then-project
+    # would recompute it; no cross-operator CSE)
     si = F.size(F.array_intersect("a.sh", "b.sh"))
-    jac = si.cast("double") / (F.size("a.sh") + F.size("b.sh") - si)
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.05)
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), F.round(jac, 4).alias("jaccard"))
+    scored = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        (si.cast("double") / (F.size("a.sh") + F.size("b.sh") - si)).alias("jac"),
     )
+    return scored.filter(F.col("jac") >= 0.05).select("a", "b", F.round("jac", 4).alias("jaccard"))
 
 
 # --------------------------------------------------------------------------

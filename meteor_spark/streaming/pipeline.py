@@ -74,7 +74,9 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_batch(
+    stream_df: DataFrame, output_mode: str = "complete", state_partitions: int | None = 4
+) -> DataFrame:
     """Drive a (bounded) streaming query to completion; return results.
 
     Uses trigger(availableNow) + the in-memory sink. Complete mode emits
@@ -83,13 +85,24 @@ def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> 
     """
     spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store partition count is frozen at query start from
+    # spark.sql.shuffle.partitions; windowed-agg state cardinality is tiny
+    # (windows x event_type), so 32 partitions means 32 state-store commits
+    # per microbatch for mostly-empty stores. Pin the stream to a few
+    # partitions and restore the session default after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     return out
