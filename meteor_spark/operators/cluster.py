@@ -1,0 +1,89 @@
+"""Duplicate clustering: connected components over near-dup pairs.
+
+Beyond-reference operator (BASELINE.json north star). LSH/minhash emits
+PAIRS; a training-data dedup pipeline needs CLUSTERS — the transitive
+closure of "is a near-dup of" — so that exactly one representative per
+cluster survives (pairs alone would drop both ends of a chain a-b, b-c
+inconsistently).
+
+Algorithm: iterative min-label propagation on DataFrames.
+  label(v) <- min(label(v), min over neighbors u of label(u))
+until fixpoint. The fixpoint is unique (every node ends with the min
+node id of its component), so results are deterministic and the DuckDB
+oracle can reproduce them with a recursive-CTE transitive closure.
+
+Scale design (100 TB corpus, ~billions of near-dup edges):
+- edges are symmetrized once and persisted; every round is one
+  shuffle-join on the current labels plus a map-side-combined min-agg —
+  no driver-side graph state, no collect.
+- rounds needed = component diameter. Near-dup clusters are dense
+  (diameter 2-3 in practice); the loop exits as soon as a round changes
+  nothing, and `max_iter` caps pathological chains.
+- localCheckpoint truncates the lineage each round so the plan doesn't
+  grow with iterations (classic iterative-algorithm failure mode).
+- hot labels (a mega-cluster's min id) are aggregation KEYS, not join
+  keys, so skew lands in the min-agg where map-side combine absorbs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Resolve undirected edges (src, dst) into (node, cluster_id).
+
+    cluster_id is the minimum node id in the component — deterministic,
+    engine-independent. Only nodes that appear in at least one edge are
+    returned (singletons carry no dedup decision).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("s").alias("node"), F.col("s").alias("label")).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        # min label among neighbors, one shuffle on node ids
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "d2"), edges.d == F.col("d2"))
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("s", "node"), "node", "left")
+            .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def cluster_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster.
+
+    Survivors = every row not in a cluster, plus each cluster's min-id
+    member. The anti-join key set (clustered non-representatives) is tiny
+    relative to the corpus, so AQE broadcasts it.
+    """
+    cc = connected_components(pairs, src, dst)
+    losers = cc.filter(F.col("cluster_id") != F.col("node")).select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

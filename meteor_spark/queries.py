@@ -891,8 +891,9 @@ _BAND_SQL = ", ".join(
     for b in range(_MINHASH_BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH nd AS (
+# shared CTE chain: normalized shingles -> signatures -> bands -> verified
+# pairs; reused by the clustering oracles below
+_MINHASH_CTES = f"""nd AS (
   SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
 sh AS (
   SELECT doc_id, {_shingle_sql(_MINHASH_K)} AS sh FROM nd),
@@ -915,7 +916,10 @@ verified AS (
                / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
   FROM (SELECT DISTINCT a, b FROM pairs) p
   JOIN sh x ON x.doc_id = p.a
-  JOIN sh y ON y.doc_id = p.b)
+  JOIN sh y ON y.doc_id = p.b)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
@@ -930,6 +934,69 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(
         docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
     )
+
+
+# near-dup clustering: transitive closure of the verified minhash pairs.
+# The fixpoint (min component id per node) is unique, so the DuckDB
+# recursive-CTE closure and Spark's iterative label propagation must agree
+# exactly.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM e2
+  UNION
+  SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("near_dup_clusters", _CLUSTER_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: minhash LSH pairs resolved into connected
+    components (operators.cluster) — cluster_id = min doc_id of the
+    component. Pairs alone can't drive dedup (chains a-b, b-c); the
+    closure can."""
+    from meteor_spark.operators.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
+    )
+    return connected_components(pairs).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+_CLUSTER_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM e2
+  UNION
+  SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN cc ON cc.node = d.doc_id AND cc.cluster_id <> cc.node
+WHERE cc.node IS NULL
+"""
+
+
+@query("near_dup_cluster_survivors", _CLUSTER_SURVIVOR_ORACLE)
+def near_dup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: keep every unclustered doc plus the min-id
+    representative of each near-dup cluster (operators.cluster
+    .cluster_survivors — anti-join on the clustered non-representatives,
+    broadcast by AQE since losers << corpus)."""
+    from meteor_spark.operators.cluster import cluster_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
+    )
+    return cluster_survivors(docs, pairs).select("doc_id")
 
 
 _SIMHASH_ORACLE = f"""

@@ -1,0 +1,33 @@
+"""Connected-components clustering over near-dup pairs."""
+
+from pyspark.sql import functions as F
+
+from meteor_spark.operators.cluster import cluster_survivors, connected_components
+
+
+def test_chain_collapses_to_one_cluster(spark):
+    # a-b, b-c, c-d: a 3-edge chain must become ONE cluster labeled 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_keep_separate_labels(spark):
+    pairs = spark.createDataFrame([(1, 2), (10, 11), (11, 12)], ["a", "b"])
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_edge_order_irrelevant(spark):
+    # same component regardless of src/dst orientation
+    pairs = spark.createDataFrame([(5, 2), (2, 9)], ["a", "b"])
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {2: 2, 5: 2, 9: 2}
+
+
+def test_cluster_survivors_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 7)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a", "b"])
+    kept = sorted(r.doc_id for r in cluster_survivors(docs, pairs).select("doc_id").collect())
+    # cluster {1,2,3} -> keep 1; singleton 4 kept; cluster {5,6} -> keep 5
+    assert kept == [1, 4, 5]
