@@ -197,3 +197,35 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20, round_to: int = 4) -> DataFrame:
+    """Equi-width histogram: (bin, bin_lo, bin_hi, n), bins covering
+    [min, max] with the max value folded into the last bin.
+
+    Beyond the reference's scalar profile: the distribution shape a data
+    catalog shows next to min/max. Two passes over one column — an agg
+    for the bounds (single row, broadcast back via crossJoin) and a
+    map-side-combined groupBy on the bin id. All double arithmetic is
+    IEEE-identical across engines, so the oracle matches bit-for-bit.
+    """
+    c = F.col(col).cast("double")
+    bounds = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    binned = (
+        df.select(c.alias("__v"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"), F.lit(bins - 1)).alias("bin"),
+            F.col("__lo"),
+            width.alias("__w"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.round(F.first("__lo") + F.col("bin") * F.first("__w"), round_to).alias("bin_lo"),
+            F.round(F.first("__lo") + (F.col("bin") + 1) * F.first("__w"), round_to).alias("bin_hi"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""Deterministic sampling: hash-Bernoulli and stratified.
+
+Beyond-reference operators (BASELINE.json north star). Training-data
+pipelines need samples that are (a) reproducible across runs and
+engines — no RNG state, no partition-order dependence — and (b)
+stratified, e.g. downsample dominant languages while keeping the tail.
+
+Construction: bucket = first 8 hex chars of md5(key) mod `buckets`;
+keep the row iff bucket < rate * buckets. md5 is identical in Spark,
+DuckDB, and Python, so the selected row SET is exact and oracle-checkable
+(unlike df.sample, which depends on partitioning and seed plumbing).
+
+Scale design: the predicate is a pure per-row expression — no shuffle,
+no state, fully codegen'd, applied right above the scan. Changing the
+corpus only changes membership of added/removed keys (consistent
+hashing), so incremental pipeline runs reprocess only new data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key string."""
+    return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, buckets: int = BUCKETS
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by key hash — stable across runs/engines."""
+    return df.filter(hash_bucket(F.col(key_col), buckets) < int(rate * buckets))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. {"en": 0.2, "fr": 1.0}).
+
+    The threshold is a chained CASE on the stratum — still a single
+    shuffle-free filter above the scan.
+    """
+    threshold: Column = F.lit(int(default_rate * buckets))
+    for stratum, rate in rates.items():
+        threshold = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * buckets))).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)

@@ -1162,3 +1162,133 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP blocking + verification."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.9, bits=4, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Sampling, histograms, semi/anti joins, range join (beyond-reference)
+# --------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.3, "es": 0.5, "zh": 1.0}
+_SAMPLE_DEFAULT = 0.2
+_SAMPLE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{s}' THEN {int(r * 10000)}" for s, r in _SAMPLE_RATES.items())
+    + f" ELSE {int(_SAMPLE_DEFAULT * 10000)} END"
+)
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < {_SAMPLE_CASE}
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators.sampling): md5-bucket
+    Bernoulli per language — reproducible row SET, not just row count,
+    hence exactly oracle-checkable (df.sample is not)."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "doc_id", "lang", _SAMPLE_RATES, _SAMPLE_DEFAULT).select(
+        "doc_id", "lang"
+    )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "lineitem_price_histogram",
+    f"""
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+    binned AS (
+      SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / {_HIST_BINS})) AS INTEGER),
+                   {_HIST_BINS - 1}) AS bin,
+             lo, (hi - lo) / {_HIST_BINS} AS w
+      FROM lineitem, b)
+    SELECT bin, round(lo + bin * w, 4) AS bin_lo, round(lo + (bin + 1) * w, 4) AS bin_hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, lo, w
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over l_extendedprice (operators.profile
+    .histogram): bounds agg broadcast back over the scan, then one
+    map-side-combined groupBy on the bin id."""
+    from meteor_spark.operators.profile import histogram
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=_HIST_BINS)
+
+
+@query(
+    "orders_with_returns",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    """,
+)
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one returned
+    lineitem. The filter reaches the lineitem scan (PushedFilters);
+    the semi join shuffles only the key column."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): lapsed customers — no order since
+    2000-01-01 (the TPC-H q22 shape). The date filter pushes to the
+    orders scan; the anti join shuffles only o_custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "purchase_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY 1
+    """,
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (operators.rangejoin): clicks in the hour before
+    each purchase by the same user. Bucketed formulation — equi-join on
+    (user_id, time bucket) + exact microsecond range filter — instead of
+    the quadratic pure-range join."""
+    from meteor_spark.operators.rangejoin import time_range_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"), "user_id"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), "user_id", F.col("value").alias("c_value")
+    )
+    joined = time_range_join(p, c, "p_ts", "c_ts", -3600, 0, keys=["user_id"])
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_clicks"), F.round(F.sum("c_value"), 2).alias("click_value")
+    )
