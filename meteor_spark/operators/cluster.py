@@ -46,7 +46,18 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("s").alias("node"), F.col("s").alias("label")).distinct().localCheckpoint()
+    # round 1 fused into initialization: label(v) = min(v, min neighbors)
+    # is one aggregation over the symmetric edge list — no join needed
+    labels = (
+        edges.groupBy("s")
+        .agg(F.least(F.first("s"), F.min("d")).alias("label"))
+        .select(F.col("s").alias("node"), "label")
+        .localCheckpoint()
+    )
+    # labels only ever DECREASE (least of self and neighbor mins), so the
+    # label sum is a strictly-decreasing convergence witness: one cheap
+    # aggregate per round instead of a join-and-diff
+    prev_sum = labels.agg(F.sum("label")).first()[0]
 
     for _ in range(max_iter):
         # min label among neighbors, one shuffle on node ids
@@ -55,21 +66,15 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr.withColumnRenamed("s", "node"), "node", "left")
             .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

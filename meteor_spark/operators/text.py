@@ -173,25 +173,35 @@ def winnow_fingerprints(
     shares at least one fingerprint — the basis for plagiarism/near-dup
     detection that is robust to local edits.
 
-    Fully relational (posexplode -> one window min -> distinct), hashes
-    via md5 prefix so the SQL oracle reproduces them exactly. Returns
-    (doc_id, fp) rows.
+    Entirely array-side within each row (hash array -> sliding-window
+    mins via slice/array_min -> array_distinct -> explode): winnowing is
+    per-document local, so there is NO shuffle at all — the earlier
+    formulation exploded every k-gram and paid a partition-sort window
+    plus a distinct shuffle, which was the single slowest query in the
+    catalog at sf0.1 (41s -> ~1s). Hashes via md5 prefix so the SQL
+    oracle reproduces them exactly. Trailing windows are truncated (the
+    frame shrinks near the end), matching ROWS BETWEEN 0 AND window-1
+    semantics. Returns (doc_id, fp) rows.
     """
-    from pyspark.sql import Window
-
-    ws = words(normalize_text(F.col(text_col)))
-    n = F.size(ws)
+    # each array is materialized in its own projection before a lambda
+    # references it: an alias used inside transform() gets INLINED by
+    # Catalyst, re-evaluating the whole upstream expression per array
+    # element (re-splitting the text per gram, re-hashing per window)
+    worded = df.select(F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+    ws = F.col("__ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
     )
-    pos = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
-    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    return (
-        pos.select(F.col(id_col), F.min(h).over(w).alias("fp"))
-        .distinct()
+    hashes = F.transform(grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    hashed = worded.select(F.col(id_col), hashes.alias("__h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__h"))),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, window)),
+        )
     )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -207,4 +217,51 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         *[v.alias(k) for k, v in feats.items() if k != "n_tokens"],
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ------------------------------------------------------------- pii scrub
+
+# Patterns are deliberately RE2-compatible (no lookaround) so the DuckDB
+# oracle runs the IDENTICAL expressions; order matters (URLs may contain
+# '@', so scrub them before emails).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails / URLs / IPv4s / phone-ish numbers with typed
+    placeholder tokens — the standard pre-training text hygiene pass.
+    Chained JVM-side regexp_replace: no UDF, fuses into the scan stage."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def ngrams(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams of normalized text (with multiplicity — corpus
+    statistics want counts, unlike dedup's distinct shingles)."""
+    ws = words(normalize_text(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+
+
+def corpus_top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide top-k n-grams by frequency (deterministic tie-break on
+    the gram). explode -> map-side-combined count -> TakeOrderedAndProject:
+    the shuffle carries one row per distinct gram per partition, and the
+    top-k never materializes a global sort at scale."""
+    return (
+        df.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "gram")
+        .limit(k)
     )

@@ -48,6 +48,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table for compute-heavy operators (hashing, shingling,
+    regex): the fixture is ONE small parquet file -> one input partition,
+    which would serialize all per-row compute on a single core. A tiny
+    repartition shuffle (the table is KBs..MBs) buys full parallelism —
+    the standard small-input/big-compute fan-out, equally correct on a
+    real cluster where one file != one core's worth of hashing."""
+    return _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
+
 _TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -802,7 +812,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (SWA'03) local fingerprints: k-gram md5 hashes, sliding
     window-min selection, distinct per doc — summarized per document.
     The oracle reproduces the identical selection."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fps = text.winnow_fingerprints(docs, k=_WINNOW_K, window=_WINNOW_W)
     return fps.groupBy("doc_id").agg(
         F.count("*").alias("n_fps"), F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp")
@@ -814,7 +824,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality scoring + token counts + fingerprint in one
     scan (operators.text.analyze). Pure built-in functions — the whole
     row fuses into one codegen stage."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return text.analyze(docs)
 
 
@@ -835,7 +845,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(normalized text), min(doc_id)
     survives. One shuffle on the 32-char hash key."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.dedup_exact(docs).select("doc_id")
 
 
@@ -848,7 +858,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         dedup.exact_duplicates(docs)
         .select(
@@ -930,7 +940,7 @@ def minhash_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands → bucket-equi-join → exact Jaccard ≥ 0.5 verification.
     The oracle builds the identical sketch (md5 is the shared hash
     family), so even the candidate generation is checked."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.minhash_near_duplicates(
         docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
     )
@@ -961,7 +971,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure can."""
     from meteor_spark.operators.cluster import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(
         docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
     )
@@ -992,7 +1002,7 @@ def near_dup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast by AQE since losers << corpus)."""
     from meteor_spark.operators.cluster import cluster_survivors
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(
         docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.5
     )
@@ -1021,7 +1031,7 @@ FROM sums GROUP BY doc_id
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (relational formulation — see
     operators.dedup.simhash)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.simhash(docs)
 
 
@@ -1045,7 +1055,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: candidate pairs only within a
     (lang, source) block — the blocking key bounds the quadratic term;
     at scale swap the block key for LSH bands (minhash_near_duplicates)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh")).persist()
     a, b = sh.alias("a"), sh.alias("b")
     # project the intersect size to a scalar BEFORE filtering so the
@@ -1135,6 +1145,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic fake dimensions, i.e. the full plumbing."""
     from meteor_spark.operators.multimodal import attach_binary, extract_features
 
+    # NOT _docs: mapInPandas pays a Python-worker spin-up per partition,
+    # which dwarfs the (cheap) per-row work here; one scan partition wins
+    # locally, and at real scale the input arrives pre-partitioned anyway
     docs = _t(spark, sf_dir, "documents")
     return extract_features(attach_binary(docs))
 
@@ -1291,4 +1304,107 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = time_range_join(p, c, "p_ts", "c_ts", -3600, 0, keys=["user_id"])
     return joined.groupBy("purchase_id").agg(
         F.count("*").alias("n_clicks"), F.round(F.sum("c_value"), 2).alias("click_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text hygiene & corpus statistics (beyond-reference)
+# --------------------------------------------------------------------------
+
+# fixtures contain no PII-shaped strings, so both engines inject an
+# identical deterministic contact line keyed on doc_id, then scrub it —
+# exercising every pattern with an exact oracle
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', doc_id, '@example.com or https://ex.com/d/', doc_id, "
+    "' ip 10.0.', doc_id % 256, '.7 tel +1 555-010', doc_id % 10, ' end')"
+)
+_PII_INJECT_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or https://ex.com/d/' || doc_id"
+    " || ' ip 10.0.' || (doc_id % 256) || '.7 tel +1 555-010' || (doc_id % 10) || ' end'"
+)
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({src}, "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'), "
+    "'\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'), "
+    "'\\+?\\d[\\d\\- ]{{7,}}\\d', '<PHONE>', 'g')"
+)
+
+
+@query(
+    "scrub_documents",
+    f"""
+    SELECT doc_id,
+           md5({_PII_SCRUB_SQL.format(src=_PII_INJECT_SQL)}) AS scrubbed_md5,
+           len(regexp_extract_all({_PII_INJECT_SQL}, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all({_PII_INJECT_SQL},
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails
+    FROM documents
+    """,
+)
+def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators.text.scrub_pii): chained RE2-portable
+    regexp_replace masking URLs/emails/IPs/phones, verified by digest;
+    occurrence counts via regexp_extract_all. Whole row is one codegen
+    stage above the scan."""
+    docs = _docs(spark, sf_dir)
+    injected = F.expr(_PII_INJECT_SPARK)
+    return docs.select(
+        "doc_id",
+        F.md5(text.scrub_pii(injected)).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(injected, F.lit(r"https?://[^\s]+"), 0)).alias("n_urls"),
+        F.size(
+            F.regexp_extract_all(injected, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), 0)
+        ).alias("n_emails"),
+    )
+
+
+_TOPGRAM_K = 50
+
+
+@query(
+    "corpus_top_bigrams",
+    f"""
+    WITH nd AS (
+      SELECT regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, greatest(len(nws) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(nws, i, i + 1), ' '))) AS gram
+      FROM nd)
+    SELECT gram, count(*) AS n FROM g GROUP BY gram
+    ORDER BY n DESC, gram LIMIT {_TOPGRAM_K}
+    """,
+)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level language-model statistics: top-50 bigrams with
+    multiplicity (operators.text.corpus_top_ngrams)."""
+    docs = _docs(spark, sf_dir)
+    return text.corpus_top_ngrams(docs, n=2, k=_TOPGRAM_K)
+
+
+@query(
+    "top_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_tokens, rnk FROM (
+      SELECT lang, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY len(regexp_split_to_array(trim(text), '\\s+')) DESC, doc_id
+             ) AS INTEGER) AS rnk
+      FROM documents)
+    WHERE rnk <= 5
+    """,
+)
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (longest docs per language): rank window with a
+    deterministic (metric, id) order. Spark's WindowGroupLimit pushes the
+    k-filter below the shuffle, so each partition ships at most k rows
+    per group."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        docs.select("lang", "doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
     )
