@@ -1408,3 +1408,103 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles, embedding statistics, correlated subquery
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the exact twin of the
+    reference's APPROX_QUANTILES profile, bigquery.go:386-411). Spark's
+    `percentile` and DuckDB's `quantile_cont` share the interpolation
+    definition, so values match to rounding. At 100 TB the approx path
+    (percentile_approx) is the default; this is the audit-grade variant."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "embedding_label_stats",
+    """
+    WITH v AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    norms AS (
+      SELECT label, vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    comps AS (
+      SELECT label, i AS pos, e[i + 1] AS x
+      FROM v CROSS JOIN (SELECT unnest(range(64)) AS i)),
+    centroid AS (
+      SELECT label, pos, avg(x) AS cx FROM comps GROUP BY label, pos),
+    cnorm AS (
+      SELECT label, round(sqrt(sum(cx * cx)), 4) AS centroid_norm FROM centroid GROUP BY label)
+    SELECT n.label, count(*) AS n_vecs, round(avg(n.nrm), 4) AS avg_norm, any_value(c.centroid_norm) AS centroid_norm
+    FROM norms n JOIN cnorm c ON n.label = c.label
+    GROUP BY n.label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, mean vector norm, and the
+    norm of the label centroid — the per-class geometry check before
+    training. Vector norms via JVM-side aggregate() higher-order
+    functions (no shuffle beyond the groupBy); the centroid is a
+    posexplode + (label, pos) aggregate, i.e. the relational form of a
+    columnwise mean — map-side combine keeps the shuffle at
+    |labels| x dim rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    norms = emb.select("label", F.sqrt(F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"))
+    comps = emb.select("label", F.posexplode(e).alias("pos", "x"))
+    centroid = comps.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+    cnorm = centroid.groupBy("label").agg(F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 4).alias("centroid_norm"))
+    return (
+        norms.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .join(cnorm, "label")
+        .select("label", "n_vecs", "avg_norm", "centroid_norm")
+    )
+
+
+@query(
+    "small_quantity_part_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_cut
+    """,
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    below-average-quantity orders of one brand. Decorrelated into a
+    per-part aggregate joined back — which is exactly what Catalyst's
+    RewriteCorrelatedScalarSubquery does; the brand dim is broadcast and
+    the per-part cut is computed once, not per probe row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    cuts = li.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(cuts, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
