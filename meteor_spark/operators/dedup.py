@@ -285,3 +285,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             ).alias("simhash"),
         )
     )
+
+
+# -------------------------------------------------- incremental dedup
+
+def dedup_incremental(
+    new_df: DataFrame, corpus_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only new rows whose content is NOT already in the corpus —
+    the incremental-ingest form of exact dedup (a fresh crawl batch vs
+    the existing 100 TB corpus).
+
+    Anti-join on the content fingerprint: the corpus side reduces to its
+    distinct fingerprint SET (one short hash per unique doc), so at scale
+    this is a shuffle on 32-char keys — or a broadcast when the daily
+    batch is small — never a text-to-text comparison. New-batch-internal
+    duplicates are collapsed to the min-id survivor first, so output is
+    deterministic and self-consistent.
+    """
+    fp = F.md5(normalize_text(F.col(text_col))).alias("__fp")
+    new_fp = new_df.select("*", fp)
+    corpus_fps = corpus_df.select(fp).distinct()
+    fresh = new_fp.join(corpus_fps, "__fp", "left_anti")
+    survivors = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fresh.join(survivors, ["__fp", id_col], "left_semi").drop("__fp")

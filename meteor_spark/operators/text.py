@@ -265,3 +265,34 @@ def corpus_top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int 
         .orderBy(F.col("n").desc(), "gram")
         .limit(k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-tokenization chunking for context-window-bounded training.
+
+    Chunks start every (chunk_size - overlap) tokens while a start
+    position <= max(n - overlap, 1) exists, so the tail is always
+    covered and a short doc yields exactly one chunk. Array-side per row
+    (no shuffle); returns (doc_id, chunk_start, n_tokens, chunk) rows.
+    """
+    stride = chunk_size - overlap
+    worded = df.select(F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+    ws = F.col("__ws")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - overlap, F.lit(1)), F.lit(stride)),
+        lambda s: F.struct(
+            s.alias("chunk_start"),
+            F.size(F.slice(ws, s, chunk_size)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(ws, s, chunk_size)).alias("chunk"),
+        ),
+    )
+    return worded.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_start", "c.n_tokens", "c.chunk"
+    )

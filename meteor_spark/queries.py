@@ -1508,3 +1508,99 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup, document chunking, stream-static join
+# --------------------------------------------------------------------------
+
+# fixtures have no exact duplicates, so the "new batch" is synthesized
+# identically in both engines: docs >= 400 are genuinely new, docs < 50
+# are re-crawled under shifted ids and must be dropped against the corpus
+_INCR_NEW_SQL = """
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH newb AS ({_INCR_NEW_SQL}),
+    nf AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newb),
+    cf AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id < 400),
+    fresh AS (SELECT nf.doc_id, nf.fp FROM nf WHERE NOT EXISTS
+              (SELECT 1 FROM cf WHERE cf.fp = nf.fp)),
+    surv AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+    SELECT f.doc_id FROM fresh f JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup (operators.dedup.dedup_incremental):
+    a new crawl batch is anti-joined on content fingerprints against the
+    existing corpus (corpus side reduced to its distinct fingerprint
+    set), then internally deduped to min-id survivors. Here the 50
+    re-crawled docs are dropped, the 100 new ones survive."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    newb = docs.filter(F.col("doc_id") >= 400).union(
+        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    return dedup.dedup_incremental(newb, corpus).select("doc_id")
+
+
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+@query(
+    "document_chunks",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    c AS (
+      SELECT doc_id, s AS chunk_start,
+             len(list_slice(nws, s, s + {_CHUNK_SIZE - 1})) AS n_tokens,
+             md5(array_to_string(list_slice(nws, s, s + {_CHUNK_SIZE - 1}), ' ')) AS chunk_md5
+      FROM nd, unnest(range(1, greatest(len(nws) - {_CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS t(s))
+    SELECT doc_id, chunk_start, n_tokens, chunk_md5 FROM c
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators.text.chunk_documents)
+    — context-window preprocessing for training. Array-side per row, no
+    shuffle; chunk text verified by digest."""
+    docs = _docs(spark, sf_dir)
+    chunks = text.chunk_documents(docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    return chunks.select("doc_id", "chunk_start", "n_tokens", F.md5(F.col("chunk")).alias("chunk_md5"))
+
+
+@query(
+    "streaming_segment_counts",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join driven to completion: the events STREAM is
+    enriched against the static customer dim (broadcast per microbatch,
+    no state store), then aggregated per market segment. On bounded
+    input this must equal the batch join+group — the oracle asserts
+    exactly that."""
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events, stream_static_enrich
+
+    ev = stream_events(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream_static_enrich(ev, dim, ["user_id"])
+    agg = enriched.groupBy("segment").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_stream_to_batch(agg)
