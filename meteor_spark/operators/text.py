@@ -296,3 +296,42 @@ def chunk_documents(
     return worded.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_start", "c.n_tokens", "c.chunk"
     )
+
+
+def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText family of
+    filters): fraction of duplicate word bigrams, fraction of tokens in
+    the single most-repeated bigram, and the distinct-token ratio.
+    Documents that loop or template score high on dup_bigram_frac and
+    are dropped before training.
+
+    All array-side per row + one explode-free aggregate expression — the
+    bigram frequency map is built with aggregate() over the gram array,
+    so the whole row stays in one projection, no shuffle.
+    """
+    worded = df.select(F.col(id_col), F.col(text_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+    ws = F.col("__ws")
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 2)),
+    )
+    base = worded.select(F.col(id_col), ws.alias("__ws"), grams_expr.alias("__g"))
+    n_tok = F.size(F.col("__ws"))
+    n_g = F.size(F.col("__g"))
+    n_g_distinct = F.size(F.array_distinct(F.col("__g")))
+    # most-repeated bigram count: max over distinct grams of their
+    # occurrence count (size(filter(grams, == gram)))
+    top_g = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__g")),
+            lambda d: F.size(F.filter(F.col("__g"), lambda x: x == d)),
+        )
+    )
+    return base.select(
+        id_col,
+        F.round((n_g - n_g_distinct).cast("double") / F.greatest(n_g, F.lit(1)), round_to).alias("dup_bigram_frac"),
+        F.round(top_g.cast("double") / F.greatest(n_g, F.lit(1)), round_to).alias("top_bigram_frac"),
+        F.round(F.size(F.array_distinct(F.col("__ws"))).cast("double") / F.greatest(n_tok, F.lit(1)), round_to).alias(
+            "distinct_token_ratio"
+        ),
+    )

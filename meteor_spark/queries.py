@@ -1604,3 +1604,33 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_stream_to_batch(agg)
+
+
+@query(
+    "doc_repetition_quality",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    g AS (
+      SELECT doc_id, nws,
+             list_transform(range(1, greatest(len(nws) - 1, 1) + 1),
+                            i -> array_to_string(list_slice(nws, i, i + 1), ' ')) AS grams
+      FROM nd)
+    SELECT doc_id,
+           round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / greatest(len(grams), 1), 4) AS dup_bigram_frac,
+           round(CAST((SELECT max(cnt) FROM (
+                    SELECT count(*) AS cnt FROM unnest(grams) AS t(x) GROUP BY x)) AS DOUBLE)
+                 / greatest(len(grams), 1), 4) AS top_bigram_frac,
+           round(CAST(len(list_distinct(nws)) AS DOUBLE) / greatest(len(nws), 1), 4)
+                 AS distinct_token_ratio
+    FROM g
+    """,
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters: duplicate-bigram
+    fraction, most-repeated-bigram fraction, distinct-token ratio
+    (operators.text.repetition_features) — the standard looping/template
+    detector ahead of training. Shuffle-free, one projection per doc."""
+    docs = _docs(spark, sf_dir)
+    return text.repetition_features(docs)

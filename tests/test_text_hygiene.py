@@ -35,3 +35,18 @@ def test_corpus_top_ngrams_orders_and_breaks_ties(spark):
     df = spark.createDataFrame([("x y x y",), ("z w",)], ["text"])
     rows = corpus_top_ngrams(df, n=2, k=3).collect()
     assert [(r.gram, r.n) for r in rows] == [("x y", 2), ("y x", 1), ("z w", 1)]
+
+
+def test_repetition_features_flag_looping_text(spark):
+    from meteor_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "all words here are unique tokens")],
+        ["doc_id", "text"],
+    )
+    r = {x.doc_id: x for x in repetition_features(df).collect()}
+    # doc 1: grams = ['spam spam'] x 4 -> 3/4 duplicated, top covers all
+    assert r[1].dup_bigram_frac == 0.75 and r[1].top_bigram_frac == 1.0
+    assert r[1].distinct_token_ratio == 0.2
+    # doc 2: no repetition at all
+    assert r[2].dup_bigram_frac == 0.0 and r[2].distinct_token_ratio == 1.0
