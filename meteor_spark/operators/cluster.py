@@ -52,7 +52,7 @@ def connected_components(
         edges.groupBy("s")
         .agg(F.least(F.first("s"), F.min("d")).alias("label"))
         .select(F.col("s").alias("node"), "label")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by the sum() below
     )
     # labels only ever DECREASE (least of self and neighbor mins), so the
     # label sum is a strictly-decreasing convergence witness: one cheap
@@ -69,7 +69,8 @@ def connected_components(
         labels = (
             labels.join(nbr.withColumnRenamed("s", "node"), "node", "left")
             .select("node", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # one job per round: the sum() action both
+            # materializes the checkpoint and tests convergence
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:

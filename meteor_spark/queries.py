@@ -1634,3 +1634,46 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector ahead of training. Shuffle-free, one projection per doc."""
     docs = _docs(spark, sf_dir)
     return text.repetition_features(docs)
+
+
+@query(
+    "events_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (30-min inactivity gap)
+    — the operator form of sessionization, vs the lag-gap-island SQL the
+    oracle runs. Both must produce identical session boundaries:
+    session_end = last event + gap. One shuffle on user_id; state is
+    merged sessions, not raw events."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
