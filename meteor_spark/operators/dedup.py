@@ -95,13 +95,16 @@ def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
             F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
         ),
     )
-    # materialize the (h1, h2) array once per row, then take 12 cheap mins
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda p, i=i: p.getField("h1") + F.lit(i) * p.getField("h2")))
-            for i in range(num_hashes)
-        ]
-    )
+    # materialize the (h1, h2) array once per row, then take 12 cheap mins.
+    # NOTE: the lambda MUST be single-argument — PySpark derives the
+    # higher-order function's arity from the Python signature, so a
+    # captured-default second parameter (lambda p, i=i: ...) silently
+    # becomes transform's (element, index) variant and the "constant"
+    # is the array index instead. A closure factory keeps arity at 1.
+    def km_family(i: int):
+        return lambda p: p.getField("h1") + F.lit(i) * p.getField("h2")
+
+    return F.array(*[F.array_min(F.transform(hashes, km_family(i))) for i in range(num_hashes)])
 
 
 # --------------------------------------------------------- minhash lsh

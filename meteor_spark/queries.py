@@ -1677,3 +1677,39 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+_SIMDOC_K = 3
+
+
+@query(
+    "doc_similarity_topk",
+    f"""
+    WITH {_MINHASH_CTES},
+    sym AS (
+      SELECT a AS d, b AS o, jaccard FROM verified
+      UNION ALL
+      SELECT b AS d, a AS o, jaccard FROM verified),
+    ranked AS (
+      SELECT d AS doc_id, o AS similar_doc, jaccard,
+             CAST(row_number() OVER (PARTITION BY d ORDER BY jaccard DESC, o)
+                  AS INTEGER) AS rnk
+      FROM sym)
+    SELECT doc_id, similar_doc, jaccard, rnk FROM ranked WHERE rnk <= {_SIMDOC_K}
+    """,
+)
+def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document retrieval: top-k most-similar docs per document — LSH
+    candidate generation + exact Jaccard scoring + per-doc rank window
+    (deterministic ties on (jaccard desc, id)). The candidate set, not
+    the corpus cross-product, bounds the work: this is minhash LSH used
+    as a similarity INDEX rather than a dedup filter."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(
+        docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.0
+    )
+    sym = pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("similar_doc"), "jaccard").union(
+        pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("similar_doc"), "jaccard")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "similar_doc")
+    return sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _SIMDOC_K)

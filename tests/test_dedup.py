@@ -73,3 +73,30 @@ def test_simhash_properties(docs):
         return bin(a ^ b).count("1")
 
     assert ham(rows[1], rows[3]) < ham(rows[1], rows[4])
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """Each KM family i must be min(h1 + i*h2) with i the FAMILY index.
+
+    Regression pin: PySpark derives transform()'s arity from the Python
+    lambda signature, so a captured-default parameter silently switches
+    to the (element, index) variant and every family collapses to the
+    same degenerate value — which costs LSH recall without failing any
+    threshold-filtered oracle.
+    """
+    import hashlib
+
+    from meteor_spark.operators.dedup import minhash_signature, shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "aa bb cc dd ee")], ["doc_id", "text"])
+    got = df.select(minhash_signature(shingles(F.col("text"), 3), 5).alias("s")).first().s
+
+    sh = df.select(shingles(F.col("text"), 3).alias("sh")).first().sh
+    pairs = []
+    for s in sh:
+        h = hashlib.md5(s.encode()).hexdigest()
+        pairs.append((int(h[:8], 16), int(h[8:16], 16)))
+    expect = [min(h1 + i * h2 for h1, h2 in pairs) for i in range(5)]
+    assert got == expect
+    assert len(set(got)) > 1  # families must differ (the degenerate bug made them all equal)
