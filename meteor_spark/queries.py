@@ -1713,3 +1713,38 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "similar_doc")
     return sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _SIMDOC_K)
+
+
+_SIMHASH_HAM_T = 1
+
+
+@query(
+    "simhash_hamming_pairs",
+    f"""
+    WITH sh AS ({_SIMHASH_ORACLE.strip()})
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM_T}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: hamming distance over the 32-bit sketches
+    (bit_count(xor)) <= {t}. The pairing step the sketch exists for —
+    at scale the self-join is blocked by sketch byte-prefixes (any pair
+    within distance t shares at least one of t+1 disjoint chunks, the
+    classic Charikar/pigeonhole blocking); at fixture scale the direct
+    join IS the blocked join's verification stage, same expression."""
+    docs = _docs(spark, sf_dir)
+    sh = dedup.simhash(docs).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _SIMHASH_HAM_T)
+    )
