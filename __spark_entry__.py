@@ -2,10 +2,15 @@
 
 entry(spark)  -> flagship: catalog extraction over sf0.001 (the engine's
                  core workload — parquet_catalog source → asset DataFrame).
-queries()     -> every implemented operator from SURVEY.md §2 (+ the
-                 beyond-reference dedup/similarity/text operators).
+queries()     -> every implemented operator from SURVEY.md §2 plus the
+                 beyond-reference training-data operators (dedup incl.
+                 clustering + incremental, similarity search, text
+                 hygiene/quality/chunking, sampling, range join,
+                 streaming incl. session windows & stream-static join) —
+                 57 entries, 53 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
-                 approximate operators are rows-only and have no oracle).
+                 the 4 approximate operators are rows-only and have no
+                 oracle).
 """
 
 from __future__ import annotations
