@@ -100,3 +100,36 @@ def test_minhash_signature_matches_python_reference(spark):
     expect = [min(h1 + i * h2 for h1, h2 in pairs) for i in range(5)]
     assert got == expect
     assert len(set(got)) > 1  # families must differ (the degenerate bug made them all equal)
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    """Planted near-duplicates MUST surface as LSH candidates.
+
+    This is the guarantee the lambda-arity bug silently broke: documents
+    sharing most shingles should agree on at least one full band. Note
+    k=3 shingling AMPLIFIES edits — one changed word kills up to 3
+    shingles, so "1 edit in 100 words" is jaccard ~0.94, not 0.99. At
+    j=0.94 with 12 hashes / 4 bands the per-pair miss probability is
+    (1 - j^3)^4 ~ 1e-3; plant 30 such pairs (seeded => deterministic)
+    and require full recall.
+    """
+    import random
+
+    from meteor_spark.operators.dedup import minhash_candidate_pairs
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    planted = []
+    for d in range(30):
+        base = [rng.choice(vocab) for _ in range(100)]
+        rows.append((2 * d, " ".join(base)))
+        # near-dup: change 1 of 100 words (~94% shingle overlap)
+        mut = list(base)
+        mut[rng.randrange(100)] = rng.choice(vocab)
+        rows.append((2 * d + 1, " ".join(mut)))
+        planted.append((2 * d, 2 * d + 1))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = {(r.a, r.b) for r in minhash_candidate_pairs(df).collect()}
+    missed = [p for p in planted if p not in cand]
+    assert not missed, f"LSH missed planted near-dups: {missed}"
