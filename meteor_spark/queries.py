@@ -1748,3 +1748,36 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _SIMHASH_HAM_T)
     )
+
+
+@query(
+    "customer_balance_quartiles",
+    """
+    WITH q AS (
+      SELECT c_mktsegment,
+             c_acctbal,
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+      FROM customer)
+    SELECT c_mktsegment, quartile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM q GROUP BY c_mktsegment, quartile
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window: per-segment account-balance quartiles with bucket
+    stats (deterministic ties on the key). The window sorts within each
+    segment partition only — no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )

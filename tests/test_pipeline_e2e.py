@@ -72,3 +72,57 @@ def test_enrich_overwrites_existing_key(spark):
     assert json.loads(row) == {"keep": "old", "fieldA": "new"}
     tags = out.select(F.col("properties.tags")).first()[0]
     assert tags == ["t1"]
+
+
+def test_filter_and_project_processors_in_recipe(spark, tmp_path):
+    csv = tmp_path / "applicant.csv"
+    csv.write_text("applicant_id,last_name\n1,a\n")
+    csv2 = tmp_path / "jobs.csv"
+    csv2.write_text("job_id,job\n2,b\n")
+    out = tmp_path / "out.ndjson"
+
+    recipe = parse_recipe(
+        f"""
+name: fp
+version: v1beta1
+source:
+  name: csv
+  config:
+    path: {tmp_path}
+sinks:
+  - name: file
+    config:
+      path: {out}
+processors:
+  - name: filter
+    config:
+      where: "resource.name = 'jobs.csv'"
+  - name: project
+    config:
+      columns: "resource, asset_type"
+""",
+        default_name="fp",
+    )
+    import json
+
+    agent = Agent(spark)
+    assert agent.validate(recipe) == []
+    run = agent.run(recipe)
+    assert run.success, run.error
+    assert run.record_count == 1  # filter dropped applicant.csv
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["resource"]["name"] == "jobs.csv"
+    assert set(rows[0]) == {"resource", "asset_type"}  # projection applied
+
+
+def test_filter_processor_rejects_missing_config(spark):
+    from meteor_spark.registry import processors
+
+    p = processors.get("filter")
+    import pytest
+
+    from meteor_spark.plugins_base import InvalidConfigError
+
+    with pytest.raises(InvalidConfigError):
+        p.init({})
