@@ -1,0 +1,49 @@
+"""Keep examples/ recipes valid: lint them all, run the catalog one e2e.
+
+The examples are user-facing documentation of the recipe language
+(reference: recipe/reader.go, cmd/run.go); this test pins them to the
+actual plugin config schemas so a config rename can't silently break
+the docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from meteor_spark.cli import main
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+
+def test_examples_dir_lints_clean(tmp_path, capsys, monkeypatch):
+    # every templated var must resolve for lint to see real configs
+    monkeypatch.setenv("METEOR_DATA_DIR", SF_DIR)
+    monkeypatch.setenv("METEOR_OUT_DIR", str(tmp_path))
+    monkeypatch.setenv("METEOR_CSV_PATH", str(tmp_path / "x.csv"))
+    assert main(["lint", str(EXAMPLES)]) == 0
+    out = capsys.readouterr().out
+    assert "catalog_to_file: OK" in out
+    assert "csv_console: OK" in out
+
+
+@pytest.mark.skipif(not Path(SF_DIR).exists(), reason="no test data")
+def test_catalog_example_runs_end_to_end(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv("METEOR_DATA_DIR", SF_DIR)
+    monkeypatch.setenv("METEOR_OUT_DIR", str(tmp_path))
+    assert main(["run", str(EXAMPLES / "catalog_to_file.yaml")]) == 0
+    assert "OK" in capsys.readouterr().out
+
+    records = [json.loads(line) for line in (tmp_path / "catalog.ndjson").read_text().splitlines()]
+    assert len(records) == 10  # every sf0.001 table has rows
+    by_name = {r["resource"]["name"]: r for r in records}
+    assert "lineitem" in by_name and "documents" in by_name
+    # enrich processor merged the recipe attributes into every record
+    for r in records:
+        attrs = json.loads(r["properties"]["attributes"])
+        assert attrs["team"] == "data-platform"
+        assert attrs["tier"] == "gold"
