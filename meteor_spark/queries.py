@@ -1781,3 +1781,73 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "order_priority_late_ships",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_late_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    tiny aggregate. The date filter pushes into the orders scan; the
+    semi join ships only (orderkey, orderdate) and lineitem's two join
+    columns through the shuffle — at 100 TB the semi join's build side
+    is the pruned lineitem projection, never the full fact table."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "orders_priority_status_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+               AS fulfilled_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / conditional aggregation: one pass over the fact table,
+    status domain pinned in the pivot call so Spark skips the extra
+    distinct-values job (an unbounded pivot would need a full scan
+    first — never do that at 100 TB). Missing cells coalesce to 0 to
+    match SQL FILTER semantics."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_fulfilled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        F.col("F_rev").alias("fulfilled_revenue"),
+    )

@@ -68,3 +68,18 @@ def test_minhash_band_join_is_equi_join(spark):
     plan = _plan(spark, "minhash_near_duplicates")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_late_ships_semi_join_pushes_date_filter(spark):
+    plan = _plan(spark, "order_priority_late_ships")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # date range reaches the scan
+    # lineitem build side reads only its two join columns
+    tail = plan.split("lineitem.parquet")[-1]
+    assert "l_orderkey" in tail and "l_extendedprice" not in tail
+
+
+def test_pivot_is_single_scan_with_partial_agg(spark):
+    plan = _plan(spark, "orders_priority_status_pivot")
+    assert plan.count("FileScan") == 1  # pinned pivot values: no distinct-values job
+    assert "partial_count" in plan or "partial_pivotfirst" in plan  # map-side combine
