@@ -66,15 +66,51 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------------- shingles
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles of normalized text (array<string>)."""
-    ws = words(normalize_text(text))
-    n = F.size(ws)
+def shingles_of_words(ws: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingles of an ALREADY-MATERIALIZED words array.
+
+    `ws` must be a bare column reference produced by its own projection
+    (see shingle_frame): an inline words(...) expression here would be
+    inlined by Catalyst into the transform() lambda and re-split the
+    text once per gram element.
+    """
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
     )
     return F.array_distinct(grams)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of normalized text (array<string>).
+
+    Convenience single-expression form — fine for oracles/tests, but in
+    a pipeline prefer shingle_frame: with the split inlined into the
+    gram lambda the text is re-tokenized per element.
+    """
+    return shingles_of_words(words(normalize_text(text)), k)
+
+
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra...], sh) with the words array materialized in its own
+    projection so the gram lambda references a cheap column, not the
+    tokenizer expression. The double reference (size + slice) keeps
+    CollapseProject from merging the projections back together.
+    """
+    worded = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words(normalize_text(F.col(text_col))).alias("__ws")
+    )
+    return worded.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        shingles_of_words(F.col("__ws"), k).alias("sh"),
+    )
 
 
 def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
@@ -123,8 +159,8 @@ def minhash_bands(
     concatenated minhashes in that band.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), k), num_hashes)
-    base = df.select(F.col(id_col), sig.alias("sig"))
+    sh_df = shingle_frame(df, text_col, id_col, k)
+    base = sh_df.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
@@ -177,7 +213,7 @@ def jaccard_pairs(
     round_to: int = 4,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard; keep >= threshold."""
-    docs = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    docs = shingle_frame(df, text_col, id_col, k)
     a = docs.alias("da")
     b = docs.alias("db")
     # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one intersect
@@ -212,7 +248,7 @@ def minhash_near_duplicates(
     smaller than the text itself.
     """
     rows = num_hashes // bands
-    sh_df = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh")).persist()
+    sh_df = shingle_frame(df, text_col, id_col, k).persist()
     base = sh_df.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     band_structs = F.array(
         *[

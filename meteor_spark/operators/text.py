@@ -243,14 +243,23 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
-def ngrams(text: Column, n: int = 2) -> Column:
-    """ALL word n-grams of normalized text (with multiplicity — corpus
-    statistics want counts, unlike dedup's distinct shingles)."""
-    ws = words(normalize_text(text))
+def ngrams_of_words(ws: Column, n: int = 2) -> Column:
+    """ALL n-grams (with multiplicity) of an ALREADY-MATERIALIZED words
+    array — `ws` must be a bare column reference from its own projection
+    or Catalyst inlines the tokenizer into the lambda (re-split per
+    gram element)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
     )
+
+
+def ngrams(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams of normalized text (with multiplicity — corpus
+    statistics want counts, unlike dedup's distinct shingles).
+    Single-expression convenience form; pipelines should materialize the
+    words array first (ngrams_of_words)."""
+    return ngrams_of_words(words(normalize_text(text)), n)
 
 
 def corpus_top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int = 50) -> DataFrame:
@@ -258,8 +267,9 @@ def corpus_top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int 
     the gram). explode -> map-side-combined count -> TakeOrderedAndProject:
     the shuffle carries one row per distinct gram per partition, and the
     top-k never materializes a global sort at scale."""
+    worded = df.select(words(normalize_text(F.col(text_col))).alias("__ws"))
     return (
-        df.select(F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+        worded.select(F.explode(ngrams_of_words(F.col("__ws"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "gram")

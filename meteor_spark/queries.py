@@ -1056,7 +1056,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source) block — the blocking key bounds the quadratic term;
     at scale swap the block key for LSH bands (minhash_near_duplicates)."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", "lang", "source", dedup.shingles(F.col("text"), _NGRAM_K).alias("sh")).persist()
+    sh = dedup.shingle_frame(docs, "text", "doc_id", _NGRAM_K, extra_cols=("lang", "source")).persist()
     a, b = sh.alias("a"), sh.alias("b")
     # project the intersect size to a scalar BEFORE filtering so the
     # dominant array_intersect runs once per pair (filter-then-project
@@ -1708,9 +1708,18 @@ def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_near_duplicates(
         docs, k=_MINHASH_K, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, threshold=0.0
     )
-    sym = pairs.select(F.col("a").alias("doc_id"), F.col("b").alias("similar_doc"), "jaccard").union(
-        pairs.select(F.col("b").alias("doc_id"), F.col("a").alias("similar_doc"), "jaccard")
-    )
+    # both orientations via ONE explode, not union(pairs, flip(pairs)):
+    # a union would execute the whole candidate+verify DAG twice (the
+    # persisted hash state caps the damage, but the band self-join and
+    # the array_intersect verification both re-run per branch)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("doc_id"), F.col("b").alias("similar_doc"), F.col("jaccard")),
+                F.struct(F.col("b").alias("doc_id"), F.col("a").alias("similar_doc"), F.col("jaccard")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.similar_doc", "e.jaccard")
     w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "similar_doc")
     return sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= _SIMDOC_K)
 
