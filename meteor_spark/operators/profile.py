@@ -140,7 +140,13 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
         # avg = weighted mean, mode = deterministic arg-max (ties -> min
         # value), median = interpolated cumulative-count lookup — all
         # hash aggregates and one window, no Expand, no sort fallback.
-        pre = lf.groupBy("column", "v").agg(F.count("*").alias("cnt"))
+        # persist the frequency frame: it feeds the stats aggregate AND
+        # the median derivation, and without the persist each consumer
+        # re-scans the source and re-runs the explode+count (measured 7
+        # FileScans / 0 ReusedExchange on an 11-column profile). The
+        # cached frame is one row per distinct (column, value) — tiny
+        # next to the input.
+        pre = lf.groupBy("column", "v").agg(F.count("*").alias("cnt")).persist()
         stats = pre.groupBy("column").agg(
             F.min("v").cast("string").alias("min"),
             F.max("v").cast("string").alias("max"),
@@ -158,29 +164,30 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
                 "column", "min", "max", "avg", F.lit(None).cast("double").alias("med"), "unique", "count", "top"
             )
         # exact interpolated median (percentile(v, 0.5) semantics:
-        # index q*(N-1), linear interpolation between floor/ceil rows)
+        # index q*(N-1), linear interpolation between floor/ceil rows).
+        # One window pass (running + whole-partition sums share the
+        # (column, v) sort) and ONE conditional aggregate — the earlier
+        # three-groupBy + three-join formulation cost 3 extra stages.
         w = Window.partitionBy("column").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        cum = pre.select("column", "v", "cnt", F.sum("cnt").over(w).alias("cum"))
-        n = pre.groupBy("column").agg(F.sum("cnt").alias("n"))
-        cum = cum.join(n, "column")
+        wtot = Window.partitionBy("column")
+        cum = pre.select(
+            "column",
+            "v",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(wtot).alias("n"),
+        )
         idx = (F.col("n") - 1) / 2.0
-        v_lo = (
-            cum.filter(F.col("cum") >= F.floor(idx) + 1)
-            .groupBy("column")
-            .agg(F.min("v").cast("double").alias("v_lo"))
-        )
-        v_hi = (
-            cum.filter(F.col("cum") >= F.ceil(idx) + 1)
-            .groupBy("column")
-            .agg(F.min("v").cast("double").alias("v_hi"))
-        )
         med = (
-            n.join(v_lo, "column")
-            .join(v_hi, "column")
+            cum.groupBy("column")
+            .agg(
+                F.min(F.when(F.col("cum") >= F.floor(idx) + 1, F.col("v"))).cast("double").alias("v_lo"),
+                F.min(F.when(F.col("cum") >= F.ceil(idx) + 1, F.col("v"))).cast("double").alias("v_hi"),
+                F.first(idx).alias("idx"),
+            )
             .select(
                 "column",
                 F.round(
-                    F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * (idx - F.floor(idx)),
+                    F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * (F.col("idx") - F.floor(F.col("idx"))),
                     round_to,
                 ).alias("med"),
             )
