@@ -108,3 +108,98 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Fit (w, h) inside a max_dim square preserving aspect ratio —
+    floor semantics, never below 1. Pure so the SQL oracle can repeat
+    the arithmetic exactly."""
+    scale = min(1.0, max_dim / max(w, h, 1))
+    return max(1, int(w * scale)), max(1, int(h * scale))
+
+
+def resize_images(media: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage: decode -> scale-to-fit -> re-encode, as mapInPandas.
+
+    The pixel transform is STUBBED (content passes through — a real
+    implementation re-encodes via PIL.Image.thumbnail in the same loop);
+    the dimension arithmetic, batch shape, and 1-to-1 row contract are
+    real. Runs where the blobs already are: no shuffle, pure map stage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode_image(c) for c in pdf["content"]]
+            new_dims = [resize_dims(w, h, max_dim) for w, h in dims]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["content"],  # stub: real impl re-encodes scaled pixels
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "new_width": [d[0] for d in new_dims],
+                    "new_height": [d[1] for d in new_dims],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_index", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, stride: int = 4, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling: one input blob -> up to max_frames frame rows
+    (every stride-th frame) — the 1-to-many mapInPandas shape every
+    video pipeline needs.
+
+    The demux/decode is STUBBED: fixed-size byte chunks stand in for
+    decoded frames (a real implementation demuxes via pyav in the same
+    per-batch loop). The fan-out contract, batch shapes, and frame
+    accounting are real: at 100 TB the stage is map-only — sampled
+    frames are emitted where the video bytes already live, and the
+    output is ~max_frames/stride of the input size, never a shuffle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_len, out_md5 = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n_total = -(-len(content) // frame_bytes)  # ceil
+                for idx in list(range(0, n_total, stride))[:max_frames]:
+                    chunk = content[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_len.append(len(chunk))
+                    out_md5.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int64"),
+                    "n_frame_bytes": pd.Series(out_len, dtype="int64"),
+                    "frame_md5": pd.Series(out_md5, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

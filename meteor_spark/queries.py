@@ -1860,3 +1860,61 @@ def orders_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_partial"),
         F.col("F_rev").alias("fulfilled_revenue"),
     )
+
+
+@query(
+    "multimodal_resize_dims",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::INTEGER AS width,
+             ('0x' || substr(md5(text), 3, 2))::INTEGER AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           greatest(1, CAST(floor(width  * least(1.0, 64.0 / greatest(width, height, 1)))
+                      AS INTEGER)) AS new_width,
+           greatest(1, CAST(floor(height * least(1.0, 64.0 / greatest(width, height, 1)))
+                      AS INTEGER)) AS new_height
+    FROM d
+    """,
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage (operators.multimodal.resize_images): decode ->
+    scale-to-fit-64 -> re-encode as an Arrow mapInPandas map stage, pixel
+    transform stubbed, dimension arithmetic real. The oracle repeats the
+    deterministic fake decode + the exact floor/clamp arithmetic."""
+    from meteor_spark.operators.multimodal import attach_binary, resize_images
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_images(attach_binary(docs), max_dim=64).select(
+        "doc_id", "width", "height", "new_width", "new_height"
+    )
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS total FROM documents),
+    f AS (
+      SELECT doc_id, total,
+             unnest((range(0, CAST(ceil(total / 256.0) AS BIGINT), 4))[1:8]) AS frame_index
+      FROM b)
+    SELECT doc_id, frame_index,
+           least(256, total - frame_index * 256) AS n_frame_bytes
+    FROM f
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (operators.multimodal.sample_frames): one
+    blob -> up to 8 frame rows (every 4th 256-byte chunk standing in for
+    a decoded frame) — the 1-to-many mapInPandas fan-out of a video
+    pipeline, map-only, no shuffle. The oracle reproduces the frame
+    index arithmetic and per-frame byte counts; the frame digests are
+    pinned by unit test (DuckDB can't slice blobs)."""
+    from meteor_spark.operators.multimodal import attach_binary, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs), frame_bytes=256, stride=4, max_frames=8).select(
+        "doc_id", "frame_index", "n_frame_bytes"
+    )

@@ -32,3 +32,48 @@ def test_decode_image_stub():
     digest = hashlib.md5(b"abc").hexdigest()
     assert (w, h) == (int(digest[0:2], 16), int(digest[2:4], 16))
     assert 0 <= w <= 255 and 0 <= h <= 255
+
+
+def test_resize_dims_arithmetic():
+    from meteor_spark.operators.multimodal import resize_dims
+
+    assert resize_dims(128, 64, 64) == (64, 32)
+    assert resize_dims(32, 16, 64) == (32, 16)  # never upscale
+    assert resize_dims(0, 200, 64) == (1, 64)  # clamp to >= 1
+    assert resize_dims(0, 0, 64) == (1, 1)
+
+
+def test_resize_images_passthrough_and_dims(spark):
+    from meteor_spark.operators.multimodal import RESIZE_SCHEMA, resize_dims, resize_images
+
+    df = spark.createDataFrame([(1, "hello"), (2, "x" * 500)], "doc_id long, text string")
+    out = resize_images(attach_binary(df), max_dim=64)
+    assert out.schema == RESIZE_SCHEMA
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert bytes(rows[1]["content"]) == b"hello"  # stub passes pixels through
+    for r in rows.values():
+        assert (r["new_width"], r["new_height"]) == resize_dims(r["width"], r["height"], 64)
+        assert max(r["new_width"], r["new_height"]) <= 64
+
+
+def test_sample_frames_fanout_and_digests(spark):
+    from meteor_spark.operators.multimodal import FRAME_SCHEMA, sample_frames
+
+    text = "a" * 300 + "b" * 300 + "c" * 500  # 1100 bytes -> 5 chunks of 256
+    df = spark.createDataFrame([(7, text), (8, ""), (9, "tiny")], "doc_id long, text string")
+    out = sample_frames(attach_binary(df), frame_bytes=256, stride=2, max_frames=2)
+    assert out.schema == FRAME_SCHEMA
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"], r["frame_index"]))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 5 total frames, stride 2 -> indexes 0, 2, 4; max_frames 2 -> 0, 2
+    assert [r["frame_index"] for r in by_doc[7]] == [0, 2]
+    content = text.encode()
+    for r in by_doc[7]:
+        chunk = content[r["frame_index"] * 256 : (r["frame_index"] + 1) * 256]
+        assert r["n_frame_bytes"] == len(chunk)
+        assert r["frame_md5"] == hashlib.md5(chunk).hexdigest()
+    assert 8 not in by_doc  # empty blob -> no frames
+    assert [r["frame_index"] for r in by_doc[9]] == [0]  # short blob -> one partial frame
+    assert by_doc[9][0]["n_frame_bytes"] == 4
