@@ -1918,3 +1918,56 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_binary(docs), frame_bytes=256, stride=4, max_frames=8).select(
         "doc_id", "frame_index", "n_frame_bytes"
     )
+
+
+@query(
+    "curation_pipeline",
+    f"""
+    WITH t AS ({_TEXT_ORACLE}),
+    kept AS (
+      SELECT doc_id, quality, fingerprint FROM t
+      WHERE lang_guess = 'en' AND quality >= 0.55),
+    surv AS (
+      SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
+    k2 AS (
+      SELECT k.doc_id, k.quality FROM kept k
+      JOIN surv s ON k.fingerprint = s.fingerprint AND k.doc_id = s.doc_id),
+    nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws
+      FROM documents JOIN k2 USING (doc_id)),
+    c AS (
+      SELECT doc_id, len(list_slice(nws, s, s + {_CHUNK_SIZE - 1})) AS n_tokens
+      FROM nd, unnest(range(1, greatest(len(nws) - {_CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS u(s))
+    SELECT c.doc_id, k2.quality,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(c.n_tokens) AS BIGINT) AS n_chunk_tokens
+    FROM c JOIN k2 ON c.doc_id = k2.doc_id
+    GROUP BY c.doc_id, k2.quality
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed from the catalog's own
+    operators in one DataFrame plan: language-ID filter (en) -> quality
+    cut (>= 0.55) -> exact dedup survivors (min doc_id per content
+    fingerprint) -> overlapping token-window chunking -> per-doc chunk
+    accounting. Everything stays JVM-side; the only shuffles are the
+    tiny survivor aggregate and the final per-doc count — filters and
+    chunking are map stages that Catalyst pipelines into the scan. The
+    oracle composes the text-analysis CTE with the chunk arithmetic."""
+    docs = _docs(spark, sf_dir)
+    ann = docs.select(
+        "doc_id",
+        "text",
+        text.lang_id(F.col("text")).alias("lang_guess"),
+        text.quality_score(F.col("text")).alias("quality"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    kept = ann.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.55))
+    surv = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(surv, ["fp", "doc_id"], "left_semi").persist()
+    chunks = text.chunk_documents(kept, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_chunk_tokens")
+    )
+    return kept.select("doc_id", "quality").join(per_doc, "doc_id")
