@@ -1971,3 +1971,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"), F.sum("n_tokens").alias("n_chunk_tokens")
     )
     return kept.select("doc_id", "quality").join(per_doc, "doc_id")
+
+
+@query("profile_lineitem_approx")  # no oracle: approximate aggregates, rows-only
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL profiling semantics (bigquery.go:386-411:
+    APPROX_QUANTILES median, APPROX_COUNT_DISTINCT, APPROX_TOP_COUNT
+    top-1) as ONE single-pass wide aggregate — the scale path: no
+    frequency table, no window, one scan + one tiny shuffle. Sketch
+    outputs are engine-specific, so the gate is rows-only; the exact
+    twin (profile_lineitem) carries the value oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_df(li, _PROFILE_COLS["lineitem"], exact=False)
