@@ -1983,3 +1983,52 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (profile_lineitem) carries the value oracle."""
     li = _t(spark, sf_dir, "lineitem")
     return profile_df(li, _PROFILE_COLS["lineitem"], exact=False)
+
+
+@query(
+    "streaming_incremental_dedup",
+    f"""
+    WITH newb AS ({_INCR_NEW_SQL}),
+    nf AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newb),
+    cf AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id < 400),
+    fresh AS (SELECT nf.doc_id, nf.fp FROM nf WHERE NOT EXISTS
+              (SELECT 1 FROM cf WHERE cf.fp = nf.fp)),
+    surv AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+    SELECT f.doc_id FROM fresh f JOIN surv s ON s.fp = f.fp AND s.doc_id = f.doc_id
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup pipeline as a STREAM: the new-crawl batch
+    arrives as two microbatches (ascending doc_id, mtime-ordered files,
+    maxFilesPerTrigger=1) and is deduped per batch against a fingerprint
+    store seeded with the corpus (streaming.pipeline.
+    incremental_dedup_stream). Because batches arrive in ascending-id
+    order, the per-batch min-id survivor equals the batch-mode global
+    min-id survivor, so the oracle is the same SQL as incremental_dedup
+    — the streaming execution must land on the identical row set."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    newb = docs.filter(F.col("doc_id") >= 400).union(
+        docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    base = tempfile.mkdtemp(prefix="msk_sid_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    parts = (newb.filter(F.col("doc_id") < 2000), newb.filter(F.col("doc_id") >= 2000))
+    for i, part in enumerate(parts):
+        d = os.path.join(base, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    from meteor_spark.streaming.pipeline import incremental_dedup_stream
+
+    return incremental_dedup_stream(
+        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt")
+    )

@@ -118,3 +118,59 @@ def stream_static_enrich(stream_df: DataFrame, dim_df: DataFrame, on: list) -> D
     picked up without restarting the query.
     """
     return stream_df.join(dim_df, on)
+
+
+def incremental_dedup_stream(
+    spark,
+    watch_dir: str,
+    corpus: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming incremental exact-dedup: foreachBatch + a fingerprint
+    store table — the streaming twin of operators.dedup.dedup_incremental.
+
+    The store is seeded with the corpus's distinct content fingerprints;
+    each microbatch anti-joins its fingerprints against the store, keeps
+    min-id survivors within the batch, and appends the new fingerprints
+    back to the store. This is the production shape for deduping a crawl
+    stream against a 100 TB historical corpus: the store is a table of
+    32-char keys (here parquet-append; Delta/Iceberg MERGE in a real
+    deployment), the stream never holds dedup state in the state store,
+    and each batch's anti-join is a broadcast when the batch is small.
+
+    Returns the surviving (id_col) rows across the whole bounded stream.
+    """
+    from meteor_spark.operators.text import normalize_text
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    (
+        corpus.select(fp.alias("fp"))
+        .distinct()
+        .withColumn(id_col, F.lit(None).cast("long"))
+        .write.mode("overwrite")
+        .parquet(store_dir)
+    )
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        seen = batch_df.sparkSession.read.parquet(store_dir).select("fp")
+        bf = batch_df.select(F.col(id_col), fp.alias("fp"))
+        fresh = bf.join(seen, "fp", "left_anti")
+        survivors = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        survivors.select("fp", id_col).write.mode("append").parquet(store_dir)
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store_dir).filter(F.col(id_col).isNotNull()).select(id_col)

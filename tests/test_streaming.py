@@ -34,3 +34,32 @@ def test_windowed_rollup_window_alignment(spark, sf_dir):
     out = run_stream_to_batch(windowed_rollup(stream_events(spark, sf_dir), window="1 hour"))
     hours = [r["hour"] for r in out.select("hour").distinct().collect()]
     assert all(h.endswith(":00:00") for h in hours)
+
+
+def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
+    """A duplicate spanning two microbatches must be caught by the
+    fingerprint store (batch 2's copy dropped), and corpus re-crawls
+    must never survive."""
+    import os
+
+    from meteor_spark.streaming.pipeline import incremental_dedup_stream
+
+    corpus = spark.createDataFrame([(1, "alpha text")], "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, "bravo text"), (11, "charlie text")], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(20, "BRAVO   text"), (21, "delta text"), (22, "alpha text")], "doc_id long, text string"
+    )
+    watch = tmp_path / "in"
+    watch.mkdir()
+    for i, part in enumerate((b1, b2)):
+        d = str(tmp_path / f"b{i}")
+        part.coalesce(1).write.parquet(d)
+        src = next(p for p in os.listdir(d) if p.startswith("part-") and p.endswith(".parquet"))
+        dst = watch / f"batch_{i}.parquet"
+        (dst).write_bytes((tmp_path / f"b{i}" / src).read_bytes())
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    out = incremental_dedup_stream(
+        spark, str(watch), corpus, str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    # 20 is a normalized dup of 10 (case/whitespace), 22 re-crawls corpus
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 11, 21]
