@@ -221,3 +221,148 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def _np_kmeans(X, k: int, seed: int, iters: int = 10):
+    """Tiny deterministic Lloyd's k-means (numpy) for PQ codebooks.
+
+    PQ codebooks are always trained on a driver-side SAMPLE (the
+    codebook is KB-sized); legacy RandomState guarantees reproducible
+    init across runs. Empty cells keep their previous centroid."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].astype("float64").copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 32,
+    n_candidates: int = 128,
+    sample: int = 2048,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN: the memory-bound scale path.
+
+    Index: vectors are L2-normalized, split into `m` subspaces, and each
+    subspace is quantized to one of `n_codes` centroids -> an m-byte code
+    per vector. At 100 TB this is the point: 64 float32 (256 B) compress
+    to m bytes, so a multi-billion-vector index stays in cluster memory;
+    the codebook (m x n_codes x dim/m doubles) is trained driver-side on
+    a deterministic sample and shipped in the task closure.
+
+    Search (asymmetric distance): per query, a lookup table of partial
+    dot products against every centroid; a vectorized mapInPandas pass
+    over the CODES (never the raw vectors) scores each batch via numpy
+    gathers and emits only the per-batch top `n_candidates` per query —
+    map-side top-k, so the shuffle carries candidates, not the corpus.
+    Global top `n_candidates` per query then re-ranks with exact cosine
+    on the raw vectors of the candidates alone.
+
+    Approximate by construction -> gated rows-only; recall pinned by
+    tests against brute_force_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    # ---- codebooks from a deterministic sample (driver-side, tiny)
+    samp = corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[0] for r in samp], dtype="float64")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    d_sub = dim // m
+    books = np.stack(
+        [_np_kmeans(X[:, j * d_sub : (j + 1) * d_sub], n_codes, seed + j) for j in range(m)]
+    )  # (m, n_codes, d_sub)
+
+    # ---- encode the corpus: argmin centroid per subspace, vectorized
+    code_schema = T.StructType(
+        [T.StructField("neighbor_id", T.LongType()), T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.array(list(pdf[vec_col]), dtype="float64")
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype="int32")
+            for j in range(m):
+                sub = V[:, j * d_sub : (j + 1) * d_sub]  # (n, d_sub)
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"neighbor_id": pdf[id_col], "codes": list(codes)})
+
+    codes_df = corpus.select(id_col, vec_col).mapInPandas(encode, schema=code_schema)
+
+    # ---- per-query LUTs (queries are the small side: collected like a
+    # broadcast; m x n_codes doubles per query)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.array([r[1] for r in qrows], dtype="float64")
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    luts = np.stack(
+        [np.stack([books[j] @ q[j * d_sub : (j + 1) * d_sub] for j in range(m)]) for q in Q]
+    )  # (n_q, m, n_codes)
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype="int64")  # (n, m)
+            ids = pdf["neighbor_id"].to_numpy()
+            for qi, qid in enumerate(qids):
+                # ADC dot product: sum of LUT gathers, one add per subspace
+                s = luts[qi][np.arange(m)[None, :], codes].sum(1)  # (n,)
+                mask = ids != qid
+                s_m, ids_m = s[mask], ids[mask]
+                top = np.argsort(-s_m, kind="stable")[:n_candidates]  # per-batch top-C
+                yield_rows = pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": ids_m[top], "adc": s_m[top]}
+                )
+                yield yield_rows
+
+    cand = codes_df.mapInPandas(score, schema=adc_schema)
+    w_c = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    cand = (
+        cand.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+    # ---- exact cosine re-rank on the candidates only
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

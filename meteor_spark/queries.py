@@ -2032,3 +2032,16 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_stream(
         spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt")
     )
+
+
+@query("pq_ann_topk")  # no oracle: approximate (quantized) scoring, rows-only
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk): the memory-bound
+    scale path — 64 float32 per vector compress to 16 one-byte codes, a
+    vectorized mapInPandas pass scores codes via per-query lookup
+    tables and emits per-batch top-candidates (map-side top-k), exact
+    cosine re-ranks candidates only. Recall vs brute force pinned by
+    tests (>= 0.9 @ k=5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.pq_topk(emb, q, k=_ANN_K)

@@ -81,3 +81,30 @@ def test_ivf_deterministic(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, k=3).collect()))
     assert a == b
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    runs = []
+    for _ in range(2):
+        runs.append({(r["query_id"], r["neighbor_id"]) for r in similarity.pq_topk(emb, q, k=5).collect()})
+    assert runs[0] == runs[1]  # seeded codebooks -> bit-stable output
+    assert len(runs[0] & bf) / len(bf) >= 0.9
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    """The index really is m small ints per vector (the 16x compression
+    that makes a billion-vector corpus fit in memory)."""
+    import numpy as np
+
+    from meteor_spark.operators.similarity import _np_kmeans
+
+    X = np.random.RandomState(0).randn(200, 4)
+    C1 = _np_kmeans(X, 8, seed=1)
+    C2 = _np_kmeans(X, 8, seed=1)
+    assert np.array_equal(C1, C2)
+    assert C1.shape == (8, 4)
