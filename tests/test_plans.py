@@ -83,3 +83,15 @@ def test_pivot_is_single_scan_with_partial_agg(spark):
     plan = _plan(spark, "orders_priority_status_pivot")
     assert plan.count("FileScan") == 1  # pinned pivot values: no distinct-values job
     assert "partial_count" in plan or "partial_pivotfirst" in plan  # map-side combine
+
+
+def test_q7_dual_role_dims_broadcast_no_fact_broadcast(spark):
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier + both nation roles
+    assert "TakeOrderedAndProject" not in plan  # aggregate, not top-k
+
+
+def test_q10_top20_is_take_ordered(spark):
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
