@@ -74,3 +74,47 @@ def test_broadcast_hint_respected(spark, sf_dir, warehouse):
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     j = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_zorder_write_tightens_file_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered layout must narrow per-file min/max ranges on BOTH
+    clustering columns simultaneously (single-column sorting can only do
+    one) — that's what lets parquet row-group stats skip files for a
+    predicate on either dimension."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from meteor_spark.io import read_parquet_table, write_zordered
+
+    e = read_parquet_table(spark, f"{sf_dir}/events.parquet").select("user_id", "value", "event_id")
+    path = str(tmp_path / "events_z")
+    write_zordered(e, path, ["user_id", "value"], n_files=8)
+
+    out = spark.read.parquet(path)
+    assert out.count() == e.count()  # clustering is a permutation, not a filter
+
+    spans = {"user_id": [], "value": []}
+    glob_min, glob_max = {}, {}
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 4
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for col in spans:
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            spans[col].append(hi - lo)
+            glob_min[col] = min(glob_min.get(col, lo), lo)
+            glob_max[col] = max(glob_max.get(col, hi), hi)
+    for col, sp in spans.items():
+        full = glob_max[col] - glob_min[col]
+        avg_span = sum(sp) / len(sp)
+        # each dimension's per-file range must be well under the global
+        # range (z-interleave gives every dim locality, not just the
+        # primary sort key)
+        assert avg_span < 0.8 * full, f"{col}: avg file span {avg_span} vs global {full}"
