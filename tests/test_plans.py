@@ -95,3 +95,61 @@ def test_q10_top20_is_take_ordered(spark):
     plan = _plan(spark, "q10_returned_items")
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_aggregates_fact_before_joins(spark):
+    plan = _plan(spark, "q18_large_volume_customers")
+    # the lineitem HAVING-aggregate must sit BELOW the joins: the first
+    # HashAggregate over l_quantity appears before any join operator in
+    # the bottom-up plan — i.e. the join inputs are the collapsed agg,
+    # not the raw fact
+    assert "BroadcastHashJoin" in plan
+    li_scan = plan.split("lineitem.parquet")[0]
+    # everything between the lineitem scan and the first join is agg-only
+    assert "HashAggregate" in li_scan.rsplit("Join", 1)[-1]
+
+
+def test_q13_left_join_survives_extra_predicate(spark):
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan  # the o_orderpriority predicate must stay
+    # in the join condition, not demote the outer join to inner
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = _plan(spark, "q16_part_supplier_counts")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_derives_pushable_residuals(spark):
+    plan = _plan(spark, "q19_bracket_revenue")
+    # Catalyst must extract single-side bounds from the OR-of-ANDs:
+    # quantity bounds reach the lineitem scan as pushed filters
+    assert "GreaterThanOrEqual(l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q9_filters_part_before_broadcast(spark):
+    plan = _plan(spark, "q9_product_profit")
+    # the LIKE lands in the part scan (pushed as a string predicate or a
+    # post-scan filter below the broadcast exchange), so the broadcast
+    # build is the pruned dim
+    part_side = plan.split("part.parquet")[0]
+    assert "BroadcastExchange" in part_side
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q2_correlated_min_is_one_window_pass(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    # window-min rewrite: exactly one Window operator, no self-join of
+    # the offers aggregate (two lineitem scans would mean the scalar
+    # subquery re-ran the whole agg)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q11_and_q15_reuse_aggregate_for_scalar(spark):
+    for name in ("q11_part_value_share", "q15_top_supplier"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
