@@ -56,3 +56,69 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-generation stateful operator: transformWithStateInPandas
+# (Spark 4 state-v2 API). Tracks per-user running totals AND the distinct
+# event-type set via a MapState — composite state that the older
+# applyInPandasWithState would have to pickle into one opaque tuple. At
+# scale the distinct-type map lives in the RocksDB state store per key
+# with point lookups, never rebuilt per batch.
+#
+# Runtime requirement: the state-v2 Python client talks protobuf to the
+# state server, so executing (not defining/planning) this operator needs
+# `google.protobuf` on the Python path and the RocksDB state store
+# provider. The equivalence test importorskips accordingly.
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, n_types long"
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: E402
+
+
+class UserActivityProcessor(StatefulProcessor):
+    """Per-user cross-batch accumulator: event count, value sum, distinct
+    event-type count (MapState used as a persistent set)."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n_events long, total_value double")
+        self._types = handle.getMapState("types", "event_type string", "seen byte")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (user_id,) = key
+        n_events, total_value = (
+            self._totals.get() if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            n_events += len(pdf)
+            total_value += float(pdf["value"].sum())
+            for t in pdf["event_type"].unique():
+                if not self._types.containsKey((t,)):
+                    self._types.updateValue((t,), (1,))
+        self._totals.update((n_events, total_value))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "total_value": [round(total_value, 2)],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_activity_stateful(events: DataFrame) -> DataFrame:
+    """events stream -> per-user running (count, value sum, distinct
+    event types), emitted per micro-batch (update mode, state-v2)."""
+    return events.select("user_id", "event_type", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserActivityProcessor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
