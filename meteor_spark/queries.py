@@ -2599,3 +2599,85 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "order_price_percentile_ranks",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+           round(cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def order_price_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank windows (percent_rank + cume_dist) per priority
+    class — one sort per partition serves both functions; the (price,
+    key) order makes ranks tie-free and engine-independent. The date
+    filter pushes to the scan so the window sorts a month, not 6 years."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "latest_event_per_user",
+    """
+    WITH keyed AS (
+        SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sort_key
+        FROM events)
+    SELECT user_id,
+           arg_max(event_type, sort_key) AS last_type,
+           round(arg_max(value, sort_key), 4) AS last_value,
+           max(epoch_us(ts)) AS last_ts_us
+    FROM keyed
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key via max_by (argmax aggregate) — ONE partial-
+    aggregable pass, no window sort, no self-join; ties broken by a
+    zero-padded (ts_micros, event_id) sort key so both engines pick the
+    same row (DuckDB's arg_max can't compare structs — a sortable string
+    is the portable total order). The standard 'current state from an
+    event log' pattern: at 100 TB this is a single map-side-combined
+    shuffle instead of a full per-key sort."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_type"),
+        F.round(F.max_by("value", key), 4).alias("last_value"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+
+
+@query(
+    "building_segment_small_spenders",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def building_segment_small_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op (the INTERSECT twin of customer_order_set_ops):
+    planned as a left-anti hash join under AQE — distinct key sets, never
+    a sort-merge of full rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("c_custkey"))
+    return building.subtract(big)  # EXCEPT DISTINCT
