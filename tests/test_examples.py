@@ -47,3 +47,15 @@ def test_catalog_example_runs_end_to_end(tmp_path, capsys, monkeypatch):
         attrs = json.loads(r["properties"]["attributes"])
         assert attrs["team"] == "data-platform"
         assert attrs["tier"] == "gold"
+
+
+def test_lakehouse_example_runs_end_to_end(tmp_path, capsys, monkeypatch):
+    # fabricate one delta table, then drive the example recipe over it
+    from tests.test_lakehouse import _delta_table
+
+    _delta_table(tmp_path, "sales")
+    monkeypatch.setenv("METEOR_DATA_DIR", str(tmp_path))
+    monkeypatch.setenv("METEOR_OUT_DIR", str(tmp_path))
+    assert main(["run", str(EXAMPLES / "lakehouse_to_console.yaml")]) == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "sales" in out
