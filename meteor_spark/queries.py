@@ -1772,24 +1772,13 @@ _SIMHASH_HAM_T = 1
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS: hamming distance over the 32-bit sketches
-    (bit_count(xor)) <= {t}. The pairing step the sketch exists for —
-    at scale the self-join is blocked by sketch byte-prefixes (any pair
-    within distance t shares at least one of t+1 disjoint chunks, the
-    classic Charikar/pigeonhole blocking); at fixture scale the direct
-    join IS the blocked join's verification stage, same expression."""
+    (bit_count(xor)) <= {t}, computed with EXACT pigeonhole blocking
+    (dedup.simhash_hamming_pairs): t+1 disjoint sketch chunks, bucket
+    equi-join per chunk, hamming verification of candidates only — never
+    the O(n^2) cross join the oracle spells out."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.simhash(docs).persist()
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _SIMHASH_HAM_T)
-    )
+    sh = dedup.simhash(docs)
+    return dedup.simhash_hamming_pairs(sh, threshold=_SIMHASH_HAM_T)
 
 
 @query(

@@ -133,3 +133,29 @@ def test_lsh_recall_on_planted_near_dups(spark):
     cand = {(r.a, r.b) for r in minhash_candidate_pairs(df).collect()}
     missed = [p for p in planted if p not in cand]
     assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_blocked_hamming_pairs_equal_naive(spark, sf_dir):
+    """pigeonhole blocking is exact: candidate pruning may never lose a
+    pair vs the O(n^2) definition."""
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.simhash(docs).persist()
+    blocked = {
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup.simhash_hamming_pairs(sh, threshold=2).collect()
+    }
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    naive = {
+        (r["a"], r["b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"), ham.alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    sh.unpersist()
+    assert blocked == naive

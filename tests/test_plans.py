@@ -153,3 +153,9 @@ def test_q11_and_q15_reuse_aggregate_for_scalar(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_hamming_is_blocked_equi_join(spark):
+    plan = _plan(spark, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
