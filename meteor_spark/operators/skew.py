@@ -41,3 +41,32 @@ def salted_agg(
         *[getattr(F, fn)(f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
     )
     return final
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot join key (one customer with 10% of
+    all events, the null bucket, ...) lands every matching fact row in
+    ONE shuffle partition under a plain join. Salting splits each fact
+    key into `salt_buckets` sub-keys (deterministic row hash, so plans
+    reproduce) and replicates the dim side once per bucket, turning the
+    single hot partition into `salt_buckets` even ones.
+
+    `on`: join column names present in BOTH frames. Supports inner and
+    left joins (the fact side is preserved: each fact row carries exactly
+    one salt and the replicated dim covers all salts, so multiplicity is
+    unchanged). Use when the dim is too big to broadcast but small enough
+    that x`salt_buckets` replication is acceptable — the standard middle
+    ground between broadcast and AQE skew-join splitting.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return f.join(d, on=[*on, "__salt"], how=how).drop("__salt")

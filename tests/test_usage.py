@@ -43,3 +43,24 @@ def test_filter_conditions(log):
     rows = {r["urn"]: r["filters"] for r in filter_conditions(log).collect()}
     assert rows["t2"] == ["x > 1", "y = 2"]
     assert rows["t3"] == ["y = 2"]
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salting may never change join semantics: inner and left results
+    must equal the unsalted join exactly (multiplicity included)."""
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    # left case: drop some suppliers so unmatched fact rows exist
+    s_partial = s.filter(F.col("l_suppkey") % 3 != 0)
+    for how, dim in (("inner", s), ("left", s_partial)):
+        plain = li.join(dim, on=["l_suppkey"], how=how)
+        salted = salted_join(li, dim, on=["l_suppkey"], how=how, salt_buckets=8)
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
