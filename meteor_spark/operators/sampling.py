@@ -53,3 +53,31 @@ def stratified_sample(
     for stratum, rate in rates.items():
         threshold = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * buckets))).otherwise(threshold)
     return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, k: int, round_to: int = 8
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k of the
+    Efraimidis-Spirakis A-Res order): each row gets priority u^(1/w) with
+    u a deterministic md5-derived uniform in (0, 1]; the k largest
+    priorities are the sample. Computed in log space (ln(u)/w, monotone
+    in u^(1/w)) and rounded so last-ulp libm differences between engines
+    cannot flip the selection; ties broken by key.
+
+    One scan + TakeOrderedAndProject — no shuffle of the corpus, no
+    global sort; weights can be any positive expression (doc length,
+    quality score, ...). Reproducible row SET, so exactly
+    oracle-checkable (df.sample is not).
+    """
+    # 13 hex chars = 52 bits -> exact double; +1 keeps u > 0
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10).cast("double")
+        + 1
+    ) / F.lit(float(1 << 52))
+    lp = F.round(F.log(u) / weight, round_to)
+    return (
+        df.withColumn("log_priority", lp)
+        .orderBy(F.col("log_priority").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -345,3 +345,40 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
             "distinct_token_ratio"
         ),
     )
+
+
+def tfidf_corpus_terms(
+    df: "DataFrame", k: int = 50, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+):
+    """Corpus-level TF-IDF term scores: score(t) = tf_total(t) * ln(N/df(t)).
+
+    Plan: one explode into (doc, term) -> per-(doc, term) tf (first
+    shuffle, map-side combined) -> per-term (doc_freq, tf_total) (second,
+    tiny) -> idf via a broadcast single-row N -> top-k. The per-doc sum
+    folds analytically (sum_d tf*idf = idf * sum_d tf), so no per-doc
+    frame is ever materialized — at 100 TB the second aggregate is
+    vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    tok = df.select(
+        F.col(id_col), F.explode(words(normalize_text(F.col(text_col)))).alias("w")
+    )
+    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    per_term = tf.groupBy("w").agg(
+        F.count("*").alias("doc_freq"), F.sum("tf").alias("tf_total")
+    )
+    n = df.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        per_term.crossJoin(F.broadcast(n))
+        .select(
+            F.col("w").alias("term"),
+            "tf_total",
+            "doc_freq",
+            F.round(F.col("tf_total") * F.log(F.col("n_docs") / F.col("doc_freq")), round_to).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "term")
+        .limit(k)
+    )

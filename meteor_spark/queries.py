@@ -2670,3 +2670,57 @@ def building_segment_small_spenders(spark: SparkSession, sf_dir: str) -> DataFra
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("c_custkey"))
     return building.subtract(big)  # EXCEPT DISTINCT
+
+
+_TFIDF_K = 50
+
+
+@query(
+    "corpus_tfidf_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    agg AS (SELECT w, count(*) AS doc_freq, sum(tf) AS tf_total FROM tf GROUP BY w),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT w AS term, tf_total, doc_freq,
+           round(tf_total * ln(n_docs / doc_freq), 4) AS score
+    FROM agg, n
+    ORDER BY score DESC, term LIMIT {_TFIDF_K}
+    """,
+)
+def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF top terms (text.tfidf_corpus_terms): the IDF
+    weighting layer over raw term counts — the per-doc sum folds into
+    idf * tf_total, so the whole computation is two map-side-combined
+    aggregates + a broadcast scalar N, never a per-doc vector frame."""
+    from meteor_spark.operators.text import tfidf_corpus_terms
+
+    return tfidf_corpus_terms(_docs(spark, sf_dir), k=_TFIDF_K)
+
+
+_WSAMPLE_K = 100
+
+
+@query(
+    "weighted_sample_docs",
+    f"""
+    SELECT doc_id, lang,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                    / 4503599627370496.0) / (n_chars + 1), 8) AS log_priority
+    FROM documents
+    ORDER BY log_priority DESC, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (sampling.weighted_sample):
+    Efraimidis-Spirakis A-Res priorities from md5 uniforms, weight =
+    document length — longer docs proportionally likelier, yet the
+    selected SET is reproducible and oracle-checkable. One scan +
+    TakeOrderedAndProject."""
+    from meteor_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", F.col("n_chars") + 1, k=_WSAMPLE_K).select(
+        "doc_id", "lang", "log_priority"
+    )

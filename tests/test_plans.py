@@ -159,3 +159,8 @@ def test_simhash_hamming_is_blocked_equi_join(spark):
     plan = _plan(spark, "simhash_hamming_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
