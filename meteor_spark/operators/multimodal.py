@@ -203,3 +203,82 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): gear-hash boundaries over binary payloads
+# — the dedup primitive for byte streams where fixed-size blocks break on
+# insertion (a 1-byte prefix shift re-keys every fixed block, but CDC
+# boundaries depend only on LOCAL content, so chunks resynchronize).
+# Reference-class analogue: FastCDC/LBFS-style chunking used by every
+# content-addressed store; here as a 1-to-many mapInPandas over the same
+# media frame the other multimodal stages use.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+CHUNK_SCHEMA = "doc_id long, chunk_no int, offset long, length int, chunk_md5 string"
+
+_GEAR_MASK64 = (1 << 64) - 1
+
+
+def _gear_table() -> list[int]:
+    """256 deterministic 64-bit gear values: md5(byte index) — fixed
+    across runs/machines, so chunk boundaries are reproducible."""
+    return [
+        int.from_bytes(_hashlib.md5(bytes([i])).digest()[:8], "big") for i in range(256)
+    ]
+
+
+def cdc_boundaries(
+    data: bytes, gear: list[int], min_size: int, avg_bits: int, max_size: int
+) -> list[tuple[int, int]]:
+    """(offset, length) chunk list for one payload. Boundary when the
+    rolling gear hash has `avg_bits` low zero bits (expected chunk size
+    2^avg_bits) and the chunk has at least min_size bytes; max_size is a
+    hard cap. Pure function -> unit-testable without Spark."""
+    chunks = []
+    start = 0
+    h = 0
+    mask = (1 << avg_bits) - 1
+    for i, b in enumerate(data):
+        h = ((h << 1) + gear[b]) & _GEAR_MASK64
+        size = i - start + 1
+        if (size >= min_size and (h & mask) == 0) or size >= max_size:
+            chunks.append((start, size))
+            start = i + 1
+            h = 0
+    if start < len(data):
+        chunks.append((start, len(data) - start))
+    return chunks
+
+
+def cdc_chunks(
+    media: DataFrame,
+    min_size: int = 64,
+    avg_bits: int = 8,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Explode each binary payload into content-defined chunks with
+    content hashes: (doc_id, chunk_no, offset, length, chunk_md5).
+    Downstream exact-dedup on chunk_md5 dedups shared REGIONS across
+    documents, not just identical whole files. Arrow-batched, 1-to-many;
+    the gear table is built once per python worker, not per row."""
+    gear = _gear_table()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_no": [], "offset": [], "length": [], "chunk_md5": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                for no, (off, ln) in enumerate(
+                    cdc_boundaries(data, gear, min_size, avg_bits, max_size)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_no"].append(no)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+                    out["chunk_md5"].append(_hashlib.md5(data[off : off + ln]).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "content").mapInPandas(run, schema=CHUNK_SCHEMA)

@@ -2724,3 +2724,66 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", F.col("n_chars") + 1, k=_WSAMPLE_K).select(
         "doc_id", "lang", "log_priority"
     )
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+    SELECT CAST(CAST(f.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS INTEGER) AS week_no,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_no
+    ORDER BY cohort_week, week_no
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted in each subsequent activity week. Both week edges are
+    date_trunc('week') (ISO Monday in Spark AND DuckDB) and the offset is
+    exact day-arithmetic / 7, so the bucketing is engine-independent.
+    Plan: two aggregates over one events scan (first-seen is a groupBy
+    min; activity a distinct projection) joined on user_id — the join
+    carries one row per (user, active week), never raw events."""
+    e = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    activity = e.select("user_id", wk.alias("act_week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+@query("cdc_shared_chunks")  # rows-only: rolling gear-hash boundaries aren't SQL-expressible
+def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup summary: gear-hash CDC over the
+    binary payloads (multimodal.cdc_chunks), then the chunks shared by
+    more than one document — region-level dedup that fixed blocks would
+    miss after any insertion. Deterministic (fixed gear table), but the
+    boundary recurrence is a per-byte rolling loop, so the gate is
+    rows-only; coverage and resync properties are pinned in
+    tests/test_multimodal.py."""
+    from meteor_spark.operators.multimodal import attach_binary, cdc_chunks
+
+    media = attach_binary(_docs(spark, sf_dir))
+    chunks = cdc_chunks(media, min_size=16, avg_bits=6, max_size=256)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.max("length").alias("length"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "chunk_md5")
+        .limit(100)
+    )

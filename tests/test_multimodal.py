@@ -77,3 +77,55 @@ def test_sample_frames_fanout_and_digests(spark):
     assert 8 not in by_doc  # empty blob -> no frames
     assert [r["frame_index"] for r in by_doc[9]] == [0]  # short blob -> one partial frame
     assert by_doc[9][0]["n_frame_bytes"] == 4
+
+
+def test_cdc_boundaries_cover_and_resync():
+    """pure-function CDC: exact coverage, size bounds, and boundary
+    resynchronization after a prefix insertion (the property fixed-size
+    blocking lacks)."""
+    import hashlib
+    import random
+
+    from meteor_spark.operators.multimodal import _gear_table, cdc_boundaries
+
+    gear = _gear_table()
+    rng = random.Random(7)
+    data = bytes(rng.randrange(256) for _ in range(20_000))
+    chunks = cdc_boundaries(data, gear, min_size=64, avg_bits=8, max_size=1024)
+    # exact coverage, in order
+    assert chunks[0][0] == 0
+    assert sum(ln for _, ln in chunks) == len(data)
+    for (o1, l1), (o2, _) in zip(chunks, chunks[1:]):
+        assert o1 + l1 == o2
+    # size bounds (tail chunk may undershoot min)
+    assert all(ln <= 1024 for _, ln in chunks)
+    assert all(ln >= 64 for _, ln in chunks[:-1])
+    assert len(chunks) > 5  # avg 256B over 20KB -> many chunks
+
+    def hashes(d):
+        return {
+            hashlib.md5(d[o : o + ln]).hexdigest() for o, ln in cdc_boundaries(d, gear, 64, 8, 1024)
+        }
+
+    shifted = b"XYZ" + data  # 3-byte insertion at the front
+    base, after = hashes(data), hashes(shifted)
+    # fixed-size blocking would share ~0 chunks; CDC resynchronizes
+    assert len(base & after) / len(base) > 0.8
+
+
+def test_cdc_chunks_spark_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.multimodal import attach_binary, cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = attach_binary(docs)
+    chunks = cdc_chunks(media, min_size=16, avg_bits=6, max_size=256)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("length").alias("total"), F.count("*").alias("n")
+    )
+    lens = media.select("doc_id", F.length("content").alias("exp")).join(per_doc, "doc_id")
+    bad = lens.filter(F.col("total") != F.col("exp")).count()
+    assert bad == 0
+    # chunk hashes are content-addressed: identical texts -> identical chunk sets
+    assert chunks.count() == chunks.dropDuplicates(["doc_id", "chunk_no"]).count()
