@@ -7,7 +7,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  clustering + incremental, similarity search, text
                  hygiene/quality/chunking, sampling, range join,
                  streaming incl. session windows & stream-static join) —
-                 85 entries, 79 with exact DuckDB oracles.
+                 91 entries, 85 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 5 approximate operators are rows-only and have no
                  oracle).

@@ -2787,3 +2787,304 @@ def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "chunk_md5")
         .limit(100)
     )
+
+
+@query(
+    "click_purchase_funnel",
+    """
+    WITH clicks AS (
+        SELECT user_id, min(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase, any_value(c.first_click) AS first_click
+        FROM events e JOIN clicks c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM clicks)                                   AS n_clicked,
+           (SELECT count(*) FROM conv)                                     AS n_converted,
+           round((SELECT count(*) FROM conv) * 1.0
+                 / (SELECT count(*) FROM clicks), 4)                       AS conv_rate,
+           (SELECT round(avg((epoch_us(first_purchase) - epoch_us(first_click)) / 1000000.0), 2)
+            FROM conv)                                                     AS avg_secs_to_convert
+    """,
+)
+def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: users whose first purchase FOLLOWS their first
+    click, with conversion rate and mean latency. Spark-first: both
+    funnel stages come from ONE conditional aggregation over one events
+    scan (min-if per stage), then a row-local comparison — no self-join,
+    no per-stage scans; the oracle spells the same semantics relationally."""
+    e = _t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("any_first_purchase"),
+    )
+    # first purchase AFTER the first click needs the conditional min over
+    # purchases later than first_click — a second small agg over the same
+    # scan's rows, joined on the (already tiny) per-user stage frame
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    conv = (
+        purchases.join(stages.filter(F.col("first_click").isNotNull()), "user_id")
+        .filter(F.col("pts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"), F.first("first_click").alias("first_click"))
+    )
+    clicked = stages.filter(F.col("first_click").isNotNull()).agg(F.count("*").alias("n_clicked"))
+    converted = conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(
+            F.avg((F.unix_micros("first_purchase") - F.unix_micros("first_click")) / 1e6), 2
+        ).alias("avg_secs_to_convert"),
+    )
+    return clicked.crossJoin(F.broadcast(converted)).select(
+        "n_clicked",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_clicked"), 4).alias("conv_rate"),
+        "avg_secs_to_convert",
+    )
+
+# --------------------------------------------------------------------------
+# TPC-H completion wave: Q6 / Q8 / Q12 / Q20 / Q21 shapes
+# (fixture schema lacks l_shipmode/l_commitdate/l_receiptdate/partsupp, so
+# Q12/Q20/Q21 keep the reference plan SHAPE with lateness defined as
+# l_shipdate > o_orderdate + N days and availability from shipped volume)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.035 AND l_discount <= 0.065 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-scan conditional revenue — THE pushdown
+    benchmark. All three predicates are plain comparisons on scan
+    columns, so they reach the parquet reader as PushedFilters and the
+    whole query is one codegen'd scan+partial-agg with a 1-row exchange;
+    no shuffle of data rows at any scale. Discount bounds sit between
+    the 0.01-step grid values so double representation can't flip edge
+    rows across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.035)
+            & (F.col("l_discount") <= 0.065)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p      ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+        JOIN orders o    ON o.o_orderkey = l.l_orderkey
+        JOIN customer c  ON c.c_custkey = o.o_custkey
+        JOIN nation n1   ON n1.n_nationkey = c.c_nationkey AND n1.n_regionkey = 2
+        JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share inside one region's customer base
+    (ref analogue: the deepest join tree in the suite). Spark-first: every
+    dimension (part, customer, nation x2, supplier) broadcasts, so the
+    only shuffle is the orders-lineitem equi-join and the tiny per-year
+    agg; the share is a conditional-sum ratio in the SAME aggregate, not
+    a join of two aggregates. Region/type/date filters sit on the dim
+    scans and prune before the broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 2)
+        .select(F.col("n_nationkey").alias("cust_nationkey"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nationkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q12_late_priority_counts",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_late_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment line counts split by order
+    priority class (fixture has no l_shipmode/receiptdate, so the group
+    key is l_returnflag and late = shipped >45 days after order date —
+    same join + non-equi predicate + two conditional sums). The lateness
+    predicate references both sides so it evaluates as a join residual,
+    not a post-agg filter; the agg output is 3 rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q20_heavy_part_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_nationkey IN (1, 2, 3)
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 300)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in a nation set) who moved more than a
+    threshold volume of one part family in a window — the nested
+    IN-subquery-with-HAVING pattern (ref has no partsupp fixture, so
+    'availability' is shipped volume). Spark-first: the subquery is an
+    aggregate-then-semi-join; the qualified-supplier set is tiny so it
+    BROADCASTS into the supplier scan (left_semi), never shuffling the
+    supplier table."""
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(1, 2, 3))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_sole_late_supplier",
+    """
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                                   THEN l.l_suppkey END) AS n_late,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN l.l_suppkey END) AS late_supp
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_order po JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in
+    multi-supplier finished orders (late = >60 days after order date;
+    fixture lacks commit/receipt dates). The reference formulation is
+    EXISTS + NOT EXISTS self-joins on lineitem; Spark-first that
+    decorrelates into ONE groupBy(l_orderkey) computing distinct
+    suppliers, distinct LATE suppliers, and (since exactly one) the late
+    supplier itself — a single fact shuffle instead of two self-joins,
+    which is the difference between 1x and 3x fact-table traffic at
+    100 TB. Supplier dim broadcasts for the name lookup."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
