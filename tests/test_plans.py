@@ -15,6 +15,13 @@ def _plan(spark, name: str) -> str:
     return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted(spark, name: str) -> str:
+    # toString() elides long PushedFilters lists; formatted mode prints them whole
+    je = QUERIES[name](spark, SF)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
 def test_q1_pushes_filter_and_prunes_columns(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -164,3 +171,56 @@ def test_simhash_hamming_is_blocked_equi_join(spark):
 def test_weighted_sample_is_take_ordered(spark):
     plan = _plan(spark, "weighted_sample_docs")
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    plan = _formatted(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[-1].split("]")[0]
+    for frag in ("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert frag in pushed
+    assert "Exchange" in plan  # only the 1-row partial-agg exchange
+    assert plan.count("Location: InMemoryFileIndex") == 1  # single table, single scan
+
+
+def test_q8_only_fact_order_shuffle(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5  # part, customer, nation x2, supplier
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q20_having_subquery_is_broadcast_semi_join(spark):
+    plan = _plan(spark, "q20_heavy_part_suppliers")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_sole_late_supplier_single_fact_pass(spark):
+    # the EXISTS/NOT-EXISTS decorrelation must NOT re-scan lineitem:
+    # one fact scan, one orders scan, one broadcast supplier lookup
+    plan = _plan(spark, "q21_sole_late_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.runtime_filter import runtime_bloom
+
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = lambda: (  # noqa: E731
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    with runtime_bloom(spark, disable_broadcast=True):
+        plan = joined()._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build missing on creation side"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+        bloom_rows = {tuple(r) for r in joined().collect()}
+    plain_rows = {tuple(r) for r in joined().collect()}
+    assert bloom_rows == plain_rows  # reduction never changes results
