@@ -277,6 +277,62 @@ def corpus_top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2, k: int 
     )
 
 
+def distinct_gram_frame(df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, grams) with each doc's DISTINCT n-gram set as an array column.
+    Words materialized in their own projection (the shingle_frame rule:
+    the size+slice double reference keeps CollapseProject from inlining
+    the tokenizer into the gram lambda)."""
+    worded = df.select(F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+    return worded.select(F.col(id_col), F.array_distinct(ngrams_of_words(F.col("__ws"), n)).alias("grams"))
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents share
+    n-grams with an evaluation/benchmark set (the standard decontamination
+    pass before training — production setups use 8-13-gram overlap).
+
+    Returns one row per CONTAMINATED corpus doc:
+    (doc_id, n_grams, n_hits, contamination) where n_grams is the doc's
+    distinct-gram count, n_hits how many of those appear anywhere in the
+    benchmark set, contamination = n_hits/n_grams.
+
+    Scale shape: eval sets are small (MBs against a 100 TB corpus), so
+    the benchmark gram set is broadcast — the corpus side explodes its
+    distinct grams map-side, the broadcast hash join drops every clean
+    gram before any exchange, and the only shuffle is the per-doc count
+    of surviving (hit) rows. The corpus text is tokenized exactly once.
+
+    Beyond-reference operator (BASELINE.json north star); no reference
+    analogue — odpf/meteor has no document corpus operators.
+    """
+    bench_grams = (
+        distinct_gram_frame(benchmark, n, text_col, id_col)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corp = distinct_gram_frame(corpus, n, text_col, id_col).select(
+        F.col(id_col), F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    return (
+        corp.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), round_to).alias("contamination"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -1416,6 +1416,37 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_contamination",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    gl AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS grams
+      FROM nd),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM gl WHERE doc_id % 50 = 0),
+    corpus AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+      FROM gl WHERE doc_id % 50 <> 0)
+    SELECT doc_id, n_grams, count(*) AS n_hits,
+           round(count(*)::DOUBLE / n_grams, 4) AS contamination
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id, n_grams
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: every 50th document plays the held-out
+    eval set; corpus docs sharing any distinct trigram with it are flagged
+    with their overlap fraction (text.contamination_hits; 3-grams so the
+    synthetic fixture shows real overlap — production would use 8-13).
+    Benchmark grams broadcast; clean grams die before the only shuffle."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return text.contamination_hits(corpus, bench, n=3)
+
+
+@query(
     "top_docs_per_lang",
     """
     SELECT lang, doc_id, n_tokens, rnk FROM (

@@ -81,3 +81,28 @@ def test_compression_ratio(spark):
     out = {r["doc_id"]: r["cr"] for r in df.select("doc_id", compression_ratio("text").alias("cr")).collect()}
     assert out[1] < out[2]  # repetitive text compresses better
     assert 0 < out[1] < 1.0
+
+
+def test_contamination_hits_planted(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # verbatim copy -> fully contaminated
+            (2, "zzz alpha beta gamma yyy"),      # one shared trigram of 3 distinct
+            (3, "totally unrelated words here"),  # clean -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.contamination_hits(corpus, bench, n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_hits"] == 2 and rows[1]["contamination"] == 1.0
+    assert rows[2]["n_grams"] == 3 and rows[2]["n_hits"] == 1 and rows[2]["contamination"] == round(1 / 3, 4)
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c e")], "doc_id long, text string")
+    plan = text.contamination_hits(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
