@@ -1,0 +1,77 @@
+"""Distribution-drift monitoring for large-scale pipelines.
+
+A 100 TB training-data pipeline re-ingests sources continuously; the
+question "did this week's data shift under me?" is answered per feature
+with the Population Stability Index — the standard drift score over a
+binned distribution:
+
+    PSI = sum_bins (p_actual - p_expected) * ln(p_actual / p_expected)
+
+(<0.1 stable, 0.1-0.25 moderate shift, >0.25 action needed.)
+
+Scale shape: ONE map-side-combined groupBy over the fact table produces
+(group, bin) counts for both populations at once — the shuffle carries
+bins x groups rows, never data rows. Bounds are a tiny per-group
+aggregate broadcast back; everything downstream operates on the count
+frame. No reference analogue (odpf/meteor profiles single snapshots,
+SURVEY.md §2.6); this extends the profile family across time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    is_actual: Column,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 4,
+) -> DataFrame:
+    """PSI per group between the expected (is_actual=false) and actual
+    (is_actual=true) populations of `value_col`.
+
+    Bins are equi-width over the COMBINED per-group [min, max] (both
+    populations see identical bin edges — the PSI contract); the max
+    value folds into the last bin; a degenerate range (min == max) puts
+    everything in bin 0. Zero-count bins are floored at `eps` so the log
+    is finite; bins empty on both sides contribute exactly 0.
+
+    Returns (group, n_expected, n_actual, psi).
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bin_id = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(F.least(F.floor((v - F.col("__lo")) / width), F.lit(bins - 1)))
+        .cast("int")
+    )
+    counts = (
+        df.join(F.broadcast(bounds), group_col)
+        .select(F.col(group_col), bin_id.alias("__bin"), is_actual.alias("__act"))
+        .groupBy(group_col, "__bin")
+        .agg(
+            F.sum(F.when(~F.col("__act"), 1).otherwise(0)).alias("cnt_e"),
+            F.sum(F.when(F.col("__act"), 1).otherwise(0)).alias("cnt_a"),
+        )
+    )
+    w = Window.partitionBy(group_col)
+    p = counts.select(
+        F.col(group_col),
+        "cnt_e",
+        "cnt_a",
+        F.greatest(F.col("cnt_e") / F.sum("cnt_e").over(w), F.lit(eps)).alias("__pe"),
+        F.greatest(F.col("cnt_a") / F.sum("cnt_a").over(w), F.lit(eps)).alias("__pa"),
+    )
+    return p.groupBy(group_col).agg(
+        F.sum("cnt_e").alias("n_expected"),
+        F.sum("cnt_a").alias("n_actual"),
+        F.round(F.sum((F.col("__pa") - F.col("__pe")) * F.log(F.col("__pa") / F.col("__pe"))), round_to).alias(
+            "psi"
+        ),
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 import meteor_spark.processors  # noqa: F401 — registers processor plugins (enrich_catalog)
 import meteor_spark.sources  # noqa: F401 — registers source plugins used by catalog queries
-from meteor_spark.operators import dedup, similarity, text, usage
+from meteor_spark.operators import dedup, drift, similarity, text, usage
 from meteor_spark.operators.profile import profile_df
 from meteor_spark.functions import sqlparser
 
@@ -1477,6 +1477,45 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Exact quantiles, embedding statistics, correlated subquery
 # --------------------------------------------------------------------------
+
+
+@query(
+    "event_value_drift_psi",
+    """
+    WITH e AS (
+      SELECT event_type, value, (ts >= TIMESTAMP '2024-01-16') AS act FROM events),
+    bounds AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi FROM e GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10)) AS INTEGER), 9) END AS bin,
+             act
+      FROM e JOIN bounds USING (event_type)),
+    counts AS (
+      SELECT event_type, bin,
+             sum(CASE WHEN NOT act THEN 1 ELSE 0 END) AS cnt_e,
+             sum(CASE WHEN act THEN 1 ELSE 0 END) AS cnt_a
+      FROM binned GROUP BY event_type, bin),
+    p AS (
+      SELECT event_type, cnt_e, cnt_a,
+             greatest(cnt_e / sum(cnt_e) OVER (PARTITION BY event_type), 1e-6) AS pe,
+             greatest(cnt_a / sum(cnt_a) OVER (PARTITION BY event_type), 1e-6) AS pa
+      FROM counts)
+    SELECT event_type, sum(cnt_e) AS n_expected, sum(cnt_a) AS n_actual,
+           round(sum((pa - pe) * ln(pa / pe)), 4) AS psi
+    FROM p GROUP BY event_type
+    """,
+)
+def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the month (operators.drift.psi_drift): did the value
+    distribution shift? One map-side-combined groupBy over the facts;
+    shuffle = bins x types rows."""
+    e = _t(spark, sf_dir, "events")
+    return drift.psi_drift(
+        e, "value", "event_type", F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), bins=10
+    )
 
 
 @query(
