@@ -712,6 +712,62 @@ def catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CATALOG_SNAP_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, {_N_COLS[t]} AS n_columns, count(*) AS total_rows FROM {t}"
+    for t in _TABLES
+)
+
+
+@query(
+    "catalog_snapshot_diff",
+    f"""
+    WITH new_snap AS ({_CATALOG_SNAP_SQL}),
+    old_snap AS (
+      SELECT table_name, n_columns, total_rows FROM new_snap
+      WHERE table_name NOT IN ('events', 'documents', 'embeddings', 'orders')
+      UNION ALL
+      SELECT 'orders', 6, count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'staging_tmp', 3, 42),
+    o AS (SELECT table_name, TRUE AS in_old, n_columns AS n_columns_old, total_rows AS total_rows_old FROM old_snap),
+    n AS (SELECT table_name, TRUE AS in_new, n_columns AS n_columns_new, total_rows AS total_rows_new FROM new_snap)
+    SELECT table_name,
+           CASE WHEN in_old IS NULL THEN 'added'
+                WHEN in_new IS NULL THEN 'removed'
+                WHEN n_columns_old IS DISTINCT FROM n_columns_new
+                     OR total_rows_old IS DISTINCT FROM total_rows_new THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           n_columns_old, n_columns_new, total_rows_old, total_rows_new
+    FROM o FULL JOIN n USING (table_name)
+    """,
+)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog drift between two extraction runs (drift.snapshot_diff):
+    the new snapshot is the REAL parquet_catalog walk; the old one
+    replays it minus three tables (-> added), with a dropped staging
+    table (-> removed) and orders frozen at an earlier date cutoff
+    (-> changed). Full outer join on the asset key, null-safe attribute
+    compare; presence flags decide membership."""
+    new_snap = catalog_assets(spark, sf_dir)
+    orders_old = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .agg(F.count("*").alias("total_rows"))
+        .select(F.lit("orders").alias("table_name"), F.lit(6).alias("n_columns"), "total_rows")
+    )
+    staging = spark.range(1).select(
+        F.lit("staging_tmp").alias("table_name"),
+        F.lit(3).alias("n_columns"),
+        F.lit(42).cast("long").alias("total_rows"),
+    )
+    old_snap = (
+        new_snap.filter(~F.col("table_name").isin("events", "documents", "embeddings", "orders"))
+        .unionByName(orders_old)
+        .unionByName(staging)
+    )
+    return drift.snapshot_diff(old_snap, new_snap, ["table_name"], ["n_columns", "total_rows"])
+
+
 # --------------------------------------------------------------------------
 # SQL condition mining (reference: bigquery/sqlparser/parser.go)
 # --------------------------------------------------------------------------

@@ -39,3 +39,29 @@ def test_groups_are_independent(spark):
     df = spark.createDataFrame(stable + drifted, "g string, value double, act boolean")
     rows = {r["g"]: r["psi"] for r in drift.psi_drift(df, "value", "g", F.col("act")).collect()}
     assert rows["a"] == 0.0 and rows["b"] > 1.0
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)], "k string, x int, y int"
+    )
+    new = spark.createDataFrame(
+        [("b", 2, 20), ("c", 3, 99), ("d", 4, 40)], "k string, x int, y int"
+    )
+    rows = {
+        r["k"]: r
+        for r in drift.snapshot_diff(old, new, ["k"], ["x", "y"]).collect()
+    }
+    assert rows["a"]["status"] == "removed" and rows["a"]["x_new"] is None
+    assert rows["b"]["status"] == "unchanged"
+    assert rows["c"]["status"] == "changed" and (rows["c"]["y_old"], rows["c"]["y_new"]) == (30, 99)
+    assert rows["d"]["status"] == "added" and rows["d"]["x_old"] is None
+
+
+def test_snapshot_diff_null_values_are_not_membership(spark):
+    # a NULL attribute on both sides is 'unchanged', not added/removed;
+    # NULL -> value is 'changed'
+    old = spark.createDataFrame([("a", None), ("b", None)], "k string, x int")
+    new = spark.createDataFrame([("a", None), ("b", 5)], "k string, x int")
+    rows = {r["k"]: r["status"] for r in drift.snapshot_diff(old, new, ["k"], ["x"]).collect()}
+    assert rows == {"a": "unchanged", "b": "changed"}
