@@ -51,6 +51,57 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def list_data_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, via the Hadoop
+    FileSystem API — works on any supported filesystem (local/HDFS/S3),
+    not just local paths."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(suffix):
+            out.append((p, st.getLen()))
+    return out
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target_bytes) files (the Delta OPTIMIZE /
+    bin-packing story without a table format).
+
+    The small-file problem IS a 100 TB problem: a streaming or
+    per-partition writer leaves thousands of KB-sized files, and every
+    downstream scan pays a task + open + footer read per file. One
+    bounded rewrite amortizes that forever.
+
+    `shuffle=False` (default) uses coalesce — no exchange, input files
+    are bin-packed into output tasks; sizes are approximate but the
+    rewrite moves no rows between executors. `shuffle=True` pays one
+    round-robin exchange for evenly-sized output files.
+
+    Returns (n_files_before, n_files_after).
+    """
+    import math
+
+    files = list_data_files(spark, in_path)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(in_path)
+    df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return len(files), len(list_data_files(spark, out_path))
+
+
 def zorder_value(cols: list, bits: int = 16) -> F.Column:
     """Z-order (Morton) curve value from numeric columns: each column is
     rank-normalized to `bits` bits by the caller (see write_zordered) and

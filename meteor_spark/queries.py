@@ -1574,6 +1574,21 @@ def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_distinct_sketch_rollup")  # no oracle: HLL registers are engine-specific, rows-only
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (operators.sketches): per-day HLL user
+    sketches merged up to per-type distinct counts WITHOUT rescanning
+    raw data — union-of-daily equals sketch-of-whole exactly (registers
+    merge by max). The re-aggregatable form of the reference's
+    APPROX_COUNT_DISTINCT (bigquery.go:392); accuracy and merge
+    invariance pinned in tests/test_sketches.py."""
+    from meteor_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.distinct_sketches(e, ["event_type", "day"], "user_id")
+    return sketches.merge_distinct(daily, ["event_type"])
+
+
 @query(
     "event_value_percentiles",
     """

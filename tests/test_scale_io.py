@@ -118,3 +118,35 @@ def test_zorder_write_tightens_file_stats_on_both_dims(spark, sf_dir, tmp_path):
         # range (z-interleave gives every dim locality, not just the
         # primary sort key)
         assert avg_span < 0.8 * full, f"{col}: avg file span {avg_span} vs global {full}"
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    from meteor_spark.io import compact_files, list_data_files
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(64).write.parquet(src)  # simulate a small-file mess
+    assert len(list_data_files(spark, src)) == 64
+
+    before, after = compact_files(spark, src, dst, target_bytes=8 << 20)
+    assert before == 64 and after < 8
+    # the rewrite is lossless
+    a = spark.read.parquet(dst)
+    assert a.count() == events.count()
+    assert sorted(a.columns) == sorted(events.columns)
+    assert a.agg(F.sum("value")).first()[0] == pytest.approx(
+        events.agg(F.sum("value")).first()[0]
+    )
+
+
+def test_compact_files_shuffle_mode_even_sizes(spark, sf_dir, tmp_path):
+    from meteor_spark.io import compact_files, list_data_files
+
+    src = str(tmp_path / "shattered2")
+    dst = str(tmp_path / "compacted2")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(32).write.parquet(src)
+    compact_files(spark, src, dst, target_bytes=16 << 10, shuffle=True)
+    sizes = [sz for _, sz in list_data_files(spark, dst)]
+    assert len(sizes) >= 2
+    assert max(sizes) < 2.5 * min(sizes)  # round-robin keeps files even
