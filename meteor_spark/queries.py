@@ -1217,6 +1217,32 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join driven to completion (watermarked
+    symmetric hash join, append mode): purchases attributed to same-user
+    clicks in the trailing hour. Bounded state via watermark + interval
+    bound; on bounded input equals the batch interval join — the oracle."""
+    from meteor_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        stream_events,
+        stream_stream_attribution,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_batch(stream_stream_attribution(events), output_mode="append")
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,

@@ -120,6 +120,47 @@ def stream_static_enrich(stream_df: DataFrame, dim_df: DataFrame, on: list) -> D
     return stream_df.join(dim_df, on)
 
 
+def stream_stream_attribution(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval self-join: attribute each purchase to every
+    click by the same user within the trailing `horizon`.
+
+    Both sides carry watermarks and the join condition bounds event time
+    (click_ts in [purchase_ts - horizon, purchase_ts]), so Spark's
+    symmetric hash join can EVICT state older than watermark + horizon —
+    bounded memory on an unbounded stream, the property a batch range
+    join can't give you. Append mode; on bounded input the result equals
+    the batch interval join (the oracle's assertion).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND click_ts >= purchase_ts - INTERVAL {horizon}"
+            " AND click_ts <= purchase_ts"
+        ),
+    ).select("purchase_id", "click_id", "user_id", F.round("value", 2).alias("purchase_value"))
+
+
 def incremental_dedup_stream(
     spark,
     watch_dir: str,

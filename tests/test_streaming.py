@@ -63,3 +63,33 @@ def test_incremental_dedup_stream_cross_batch(spark, tmp_path):
     )
     # 20 is a normalized dup of 10 (case/whitespace), 22 re-crawls corpus
     assert sorted(r["doc_id"] for r in out.collect()) == [10, 11, 21]
+
+
+def test_stream_stream_join_is_stateful_symmetric_hash(spark, sf_dir):
+    from meteor_spark.streaming.pipeline import stream_stream_attribution
+
+    events = stream_events(spark, sf_dir)
+    joined = stream_stream_attribution(events)
+    # the logical plan must be a genuine stream-stream join (both sides
+    # streaming, event-time bound), not a degenerate stream-static join
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+
+    out = run_stream_to_batch(joined, output_mode="append")
+    from meteor_spark.io import read_parquet_table
+
+    b = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    p = b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts"), "value"
+    )
+    c = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    expected = (
+        p.join(c, (F.col("user_id") == F.col("cu"))
+               & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+               & (F.col("cts") <= F.col("pts")))
+        .select("purchase_id", "click_id", "user_id", F.round("value", 2).alias("purchase_value"))
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expected.collect()}
