@@ -70,3 +70,39 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return f.join(d, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Heavy-hitter diagnostic: the top-k join/aggregation keys by row
+    count, each with its share of the table and its skew factor (count
+    over the mean count per distinct key). A skew factor in the hundreds
+    means a plain shuffle on this key serializes on one reducer — the
+    signal to reach for salted_join/salted_agg or AQE skew splitting.
+
+    One map-side-combined groupBy over the facts; the per-key counts are
+    then joined to a broadcast 1-row global summary (total rows, number
+    of distinct keys) and top-k'd via TakeOrderedAndProject — no global
+    sort. The counts frame is persisted because it feeds BOTH the
+    summary and the top-k: without it each branch re-scans the input
+    (one row per distinct key — small next to the facts).
+    """
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n")).persist()
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("__total"), round_to).alias("share"),
+            F.round(F.col("n") * F.col("__n_keys") / F.col("__total"), round_to).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), *keys)
+        .limit(top_k)
+    )

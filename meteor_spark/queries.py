@@ -483,6 +483,48 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_key_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+    SELECT user_id, n, round(n / total, 4) AS share,
+           round(n * n_keys / total, 4) AS skew_factor
+    FROM c, t ORDER BY n DESC, user_id LIMIT 10
+    """,
+)
+def event_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostic (skew.key_skew_report): top-10 event keys
+    with table share and skew factor vs the mean key — the
+    decide-before-you-salt report for join/agg key choice."""
+    from meteor_spark.operators import skew
+
+    return skew.key_skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_k=10)
+
+
+@query(
+    "props_variant_agg",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured attributes via Spark 4's native VariantType:
+    parse_json once, variant_get typed extraction. Unlike the JSON-string
+    path (props_json_agg), variant is the storage form that supports
+    shredding — at 100 TB the parsed/typed representation is written
+    once instead of re-parsing strings per query."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "events_asof_purchase",
     """
     SELECT e.event_id, e.user_id,

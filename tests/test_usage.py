@@ -64,3 +64,17 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         plain = li.join(dim, on=["l_suppkey"], how=how)
         salted = salted_join(li, dim, on=["l_suppkey"], how=how, salt_buckets=8)
         assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_key_skew_report_math(spark):
+    from meteor_spark.operators import skew
+
+    # key "hot" has 8 of 12 rows across 5 distinct keys
+    rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew.key_skew_report(df, ["k"], top_k=3).collect()
+    assert [r["k"] for r in out] == ["hot", "a", "b"]  # ties break on key
+    top = out[0]
+    assert top["n"] == 8
+    assert top["share"] == round(8 / 12, 4)
+    assert top["skew_factor"] == round(8 * 5 / 12, 4)  # 3.3333x the mean key
