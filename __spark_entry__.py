@@ -6,11 +6,12 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  beyond-reference training-data operators (dedup incl.
                  clustering + incremental, similarity search, text
                  hygiene/quality/chunking, sampling, range join,
-                 streaming incl. session windows & stream-static join) —
-                 91 entries, 85 with exact DuckDB oracles.
+                 streaming incl. session windows, stream-static and
+                 stream-stream joins, drift/contamination/sketch ops) —
+                 98 entries, 91 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
-                 the 5 approximate operators are rows-only and have no
-                 oracle).
+                 the 7 approximate/iterative operators are rows-only and
+                 have no oracle).
 """
 
 from __future__ import annotations
