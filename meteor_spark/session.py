@@ -35,5 +35,16 @@ def get_spark(app_name: str = "meteor_spark", shuffle_partitions: int | None = N
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
+        # size(f(x)) > 0 filter with f fully INLINED — for this engine's
+        # explodes (shingles, n-grams, chunks: non-empty by construction)
+        # that re-runs the tokenizer per array element in an always-true
+        # predicate; measured 4x on the n-gram sweep queries. Catalyst
+        # skips inference only for judged-expensive generators, and these
+        # alias chains dodge that guard.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()
