@@ -51,6 +51,13 @@ def main() -> None:
         if t > 3.0:
             t2 = run_once(name, fn)
             if t2 > 0:
+                # a noisy-neighbor burst can span BOTH runs; when the two
+                # measurements disagree by >2x, one of them was a bad
+                # window — buy a third sample before trusting the min
+                if min(t, t2) > 3.0 and max(t, t2) / min(t, t2) > 2.0:
+                    t3 = run_once(name, fn)
+                    if t3 > 0:
+                        t2 = min(t2, t3)
                 t = min(t, t2)
         timings[name] = t
 

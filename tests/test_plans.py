@@ -224,3 +224,18 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
         bloom_rows = {tuple(r) for r in joined().collect()}
     plain_rows = {tuple(r) for r in joined().collect()}
     assert bloom_rows == plain_rows  # reduction never changes results
+
+
+def test_no_inferred_size_filter_from_explode(spark):
+    # InferFiltersFromGenerate is excluded session-wide: its inferred
+    # size(f(x)) > 0 predicate inlines the tokenizer into a scan-level
+    # filter and re-evaluates the split per array element (measured 4x
+    # on the n-gram sweep). Regression pin: no size(split(...)) filter
+    # below the gram projection.
+    opt = (
+        QUERIES["corpus_top_bigrams"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "size(split" not in opt
