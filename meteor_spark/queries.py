@@ -1206,6 +1206,33 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("jac") >= 0.05).select("a", "b", F.round("jac", 4).alias("jaccard"))
 
 
+@query(
+    "prefix_filter_jaccard_pairs",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+             i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM nd),
+    scored AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.s, b.s)) AS si, len(a.s) AS la, len(b.s) AS lb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT a, b, round(si::DOUBLE / (la + lb - si), 4) AS jaccard
+    FROM scored WHERE round(si::DOUBLE / (la + lb - si), 4) >= 0.5
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide Jaccard >= 0.5 pairs via prefix filtering
+    (dedup.prefix_filter_jaccard_pairs): rare-token prefixes make the
+    candidate equi-join lossless AND near-quadratic-free — the auditable
+    alternative to probabilistic LSH. Oracle = brute-force all pairs, so
+    the gate itself proves the filter loses nothing."""
+    docs = _docs(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Similarity search (beyond-reference)
 # --------------------------------------------------------------------------

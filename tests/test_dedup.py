@@ -135,6 +135,37 @@ def test_lsh_recall_on_planted_near_dups(spark):
     assert not missed, f"LSH missed planted near-dups: {missed}"
 
 
+def test_prefix_filter_jaccard_equals_naive(spark, sf_dir):
+    """Prefix filtering is EXACT: the rare-first prefix equi-join may
+    never lose a pair vs the O(n^2) Jaccard definition."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = 0.5
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    sh = dedup.shingle_frame(docs).withColumn("sz", F.size("sh")).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    si = F.size(F.array_intersect("a.sh", "b.sh"))
+    jac = si.cast("double") / (F.col("a.sz") + F.col("b.sz") - si)
+    naive = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+    sh.unpersist()
+    assert got == naive
+    assert naive, "fixture should contain at least one qualifying pair"
+
+
 def test_blocked_hamming_pairs_equal_naive(spark, sf_dir):
     """pigeonhole blocking is exact: candidate pruning may never lose a
     pair vs the O(n^2) definition."""
