@@ -467,3 +467,63 @@ def prefix_filter_jaccard_pairs(
         .select("a", "b", F.round(jac, round_to).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated SPANS — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL'22): find every maximal token range that also appears
+    verbatim in some OTHER document, so a curation pipeline can excise
+    boilerplate (headers, license blocks, templated paragraphs) without
+    dropping whole near-unique documents.
+
+    Relational formulation (vs the paper's suffix array): every k-token
+    window is fingerprinted at its position; a window whose gram text
+    occurs in >= 2 distinct documents is "shared"; per document,
+    overlapping/adjacent shared windows (start gap <= k) merge into
+    maximal spans via the gap-and-islands window. Returns one row per
+    span: (id, span_start, span_end, span_tokens) in 0-based token
+    indices, end inclusive.
+
+    Scale: shuffle 1 groups gram fingerprints (md5 keys — uniform, no
+    hot keys) with map-side combine; shuffle 2 is a semi join of
+    positions against the shared-gram set; shuffle 3 re-groups ONLY the
+    surviving positions per doc for the island merge. Text is tokenized
+    once (materialized words projection — Catalyst would otherwise
+    inline the tokenizer into the per-window lambda).
+    """
+    from pyspark.sql import Window
+
+    worded = df.select(
+        F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws")
+    )
+    grams = worded.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("__ws") - (k - 1), F.lit(1))),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__ws", i, k))),
+            )
+        ).alias("pos", "gram"),
+    ).persist()  # feeds BOTH the shared-gram agg and the position semi join — tokenize once
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(shared, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "brk", F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+    ).withColumn("isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return isl.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")

@@ -81,3 +81,38 @@ def weighted_sample(
         .orderBy(F.col("log_priority").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Cap every group at `cap` rows — the domain-balancing primitive of
+    web-corpus curation (no single source/domain may dominate the mix).
+
+    Selection is deterministic: rows rank within their group by
+    (md5-bucket of key, key) and ranks > cap are dropped, so the
+    surviving row SET is stable across runs, partitionings, and engines,
+    and a re-crawl only swaps members whose hash order changed. Ordering
+    by the hash rather than arrival order makes the cap an unbiased
+    subsample of the group instead of a head-of-crawl prefix.
+
+    Scale: row_number + `<= cap` is Spark's WindowGroupLimit shape — the
+    limit is applied map-side BEFORE the exchange, so a hot domain with
+    100M pages ships only `cap` candidate rows per input partition, not
+    the whole group, through the shuffle. No full-group sort ever
+    materializes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), buckets), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )

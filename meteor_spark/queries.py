@@ -3324,3 +3324,107 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 3: domain balancing, substring dedup,
+# sequence packing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000,
+                        doc_id) AS rk
+      FROM documents) WHERE rk <= 15
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (sampling.quota_cap): cap every source at 15
+    docs, chosen by deterministic hash rank — no source dominates the
+    training mix, and the surviving set is engine-reproducible.
+    WindowGroupLimit applies the cap map-side before the shuffle."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.quota_cap(docs, "doc_id", "source", cap=15).select("doc_id", "source")
+
+
+@query(
+    "duplicated_span_report",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(ws, i, i + 4), ' ')) AS gram
+      FROM nd, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS t(i)),
+    s AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    h AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN s USING (gram)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM h),
+    j AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM b)
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           max(pos) - min(pos) + 5 AS span_tokens
+    FROM j GROUP BY doc_id, isl
+    """,
+)
+def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (dedup.duplicated_spans, Lee et al. ACL'22
+    relationally): every maximal token span whose 5-gram windows all
+    occur in some other document — the boilerplate-excision report. The
+    oracle rebuilds the identical windows, shared-gram set, and island
+    merge in SQL."""
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicated_spans(docs, k=5)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM tk)
+    SELECT doc_id, source, n_tokens,
+           cb // 512 AS first_seq,
+           cb % 512 AS seq_offset,
+           CASE WHEN n_tokens <= 0 THEN 0
+                ELSE (cb + n_tokens - 1) // 512 - cb // 512 + 1 END AS n_seqs
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing manifest (packing.pack_manifest):
+    per document, the 512-token training sequence it starts in, its
+    offset, and how many sequences it spans — one codegen'd cumsum
+    window per source stream, no Python."""
+    from meteor_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
+    )
+    return packing.pack_manifest(tk, "n_tokens", seq_len=512)

@@ -190,3 +190,21 @@ def test_blocked_hamming_pairs_equal_naive(spark, sf_dir):
     }
     sh.unpersist()
     assert blocked == naive
+
+
+def test_duplicated_spans_planted_boilerplate(spark):
+    """A license block shared by two docs must surface as one maximal
+    span in each, with exact token boundaries; unique text never does."""
+    boiler = "this content is licensed under the creative commons attribution license"  # 10 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon"),
+        (2, f"{boiler} zeta eta theta iota kappa"),
+        (3, "totally unrelated words about spark shuffles and parquet files here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+             for r in dedup.duplicated_spans(df, k=5).collect()}
+    # doc1: boiler occupies tokens 3..12; doc2: tokens 0..9
+    assert spans[1] == (3, 12, 10)
+    assert spans[2] == (0, 9, 10)
+    assert 3 not in spans

@@ -80,3 +80,59 @@ def test_time_range_join_plan_is_equi_join(spark):
     right = spark.createDataFrame([(10, _ts("2024-01-01 09:30:00"))], ["rid", "r_ts"])
     plan = time_range_join(left, right, "l_ts", "r_ts", -3600, 0)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quota_cap_respects_cap_and_is_subset(spark):
+    from meteor_spark.operators import sampling
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = sampling.quota_cap(df, "doc_id", "source", cap=7)
+    out = capped.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in out} == {"g0": 7, "g1": 7, "g2": 7}
+    # deterministic: same selection twice; a group under the cap keeps all rows
+    again = {r["doc_id"] for r in sampling.quota_cap(df, "doc_id", "source", cap=7).collect()}
+    assert again == {r["doc_id"] for r in capped.collect()}
+    small = sampling.quota_cap(df.filter("doc_id < 5"), "doc_id", "source", cap=7)
+    assert small.count() == 5
+
+
+def test_quota_cap_plan_uses_window_group_limit(spark):
+    from meteor_spark.operators import sampling
+
+    df = spark.createDataFrame([(i, "g") for i in range(10)], "doc_id long, source string")
+    plan = sampling.quota_cap(df, "doc_id", "source", cap=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # cap applied map-side before the exchange
+
+
+def test_pack_manifest_arithmetic(spark):
+    from meteor_spark.operators.packing import pack_manifest
+
+    # one stream: docs of 300, 300, 500 tokens, L=512
+    rows = [(1, "s", 300), (2, "s", 300), (3, "s", 500), (4, "t", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r["doc_id"]: r for r in pack_manifest(df, "n_tokens", 512).collect()}
+    # doc1: [0,300) -> seq0 offset0, 1 seq
+    assert (got[1]["first_seq"], got[1]["seq_offset"], got[1]["n_seqs"]) == (0, 0, 1)
+    # doc2: [300,600) -> starts seq0 offset300, crosses into seq1
+    assert (got[2]["first_seq"], got[2]["seq_offset"], got[2]["n_seqs"]) == (0, 300, 2)
+    # doc3: [600,1100) -> seq1 offset88, spans seq1-seq2
+    assert (got[3]["first_seq"], got[3]["seq_offset"], got[3]["n_seqs"]) == (1, 88, 2)
+    # empty doc occupies no sequence
+    assert got[4]["n_seqs"] == 0
+
+
+def test_pack_manifest_streams_are_independent(spark):
+    from meteor_spark.operators.packing import pack_manifest
+
+    rows = [(i, f"s{i % 4}", 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = pack_manifest(df, "n_tokens", 256).collect()
+    assert all(0 <= r["seq_offset"] < 256 for r in out)
+    # per stream, first doc starts at (0, 0); offsets are the running sum mod L
+    for src in {r["source"] for r in out}:
+        stream = sorted((r for r in out if r["source"] == src), key=lambda r: r["doc_id"])
+        cum = 0
+        for r in stream:
+            assert (r["first_seq"], r["seq_offset"]) == (cum // 256, cum % 256)
+            cum += r["n_tokens"]
