@@ -414,7 +414,7 @@ def event_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM g GROUP BY user_id
     """,
 )
@@ -464,7 +464,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_json_agg",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT))                    AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)    AS sum_k,
            count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_big
     FROM events
     GROUP BY event_type
@@ -1153,7 +1153,7 @@ bits AS (
 sums AS (
   SELECT doc_id, pos, sum(contrib) AS s FROM bits GROUP BY doc_id, pos)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id
 """
 
