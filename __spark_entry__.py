@@ -43,9 +43,34 @@ def entry(spark: SparkSession) -> DataFrame:
     ).orderBy("table_name")
 
 
+# Queries that already have a correctness row in CORRECTNESS_r01/r02.
+# The driver's oracle harness samples a prefix of the registration order,
+# so entries NOT yet checked are surfaced first; previously-green ones
+# follow (registration order is otherwise preserved).
+_CHECKED_ROUNDS_1_2 = {
+    "ann_cosine_topk", "catalog_assets", "catalog_snapshot_diff",
+    "customer_order_set_ops", "customers_without_orders", "dedup_exact_survivors",
+    "embedding_near_dup_pairs", "enrich_catalog", "event_join_pairs",
+    "event_key_skew_report", "events_asof_purchase", "events_hourly_rollup",
+    "events_multi_rollup", "events_usage", "events_usage_salted",
+    "exact_dup_groups", "ivf_ann_topk", "lineitem_price_histogram",
+    "minhash_near_duplicates", "multimodal_features", "near_dup_cluster_survivors",
+    "near_dup_clusters", "ngram_jaccard_pairs", "orders_rollup",
+    "orders_running_total", "orders_with_returns", "prefix_filter_jaccard_pairs",
+    "preview_lineitem", "profile_lineitem", "profile_orders", "props_json_agg",
+    "props_variant_agg", "purchase_click_attribution", "q1_pricing_summary",
+    "q3_top_orders", "q5_nation_revenue", "row_counts", "scrub_documents",
+    "simhash_docs", "sql_api_revenue", "sql_condition_mining", "srp_ann_topk",
+    "stratified_sample", "streaming_click_attribution", "streaming_hourly_rollup",
+    "text_analysis", "top_customers", "user_event_grants", "user_sessions",
+    "winnowing_fingerprints",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    unchecked_first = sorted(QUERIES, key=lambda n: n in _CHECKED_ROUNDS_1_2)
+    return {n: QUERIES[n] for n in unchecked_first}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in queries() if n in ORACLES}

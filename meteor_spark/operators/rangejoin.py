@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meteor_spark.functions import unix_us
+
 
 def time_range_join(
     left: DataFrame,
@@ -46,8 +48,8 @@ def time_range_join(
     # microsecond precision: unix_timestamp() truncates to seconds, which
     # silently moves the window edges for sub-second timestamps
     lo_us, up_us, bucket_us = lower_seconds * 1_000_000, upper_seconds * 1_000_000, bucket_seconds * 1_000_000
-    l_unix = F.unix_micros(F.col(left_ts))
-    r_unix = F.unix_micros(F.col(right_ts))
+    l_unix = unix_us(left_ts)
+    r_unix = unix_us(right_ts)
 
     lo_bucket = F.floor((l_unix + lo_us) / bucket_us)
     hi_bucket = F.floor((l_unix + up_us) / bucket_us)
@@ -58,5 +60,5 @@ def time_range_join(
     joined = l.join(r, cond).drop(r["__bucket"])
     for k in keys:
         joined = joined.drop(r[k])
-    lj, rj = F.unix_micros(F.col(left_ts)), F.unix_micros(F.col(right_ts))
+    lj, rj = unix_us(left_ts), unix_us(right_ts)
     return joined.filter((rj >= lj + lo_us) & (rj < lj + up_us)).drop("__bucket")

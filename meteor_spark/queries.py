@@ -26,7 +26,7 @@ import meteor_spark.processors  # noqa: F401 — registers processor plugins (en
 import meteor_spark.sources  # noqa: F401 — registers source plugins used by catalog queries
 from meteor_spark.operators import dedup, drift, similarity, text, usage
 from meteor_spark.operators.profile import profile_df
-from meteor_spark.functions import sqlparser
+from meteor_spark.functions import sqlparser, unix_us
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -425,7 +425,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the shared partitioning)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = unix_us("ts")
     lag = F.lag(us).over(w)
     new_session = F.when(lag.isNull() | ((us - lag) > 1800 * 1_000_000), 1).otherwise(0)
     return (
@@ -1183,27 +1183,50 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 @query("ngram_jaccard_pairs", _NGRAM_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: candidate pairs only within a
-    (lang, source) block — the blocking key bounds the quadratic term;
-    at scale swap the block key for LSH bands (minhash_near_duplicates)."""
+    """Exact within-block n-gram Jaccard via an INVERTED-INDEX
+    join-aggregate, not a block-quadratic self-join: explode distinct
+    shingles, equi-join postings on (lang, source, gram), and COUNT
+    shared grams per pair — |A∩B| computed by the aggregate, |A∪B| =
+    |A|+|B|-|A∩B| from precomputed set sizes. Pairs sharing zero grams
+    (jaccard 0 < threshold) never materialize at all.
+
+    Scale: work is Σ_gram df(gram)² within each (lang, source) block —
+    the join key includes the gram, so hot blocks spread across
+    partitions by token instead of one task per block². The r2
+    formulation (all block pairs × array_intersect) shuffled both
+    shingle arrays per candidate pair (~KB/row); this shuffles two ids
+    and a count. For corpus-scale thresholds ≥0.5 the PPJoin prefix
+    filter (prefix_filter_jaccard_pairs) prunes further; at t=0.05 the
+    prefix is ~the whole set, so the plain inverted index IS the
+    optimal exact plan."""
     docs = _docs(spark, sf_dir)
-    sh = dedup.shingle_frame(docs, "text", "doc_id", _NGRAM_K, extra_cols=("lang", "source")).persist()
-    a, b = sh.alias("a"), sh.alias("b")
-    # project the intersect size to a scalar BEFORE filtering so the
-    # dominant array_intersect runs once per pair (filter-then-project
-    # would recompute it; no cross-operator CSE)
-    si = F.size(F.array_intersect("a.sh", "b.sh"))
-    scored = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("a"),
-        F.col("b.doc_id").alias("b"),
-        (si.cast("double") / (F.size("a.sh") + F.size("b.sh") - si)).alias("jac"),
+    sh = dedup.shingle_frame(docs, "text", "doc_id", _NGRAM_K, extra_cols=("lang", "source"))
+    toks = sh.select(
+        "doc_id", "lang", "source", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
     )
-    return scored.filter(F.col("jac") >= 0.05).select("a", "b", F.round("jac", 4).alias("jaccard"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.05)
+        .select("a", "b", F.round("jac", 4).alias("jaccard"))
+    )
 
 
 @query(
@@ -2879,13 +2902,13 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle instead of a full per-key sort."""
     e = _t(spark, sf_dir, "events")
     key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(unix_us("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
     return e.groupBy("user_id").agg(
         F.max_by("event_type", key).alias("last_type"),
         F.round(F.max_by("value", key), 4).alias("last_value"),
-        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        F.max(unix_us("ts")).alias("last_ts_us"),
     )
 
 
@@ -3071,7 +3094,7 @@ def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted = conv.agg(
         F.count("*").alias("n_converted"),
         F.round(
-            F.avg((F.unix_micros("first_purchase") - F.unix_micros("first_click")) / 1e6), 2
+            F.avg((unix_us("first_purchase") - unix_us("first_click")) / 1e6), 2
         ).alias("avg_secs_to_convert"),
     )
     return clicked.crossJoin(F.broadcast(converted)).select(

@@ -33,8 +33,9 @@ def get_spark(app_name: str = "meteor_spark", shuffle_partitions: int | None = N
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # fixture events.parquet stores TIMESTAMP(NANOS); read as long + convert
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # (nanosAsLong no longer set here: current fixtures store
+        # timestamp[us]; io.read_parquet_table sets the legacy conf
+        # on-demand and converts if a nanos fixture ever returns)
         # InferFiltersFromGenerate turns every explode(f(x)) into a pushed
         # size(f(x)) > 0 filter with f fully INLINED — for this engine's
         # explodes (shingles, n-grams, chunks: non-empty by construction)

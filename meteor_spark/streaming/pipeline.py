@@ -30,27 +30,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) parquet -> long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def normalize_ts(raw: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize whatever timestamp flavor the fixture shipped with —
+    nanos-as-long (r1), timestamp[us]/TIMESTAMP_NTZ (r2), or a true
+    TIMESTAMP — to TIMESTAMP under the pinned-UTC session TZ, so
+    watermarks/windows behave identically regardless of fixture vintage."""
+    ts_type = raw.schema[col].dataType
+    if isinstance(ts_type, T.LongType):
+        # legacy nanos-as-long: truncate to micros (DuckDB does the same)
+        return raw.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return raw.withColumn(col, F.col(col).cast("timestamp"))
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming read of the events fixture with the schema taken from
+    the file footer itself (a batch read of the same path), so the
+    driver regenerating the fixture with a different timestamp physical
+    type can never desynchronize this reader from reality."""
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
     # the streaming file source wants a directory; glob-filter to the table
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def windowed_rollup(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

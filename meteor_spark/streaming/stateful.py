@@ -46,9 +46,9 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
 def sessionize_stateful(events: DataFrame) -> DataFrame:
     """events stream (with ts timestamp) -> per-user running session
     totals, emitted each micro-batch (update mode)."""
-    from pyspark.sql import functions as F
+    from meteor_spark.functions import unix_us
 
-    with_us = events.select("user_id", F.unix_micros("ts").alias("ts_us"))
+    with_us = events.select("user_id", unix_us("ts").alias("ts_us"))
     return with_us.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,

@@ -7,7 +7,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from meteor_spark.streaming.pipeline import EVENTS_SCHEMA
+from meteor_spark.streaming.pipeline import normalize_ts
 from meteor_spark.streaming.stateful import sessionize_stateful
 
 
@@ -20,26 +20,32 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     import os
     import time
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize whatever timestamp flavor the fixture has (nanos-long or
+    # timestamp[us]) so the quantile math is unit-agnostic
+    raw = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet")).withColumn(
+        "__us", F.unix_micros("ts")
+    )
     chunks = str(tmp_path / "chunks")
-    bounds = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    bounds = raw.approxQuantile("__us", [0.25, 0.5, 0.75], 0.0)
     edges = [float("-inf"), *bounds, float("inf")]
     base = time.time() - 1000
     seen: set[str] = set()
     for i in range(4):
-        part = raw.filter((raw.ts >= edges[i]) & (raw.ts < edges[i + 1])) if i else raw.filter(raw.ts < edges[1])
+        part = (
+            raw.filter((raw.__us >= edges[i]) & (raw.__us < edges[i + 1]))
+            if i
+            else raw.filter(raw.__us < edges[1])
+        ).drop("__us")
         part.coalesce(1).write.mode("append").parquet(chunks)
         for f in glob.glob(f"{chunks}/part-*"):
             if f not in seen:
                 os.utime(f, (base + i * 10, base + i * 10))
                 seen.add(f)
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = normalize_ts(
+        spark.readStream.schema(spark.read.parquet(chunks).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(chunks)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (
@@ -78,7 +84,6 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
     pytest.importorskip("google.protobuf.descriptor")
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     chunks = str(tmp_path / "tws_chunks")
     # 3 chunks by event_id stripe — state must merge users seen in
@@ -95,7 +100,7 @@ def test_transform_with_state_matches_batch(spark, sf_dir, tmp_path):
         from meteor_spark.streaming.stateful import user_activity_stateful
 
         stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(spark.read.parquet(chunks).schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(chunks)
         )
@@ -142,7 +147,8 @@ def test_transform_with_state_plan_builds(spark, sf_dir):
     the runtime client can't execute."""
     from meteor_spark.streaming.stateful import user_activity_stateful
 
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}")
+    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    stream = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     out = user_activity_stateful(stream)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value", "n_types"]
