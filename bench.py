@@ -61,24 +61,49 @@ def main() -> None:
                 t = min(t, t2)
         timings[name] = t
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Cold-path cost of the _SHARED dedup intermediates: the loop above
+    # times minhash_near_duplicates / near_dup_clusters as cache hits on
+    # the session-scoped shared frames (legitimate workload design — a
+    # shared CTE — but not a standalone cost). Report the first-build
+    # cost explicitly: drop the shared state and re-run cold. These
+    # *_cold entries are informational and EXCLUDED from the total (the
+    # build cost is already inside the loop's first minhash timing).
+    try:
+        from meteor_spark.queries import _SHARED
+
+        _SHARED.clear()
+        spark.catalog.clearCache()
+        for cold_name in ("minhash_near_duplicates", "near_dup_clusters"):
+            if cold_name in QUERIES:
+                timings[f"{cold_name}_cold"] = run_once(cold_name, QUERIES[cold_name])
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error timing cold shared builds: {e}", file=sys.stderr)
+
+    total = round(sum(t for k, t in timings.items() if t >= 0 and not k.endswith("_cold")), 3)
+    failed = sorted(k for k, t in timings.items() if t < 0)
     # Full per-query timings go to a side file; the stdout line must stay
     # SHORT — the driver keeps only the last ~2KB of stdout, and a JSON
     # line with all ~100 queries overflows that window and fails to parse
     # (this is exactly what nulled BENCH_r01).
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            },
-            f,
-            indent=1,
-        )
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(
+                {
+                    "metric": "total_query_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "failed": failed,
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+            )
+    except OSError as e:
+        # the side file is best-effort; the stdout line below must still
+        # print (a read-only checkout/full disk must not null the bench)
+        print(f"bench warning: could not write BENCH_FULL.json: {e}", file=sys.stderr)
     headline = [
         "q1_pricing_summary",
         "q3_top_orders",
@@ -105,12 +130,16 @@ def main() -> None:
         "profile_lineitem",
         "corpus_tfidf_terms",
         "purchase_click_attribution",
+        "minhash_near_duplicates_cold",
+        "near_dup_clusters_cold",
     ]
     line = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
-        "queries": {k: timings[k] for k in headline if k in timings},
+        # failed queries are listed by name, not as -1.0 "timings"
+        "queries": {k: timings[k] for k in headline if k in timings and timings[k] >= 0},
+        "failed": failed,
         "sf": sf,
         "n_queries": len(timings),
         "full_timings": "BENCH_FULL.json",
@@ -118,6 +147,7 @@ def main() -> None:
     out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1800:  # hard guard: never exceed the driver's tail window
         line["queries"] = {}
+        line["failed"] = failed[:10] + (["..."] if len(failed) > 10 else [])
         out = json.dumps(line, separators=(",", ":"))
     print(out)
     spark.stop()

@@ -71,12 +71,13 @@ def cmd_lint(args) -> int:
     agent = Agent(spark=None)
     bad = 0
     for r in recipes:
-        errors = agent.validate(r)
+        errors = agent.validate_located(r)
         if errors:
             bad += 1
             print(f"{r.name}: {len(errors)} error(s)")
-            for e in errors:
-                print(f"  - {e}")
+            for plug, e in errors:
+                where = f"{plug.key} (line {plug.line}): " if plug.key and plug.line else ""
+                print(f"  - {where}{e}")
         else:
             print(f"{r.name}: OK")
     return 1 if bad else 0

@@ -35,7 +35,13 @@ _TEMPLATE_RE = re.compile(r"\{\{\s*\.?([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
 
 
 class RecipeError(ValueError):
-    pass
+    """Parse/validation failure; carries the 1-based YAML line when the
+    offending node is known (reference keeps the yaml.Node per field —
+    recipe/node.go:10-24 — so lint can point at the typo's line)."""
+
+    def __init__(self, message: str, line: int | None = None):
+        super().__init__(f"{message} (line {line})" if line else message)
+        self.line = line
 
 
 @dataclass
@@ -43,6 +49,10 @@ class PluginRecipe:
     name: str
     config: dict[str, Any] = field(default_factory=dict)
     scope: str | None = None
+    # YAML location of this entry: its path key ("source", "sinks[2]")
+    # and 1-based line in the recipe file. None for recipes built in code.
+    key: str | None = None
+    line: int | None = None
 
 
 @dataclass
@@ -52,6 +62,36 @@ class Recipe:
     source: PluginRecipe
     sinks: list[PluginRecipe] = field(default_factory=list)
     processors: list[PluginRecipe] = field(default_factory=list)
+    # path -> 1-based line for every YAML node ("version", "sinks[0].name")
+    lines: dict[str, int] = field(default_factory=dict)
+
+
+def yaml_line_index(text: str) -> dict[str, int]:
+    """path -> 1-based line for every key/element in the YAML document,
+    via the composer's node marks ("version" -> 2, "sinks[0].name" -> 7).
+    The PyYAML twin of the reference keeping yaml.Node positions through
+    decode (recipe/node.go:10-24)."""
+    try:
+        root = yaml.compose(text)
+    except yaml.YAMLError:
+        return {}
+    idx: dict[str, int] = {}
+
+    def walk(node: yaml.Node, path: str) -> None:
+        if isinstance(node, yaml.MappingNode):
+            for k, v in node.value:
+                p = f"{path}.{k.value}" if path else str(k.value)
+                idx[p] = k.start_mark.line + 1
+                walk(v, p)
+        elif isinstance(node, yaml.SequenceNode):
+            for i, item in enumerate(node.value):
+                p = f"{path}[{i}]"
+                idx[p] = item.start_mark.line + 1
+                walk(item, p)
+
+    if root is not None:
+        walk(root, "")
+    return idx
 
 
 def vars_from_env(environ: dict[str, str] | None = None) -> dict[str, str]:
@@ -80,15 +120,29 @@ def render_template(text: str, variables: dict[str, Any]) -> str:
     return _TEMPLATE_RE.sub(sub, text)
 
 
-def _parse_plugin(node: Any, *, allow_type_alias: bool = False) -> PluginRecipe:
+def _parse_plugin(
+    node: Any,
+    *,
+    key: str | None = None,
+    lines: dict[str, int] | None = None,
+    allow_type_alias: bool = False,
+) -> PluginRecipe:
+    lines = lines or {}
+    line = lines.get(key) if key else None
     if not isinstance(node, dict):
-        raise RecipeError(f"plugin entry must be a mapping, got {type(node).__name__}")
+        raise RecipeError(f"plugin entry must be a mapping, got {type(node).__name__}", line)
     name = node.get("name")
     if not name and allow_type_alias:
         name = node.get("type")  # legacy alias (reference: recipe/node.go:42-77)
     if not name:
-        raise RecipeError("plugin entry missing 'name'")
-    return PluginRecipe(name=str(name), config=dict(node.get("config") or {}), scope=node.get("scope"))
+        raise RecipeError(f"plugin entry {key or ''} missing 'name'".replace("  ", " "), line)
+    return PluginRecipe(
+        name=str(name),
+        config=dict(node.get("config") or {}),
+        scope=node.get("scope"),
+        key=key,
+        line=line,
+    )
 
 
 def parse_recipe(text: str, *, default_name: str, variables: dict[str, Any] | None = None) -> Recipe:
@@ -96,24 +150,33 @@ def parse_recipe(text: str, *, default_name: str, variables: dict[str, Any] | No
     data = yaml.safe_load(rendered)
     if not isinstance(data, dict):
         raise RecipeError("recipe must be a YAML mapping")
+    lines = yaml_line_index(rendered)
     version = data.get("version")
     if version != LATEST_VERSION:
         raise RecipeError(
-            f"recipe version {version!r} is not supported; latest version is {LATEST_VERSION!r}"
+            f"recipe version {version!r} is not supported; latest version is {LATEST_VERSION!r}",
+            lines.get("version", 1),
         )
     if "source" not in data:
-        raise RecipeError("recipe missing 'source'")
-    source = _parse_plugin(data["source"], allow_type_alias=True)
-    sinks = [_parse_plugin(s) for s in data.get("sinks") or []]
-    processors = [_parse_plugin(p) for p in data.get("processors") or []]
+        raise RecipeError("recipe missing 'source'", 1)
+    source = _parse_plugin(data["source"], key="source", lines=lines, allow_type_alias=True)
+    sinks = [
+        _parse_plugin(s, key=f"sinks[{i}]", lines=lines)
+        for i, s in enumerate(data.get("sinks") or [])
+    ]
+    processors = [
+        _parse_plugin(p, key=f"processors[{i}]", lines=lines)
+        for i, p in enumerate(data.get("processors") or [])
+    ]
     if not sinks:
-        raise RecipeError("recipe must declare at least one sink")
+        raise RecipeError("recipe must declare at least one sink", 1)
     return Recipe(
         name=str(data.get("name") or default_name),
         version=version,
         source=source,
         sinks=sinks,
         processors=processors,
+        lines=lines,
     )
 
 

@@ -69,7 +69,13 @@ class Agent:
     def validate(self, recipe: Recipe) -> list[Exception]:
         """Collect every plugin-not-found / invalid-config error
         (reference: agent/agent.go:60-91)."""
-        errors: list[Exception] = []
+        return [e for _, e in self.validate_located(recipe)]
+
+    def validate_located(self, recipe: Recipe):
+        """(plugin, error) pairs so callers (lint) can report the YAML
+        key path and line of each failing entry (reference keeps the
+        yaml.Node per section for this — cmd/lint.go:144-177)."""
+        errors: list = []
         specs = [(registry.extractors, recipe.source)]
         specs += [(registry.sinks, s) for s in recipe.sinks]
         specs += [(registry.processors, p) for p in recipe.processors]
@@ -78,7 +84,7 @@ class Agent:
                 instance = reg.get(plug.name)
                 instance.validate(plug.config)
             except (registry.NotFoundError, InvalidConfigError) as e:
-                errors.append(e)
+                errors.append((plug, e))
         return errors
 
     def run(self, recipe: Recipe) -> Run:

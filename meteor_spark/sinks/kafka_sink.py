@@ -17,6 +17,11 @@ spark-protobuf package is on the classpath). The payload builder
 `kafka_rows` is a pure transformation (tested); the actual write needs
 the spark-sql-kafka connector jar, absent in this container, so sink()
 raises a clear error without it.
+
+Wire format: JSON by design — the reference publishes the compiled
+protobuf message instead; see docs/ADR-0001-kafka-wire-format.md for
+why, what differs on the wire (value encoding only; the record key and
+partition routing are identical), and the to_protobuf migration path.
 """
 
 from __future__ import annotations

@@ -60,3 +60,51 @@ def test_new_recipe_is_parseable(capsys):
     assert r.source.name == "csv"
     assert [s.name for s in r.sinks] == ["console", "file"]
     assert [p.name for p in r.processors] == ["enrich"]
+
+
+def test_lint_reports_yaml_lines(tmp_path, capsys):
+    """Errors point at the offending entry's YAML line (reference keeps
+    yaml.Node positions through decode — recipe/node.go:10-24,
+    cmd/lint.go:144-177)."""
+    p = tmp_path / "r.yaml"
+    # line numbers are 1-based over the file as written:
+    #  1: name: located
+    #  2: version: v1beta1
+    #  3: source:          <- bad extractor name
+    #  6: sinks:
+    #  7:   - name: console (ok)
+    #  8:   - name: nosink  <- bad sink name
+    p.write_text(
+        "name: located\n"
+        "version: v1beta1\n"
+        "source:\n"
+        "  name: not_an_extractor\n"
+        "  config: {}\n"
+        "sinks:\n"
+        "  - name: console\n"
+        "  - name: nosink\n"
+    )
+    assert main(["lint", str(p)]) == 1
+    out = capsys.readouterr().out
+    assert "source (line 3):" in out
+    assert "sinks[1] (line 8):" in out
+
+
+def test_parse_errors_carry_lines(tmp_path):
+    from meteor_spark.recipe.loader import RecipeError, parse_recipe
+
+    try:
+        parse_recipe("name: x\nversion: v0\nsource:\n  name: csv\nsinks:\n  - name: console\n", default_name="x")
+        raise AssertionError("expected RecipeError")
+    except RecipeError as e:
+        assert e.line == 2
+        assert "(line 2)" in str(e)
+
+    try:
+        parse_recipe(
+            "name: x\nversion: v1beta1\nsource:\n  name: csv\nsinks:\n  - config: {}\n",
+            default_name="x",
+        )
+        raise AssertionError("expected RecipeError")
+    except RecipeError as e:
+        assert e.line == 6
