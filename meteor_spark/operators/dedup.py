@@ -444,9 +444,20 @@ def prefix_filter_jaccard_pairs(
         toks.join(freq, "gram")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select(F.col(id_col), "sz", "gram")
+        .select(F.col(id_col), "sz", "gram", "rn")
     )
     pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
+    # POSITIONAL filter (the "PP" in PPJoin): both prefixes are sorted by
+    # the same global (df, gram) order, so matched tokens appear in the
+    # same relative order on both sides — the last prefix match (max rn,
+    # consistently the same token for both) splits each set into
+    # "prefix matches counted exactly" (m) and "strictly later on BOTH
+    # sides", bounded by the smaller remaining suffix. Overlap can never
+    # exceed m + min(sza - max_rna, szb - max_rnb); pairs below the
+    # threshold-equivalent overlap a = ceil(t/(1+t)*(sza+szb)) are pruned
+    # BEFORE the exact verify join ever shuffles their shingle arrays.
+    # The groupBy replaces the former .distinct() — same shuffle, and the
+    # candidate set it emits is a fraction of the raw prefix matches.
     cands = (
         pa.join(
             pb,
@@ -455,8 +466,18 @@ def prefix_filter_jaccard_pairs(
             & (F.col("pb.sz") * F.lit(threshold) <= F.col("pa.sz"))
             & (F.col("pa.sz") * F.lit(threshold) <= F.col("pb.sz")),
         )
-        .select(F.col(f"pa.{id_col}").alias("a"), F.col(f"pb.{id_col}").alias("b"))
-        .distinct()
+        .groupBy(
+            F.col(f"pa.{id_col}").alias("a"),
+            F.col(f"pb.{id_col}").alias("b"),
+            F.col("pa.sz").alias("csza"),
+            F.col("pb.sz").alias("cszb"),
+        )
+        .agg(F.count("*").alias("m"), F.max("pa.rn").alias("ra"), F.max("pb.rn").alias("rb"))
+        .filter(
+            F.col("m") + F.least(F.col("csza") - F.col("ra"), F.col("cszb") - F.col("rb"))
+            >= F.ceil(F.lit(threshold) / (1 + threshold) * (F.col("csza") + F.col("cszb")))
+        )
+        .select("a", "b")
     )
     sa, sb = sh.alias("sa"), sh.alias("sb")
     si = F.size(F.array_intersect("sa.sh", "sb.sh"))

@@ -99,8 +99,6 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
     (integral columns must print '1', not '1.0' — the reference casts
     the typed value to string, bigquery.go:387-396).
     """
-    from pyspark.sql import Window
-
     cols = columns or profilable_columns(df)
     types = {f.name: f.dataType for f in df.schema.fields}
     integral = [c for c in cols if isinstance(types[c], _INTEGRAL)]
@@ -163,34 +161,19 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
             return stats.select(
                 "column", "min", "max", "avg", F.lit(None).cast("double").alias("med"), "unique", "count", "top"
             )
-        # exact interpolated median (percentile(v, 0.5) semantics:
-        # index q*(N-1), linear interpolation between floor/ceil rows).
-        # One window pass (running + whole-partition sums share the
-        # (column, v) sort) and ONE conditional aggregate — the earlier
-        # three-groupBy + three-join formulation cost 3 extra stages.
-        w = Window.partitionBy("column").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        wtot = Window.partitionBy("column")
-        cum = pre.select(
-            "column",
-            "v",
-            F.sum("cnt").over(w).alias("cum"),
-            F.sum("cnt").over(wtot).alias("n"),
-        )
-        idx = (F.col("n") - 1) / 2.0
-        med = (
-            cum.groupBy("column")
-            .agg(
-                F.min(F.when(F.col("cum") >= F.floor(idx) + 1, F.col("v"))).cast("double").alias("v_lo"),
-                F.min(F.when(F.col("cum") >= F.ceil(idx) + 1, F.col("v"))).cast("double").alias("v_hi"),
-                F.first(idx).alias("idx"),
-            )
-            .select(
-                "column",
-                F.round(
-                    F.col("v_lo") + (F.col("v_hi") - F.col("v_lo")) * (F.col("idx") - F.floor(F.col("idx"))),
-                    round_to,
-                ).alias("med"),
-            )
+        # exact interpolated median via the frequency-weighted percentile
+        # AGGREGATE over the (column, v, cnt) frame — identical semantics
+        # to percentile(v, 0.5) over the raw rows (index q*(N-1), linear
+        # interpolation). Earlier formulation ran running/total sums in a
+        # Window.partitionBy(column): ONE task per column sorting every
+        # distinct value — a single-reducer bottleneck that broke down on
+        # high-cardinality columns (and cost ~half the exact-profile
+        # runtime at sf0.1). The aggregate form combines map-side partial
+        # value->count maps instead; no global sort, no one-task window.
+        med = pre.groupBy("column").agg(
+            F.round(
+                F.percentile(F.col("v").cast("double"), F.lit(0.5), F.col("cnt")), round_to
+            ).alias("med")
         )
         return stats.join(med, "column").select(
             "column", "min", "max", "avg", "med", "unique", "count", "top"

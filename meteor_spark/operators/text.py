@@ -438,3 +438,75 @@ def tfidf_corpus_terms(
         .orderBy(F.col("score").desc(), "term")
         .limit(k)
     )
+
+
+def bigram_lm_perplexity(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    round_to: int = 4,
+) -> "DataFrame":
+    """Per-document perplexity under an add-k-smoothed bigram LM trained
+    on the corpus itself — the CCNet-style quality filter (Wenzek et al.
+    2020 score against a KenLM model; here the LM is the corpus's own
+    bigram statistics, so the whole filter is one relational plan and
+    needs no external model artifact).
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+        avg_logp(d) = mean over d's bigrams (with multiplicity) of ln P
+        perplexity(d) = exp(-avg_logp)
+
+    where c(w1 ·) is the number of corpus bigrams starting with w1 and
+    V the corpus vocabulary size. High perplexity = text the corpus LM
+    finds surprising (boilerplate soup, lorem-ipsum, wrong-language) —
+    the standard cut for pretraining-data curation.
+
+    Plan: per-doc bigram tf (one map-side-combined shuffle on
+    (doc, w1, w2)), corpus bigram counts + context totals derived from
+    the SAME aggregate (vocabulary-sized, not corpus-sized), V as a
+    broadcast one-row scalar. The probability lookup joins the per-doc
+    tf frame (distinct bigrams per doc, not every token) to the
+    vocabulary-sized count frames — each row matches exactly one LM row,
+    so Zipf-skewed hot bigrams stress no single reducer. Docs with <2
+    words have no bigrams and are absent from the output (no LM
+    evidence either way).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    worded = df.select(F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+    bg = (
+        worded.filter(F.size("__ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
+    bgc = tf.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = worded.select(F.explode("__ws").alias("w")).agg(
+        F.count_distinct("w").cast("double").alias("vsz")
+    )
+    lp = (
+        tf.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            "m",
+            F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("vsz"))).alias("lp"),
+        )
+    )
+    avg = F.sum(F.col("m") * F.col("lp")) / F.sum("m")
+    return lp.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.round(avg, round_to).alias("avg_logp"),
+        F.round(F.exp(-avg), round_to).alias("perplexity"),
+    )

@@ -624,36 +624,40 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sql_api_revenue",
+# sum + count(DISTINCT) in ONE aggregate makes Catalyst Expand every
+# fact row into 2 copies (one per aggregate group) before the shuffle —
+# 2x the fact exchange at any scale. The two-level form below computes
+# the per-order partial first (orderkey is already a join key, so the
+# extra group column is nearly free map-side) and counts rows at the
+# outer level: same answer, no Expand. Identical text runs on both
+# engines.
+_SQL_API_REVENUE = """
+    SELECT n_name, o_orderpriority,
+           round(sum(rev), 2) AS revenue,
+           count(*) AS n_orders
+    FROM (
+      SELECT n.n_name, o.o_orderpriority, o.o_orderkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, o.o_orderpriority, o.o_orderkey
+    ) per_order
+    GROUP BY n_name, o_orderpriority
     """
-    SELECT n.n_name, o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           count(DISTINCT o.o_orderkey) AS n_orders
-    FROM lineitem l
-      JOIN orders o   ON l.l_orderkey = o.o_orderkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      JOIN nation n   ON s.s_nationkey = n.n_nationkey
-    GROUP BY n.n_name, o.o_orderpriority
-    """,
-)
+
+
+@query("sql_api_revenue", _SQL_API_REVENUE)
 def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql() path: identical text to the oracle, Catalyst plans
-    it the same as the DataFrame API (temp views over the parquet)."""
+    it the same as the DataFrame API (temp views over the parquet).
+    n_orders counts DISTINCT orders per (nation, priority): the inner
+    per-order aggregate makes each (group, orderkey) one row, so the
+    outer count(*) is the distinct count without an Expand rewrite."""
     for t in ("lineitem", "orders", "supplier", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT n.n_name, o.o_orderpriority,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-               count(DISTINCT o.o_orderkey) AS n_orders
-        FROM lineitem l
-          JOIN orders o   ON l.l_orderkey = o.o_orderkey
-          JOIN supplier s ON l.l_suppkey = s.s_suppkey
-          JOIN nation n   ON s.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name, o.o_orderpriority
-        """
-    )
+    return spark.sql(_SQL_API_REVENUE)
 
 
 # --------------------------------------------------------------------------
@@ -2956,6 +2960,40 @@ def corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.text import tfidf_corpus_terms
 
     return tfidf_corpus_terms(_docs(spark, sf_dir), k=_TFIDF_K)
+
+
+@query(
+    "doc_bigram_perplexity",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM nd, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2),
+    tf AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+    bgc AS (SELECT w1, w2, sum(m) AS c12 FROM tf GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz
+          FROM (SELECT unnest(ws) AS w FROM nd)),
+    lp AS (
+      SELECT tf.doc_id, tf.m,
+             ln((bgc.c12 + 0.5) / (ctx.c1 + 0.5 * v.vsz)) AS lp
+      FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+           round(sum(m * lp) / sum(m), 4) AS avg_logp,
+           round(exp(-(sum(m * lp) / sum(m))), 4) AS perplexity
+    FROM lp GROUP BY doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: per-doc perplexity under the
+    corpus's own add-k bigram model (text.bigram_lm_perplexity) — high
+    perplexity flags boilerplate/wrong-language text for the curation
+    cut, with no external model artifact."""
+    from meteor_spark.operators.text import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir))
 
 
 _WSAMPLE_K = 100

@@ -106,3 +106,27 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     corpus = spark.createDataFrame([(1, "a b c e")], "doc_id long, text string")
     plan = text.contamination_hits(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_perplexity(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b"), (3, "x y"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.bigram_lm_perplexity(docs).collect()}
+    # doc 4 has one word -> no bigrams -> absent
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 1
+    # corpus counts: c(a b)=4, c(b a)=2, c(x y)=1; c(a ·)=4, c(b ·)=2,
+    # c(x ·)=1; V=5 (a b x y solo); k=0.5
+    p_ab = (4 + 0.5) / (4 + 0.5 * 5)
+    p_ba = (2 + 0.5) / (2 + 0.5 * 5)
+    p_xy = (1 + 0.5) / (1 + 0.5 * 5)
+    avg1 = (3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5
+    assert out[1]["avg_logp"] == round(avg1, 4)
+    assert out[1]["perplexity"] == round(math.exp(-avg1), 4)
+    assert out[3]["avg_logp"] == round(math.log(p_xy), 4)
+    # the common-bigram doc is less surprising than the rare-bigram doc
+    assert out[1]["perplexity"] < out[3]["perplexity"]
