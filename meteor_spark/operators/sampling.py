@@ -116,3 +116,51 @@ def quota_cap(
         .filter(F.col("__rk") <= cap)
         .drop("__rk")
     )
+
+
+def source_mix_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 4,
+) -> DataFrame:
+    """Static domain-mixture rebalancing weights: per source, the
+    down-sampling rate that moves the corpus's token distribution toward
+    a UNIFORM target share (the degenerate but standard case of
+    DoReMi/Pile-style mixture reweighting — swap the 1/n_sources target
+    for a learned weight vector without changing the plan).
+
+        weight(s)      = target_share / token_share(s)
+        sample_rate(s) = weight(s) / max_s weight(s)
+
+    so the scarcest domain keeps every token (rate 1) and oversized
+    domains are cut proportionally. One map-side-combined groupBy over
+    the corpus; the two scalars (total tokens + max weight) ride
+    broadcast one-row joins — nothing corpus-sized shuffles twice.
+    """
+    from meteor_spark.operators.text import normalize_text, words
+
+    s = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words(normalize_text(F.col(text_col))))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("share"),
+        ((F.lit(1.0) / F.col("n_sources")) / (F.col("n_tokens") / F.col("total"))).alias("w"),
+    )
+    mx = w.agg(F.max("w").alias("mw"))
+    return w.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("share", round_to).alias("token_share"),
+        F.round("w", round_to).alias("weight"),
+        F.round(F.col("w") / F.col("mw"), round_to).alias("sample_rate"),
+    )

@@ -72,9 +72,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex): the fixture is ONE small parquet file -> one input partition,
     which would serialize all per-row compute on a single core. A tiny
     repartition shuffle (the table is KBs..MBs) buys full parallelism —
-    the standard small-input/big-compute fan-out, equally correct on a
-    real cluster where one file != one core's worth of hashing."""
-    return _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    the standard small-input/big-compute fan-out. CONDITIONAL on the
+    file count (metadata only, no job): a production-scale table already
+    has >= cores' worth of input splits, and repartitioning 100 TB of
+    text to "spread the load" would be a pure-overhead full shuffle."""
+    df = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        df = df.repartition(par)
+    return df
 
 
 _TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation", "orders", "part", "region", "supplier"]
@@ -2994,6 +3000,37 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.text import bigram_lm_perplexity
 
     return bigram_lm_perplexity(_docs(spark, sf_dir))
+
+
+@query(
+    "source_mix_weights",
+    f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                 CAST(count(*) AS DOUBLE) AS n_sources FROM s),
+    w AS (
+      SELECT s.source, s.n_docs, s.n_tokens,
+             s.n_tokens / t.total AS share,
+             (1.0 / t.n_sources) / (s.n_tokens / t.total) AS w
+      FROM s, t),
+    m AS (SELECT max(w) AS mw FROM w)
+    SELECT source, n_docs, n_tokens,
+           round(share, 4) AS token_share,
+           round(w, 4) AS weight,
+           round(w / m.mw, 4) AS sample_rate
+    FROM w, m
+    """,
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: per-source down-sampling rates toward
+    a uniform token share (operators.sampling.source_mix_weights) — the
+    static DoReMi/Pile-style mixture step of a pretraining pipeline."""
+    from meteor_spark.operators.sampling import source_mix_weights as smw
+
+    return smw(_t(spark, sf_dir, "documents"))
 
 
 _WSAMPLE_K = 100

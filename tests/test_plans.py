@@ -239,3 +239,28 @@ def test_no_inferred_size_filter_from_explode(spark):
         .toString()
     )
     assert "size(split" not in opt
+
+
+def test_ngram_jaccard_is_inverted_index_join(spark):
+    # intersection counted by a hash aggregate over a postings equi-join;
+    # never a quadratic block self-join or a nested loop
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" not in plan  # no per-pair array shuffles
+
+
+def test_exact_profile_has_no_window(spark):
+    # exact median comes from the frequency-weighted percentile AGGREGATE;
+    # a Window.partitionBy(column) here would mean one task per column
+    # sorting every distinct value — the single-reducer bottleneck
+    plan = _plan(spark, "profile_lineitem")
+    assert "Window" not in plan
+    assert "percentile" in plan
+
+
+def test_sql_api_revenue_has_no_expand(spark):
+    # count(DISTINCT)+sum in one aggregate triggers Catalyst's Expand
+    # (2x fact shuffle); the two-level form must not
+    plan = _plan(spark, "sql_api_revenue")
+    assert "Expand" not in plan

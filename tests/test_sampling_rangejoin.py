@@ -136,3 +136,24 @@ def test_pack_manifest_streams_are_independent(spark):
         for r in stream:
             assert (r["first_seq"], r["seq_offset"]) == (cum // 256, cum % 256)
             cum += r["n_tokens"]
+
+
+def test_source_mix_weights_math(spark):
+    from meteor_spark.operators.sampling import source_mix_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h", "big"),      # 8 tokens
+            (2, "a b c d e f g h", "big"),      # 8 tokens
+            (3, "a b c d", "small"),            # 4 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in source_mix_weights(docs).collect()}
+    assert out["big"]["n_tokens"] == 16 and out["small"]["n_tokens"] == 4
+    # target share 1/2 each; big holds 16/20, small 4/20
+    assert out["big"]["token_share"] == 0.8 and out["small"]["token_share"] == 0.2
+    assert out["big"]["weight"] == 0.625 and out["small"]["weight"] == 2.5
+    # the scarcest domain keeps everything; big is cut to 1/4
+    assert out["small"]["sample_rate"] == 1.0
+    assert out["big"]["sample_rate"] == 0.25
