@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from pathlib import Path
 
 
 def _registries():
@@ -126,6 +127,36 @@ def cmd_new(args) -> int:
     return 0
 
 
+def cmd_gen(args) -> int:
+    # reference: cmd/gen.go:15-60 + recipe/generator.go:22-58 — render a
+    # recipe per data entry from a template into the output directory
+    import yaml
+
+    from meteor_spark.recipe.loader import RecipeError, generate_from_template
+
+    try:
+        data = yaml.safe_load(Path(args.data).read_text()) or []
+        if not isinstance(data, list):
+            print("gen data file must contain a list", file=sys.stderr)
+            return 1
+        written = generate_from_template(args.template, data, args.output)
+    except (OSError, RecipeError, yaml.YAMLError) as e:
+        print(f"gen error: {e}", file=sys.stderr)
+        return 1
+    for p in written:
+        print(p)
+    return 0
+
+
+VERSION = "0.3.0"
+
+
+def cmd_version(args) -> int:
+    # reference: cmd/version.go:21-40
+    print(f"meteor-spark {VERSION} (pyspark)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="meteor-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -156,6 +187,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-p", "--processors", nargs="*", default=[])
     p.add_argument("-k", "--sinks", nargs="*", default=["console"])
     p.set_defaults(fn=cmd_new)
+
+    p = sub.add_parser("gen", help="generate recipes from a template + data list")
+    p.add_argument("template")
+    p.add_argument("-o", "--output", required=True, help="output directory")
+    p.add_argument("-d", "--data", required=True, help="YAML list of {FileName, Data}")
+    p.set_defaults(fn=cmd_gen)
+
+    p = sub.add_parser("version", aliases=["v"], help="print version information")
+    p.set_defaults(fn=cmd_version)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -31,7 +31,7 @@ log = logging.getLogger(__name__)
 LATEST_VERSION = "v1beta1"
 ENV_PREFIX = "METEOR_"
 
-_TEMPLATE_RE = re.compile(r"\{\{\s*\.?([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+_TEMPLATE_RE = re.compile(r"\{\{\s*\.?([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*\}\}")
 
 
 class RecipeError(ValueError):
@@ -110,14 +110,43 @@ def load_var_file(path: str | Path | None) -> dict[str, Any]:
 
 
 def render_template(text: str, variables: dict[str, Any]) -> str:
-    """Interpolate {{ var }} / {{ .var }} placeholders (reference:
-    reader.go:57-63 runs Go text/template before YAML parse). Unknown
-    variables render as empty string, matching text/template's default."""
+    """Interpolate {{ var }} / {{ .var }} / {{ .Data.field }} placeholders
+    (reference: reader.go:57-63 runs Go text/template before YAML parse;
+    generator templates address nested fields, recipe/generator.go:42-58).
+    Unknown variables render as empty string, matching text/template's
+    default for missing map keys."""
 
     def sub(m: re.Match) -> str:
-        return str(variables.get(m.group(1), ""))
+        cur: Any = variables
+        for part in m.group(1).split("."):
+            if not isinstance(cur, dict) or part not in cur:
+                return ""
+            cur = cur[part]
+        return str(cur)
 
     return _TEMPLATE_RE.sub(sub, text)
+
+
+def generate_from_template(
+    template_path: str | Path, data: list[dict[str, Any]], output_dir: str | Path
+) -> list[Path]:
+    """The `gen` command's engine (reference: recipe/generator.go:22-58):
+    render one recipe per data entry — context is {FileName, Data}, so
+    templates address {{ .FileName }} and {{ .Data.field }} — into
+    <output_dir>/<FileName>.yaml. Data.name defaults to FileName."""
+    text = Path(template_path).read_text()
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    written: list[Path] = []
+    for entry in data:
+        if not isinstance(entry, dict) or not entry.get("FileName"):
+            raise RecipeError("gen data entry must be a mapping with 'FileName'")
+        d = dict(entry.get("Data") or {})
+        d.setdefault("name", entry["FileName"])
+        target = out / f"{entry['FileName']}.yaml"
+        target.write_text(render_template(text, {"FileName": entry["FileName"], "Data": d}))
+        written.append(target)
+    return written
 
 
 def _parse_plugin(

@@ -108,3 +108,46 @@ def test_parse_errors_carry_lines(tmp_path):
         raise AssertionError("expected RecipeError")
     except RecipeError as e:
         assert e.line == 6
+
+
+_GEN_TEMPLATE = """\
+name: {{ .Data.name }}
+version: v1beta1
+source:
+  type: kafka
+  config:
+    broker: "{{ .Data.broker }}"
+sinks:
+  - name: console
+"""
+
+
+def test_gen_renders_recipe_per_data_entry(tmp_path, capsys):
+    """Mirror of recipe/generator_test.go: one rendered recipe per data
+    entry; Data.name defaults to FileName when absent."""
+    tpl = tmp_path / "template.yaml"
+    tpl.write_text(_GEN_TEMPLATE)
+    data = tmp_path / "data.yaml"
+    data.write_text(
+        "- FileName: recipe-one\n"
+        "  Data:\n"
+        "    name: recipe-1\n"
+        "    broker: main-broker.com:9092\n"
+        "- FileName: recipe-two\n"
+        "  Data:\n"
+        "    broker: secondary-broker.com:9092\n"
+    )
+    out = tmp_path / "out"
+    assert main(["gen", str(tpl), "-o", str(out), "-d", str(data)]) == 0
+    one = (out / "recipe-one.yaml").read_text()
+    assert "name: recipe-1" in one and 'broker: "main-broker.com:9092"' in one
+    # no explicit name -> FileName (generator.go:50-52)
+    two = (out / "recipe-two.yaml").read_text()
+    assert "name: recipe-two" in two
+    # generated recipes must themselves parse and lint clean
+    assert main(["lint", str(out)]) == 0
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert "meteor-spark" in capsys.readouterr().out
