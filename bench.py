@@ -130,6 +130,8 @@ def main() -> None:
         "profile_lineitem",
         "corpus_tfidf_terms",
         "purchase_click_attribution",
+        "doc_bigram_perplexity",
+        "source_mix_weights",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]
