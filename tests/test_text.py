@@ -130,3 +130,48 @@ def test_bigram_lm_perplexity(spark):
     assert out[3]["avg_logp"] == round(math.log(p_xy), 4)
     # the common-bigram doc is less surprising than the rare-bigram doc
     assert out[1]["perplexity"] < out[3]["perplexity"]
+
+
+def test_bigram_lm_perplexity_randomized_cross_check(spark):
+    """Seeded random corpus vs an independent pure-Python computation of
+    the same add-k bigram model — catches formula drift the hand-worked
+    example can't."""
+    import math
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for i in range(40)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in text.bigram_lm_perplexity(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+
+    # independent python model
+    k = 0.5
+    bgc: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    vocab_seen = set()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for doc_id, t in docs:
+        ws = t.split(" ") if t else [""]
+        vocab_seen.update(ws)
+        if len(ws) >= 2:
+            bgs = list(zip(ws, ws[1:]))
+            per_doc[doc_id] = bgs
+            for g in bgs:
+                bgc[g] = bgc.get(g, 0) + 1
+                ctx[g[0]] = ctx.get(g[0], 0) + 1
+    V = len(vocab_seen)
+    assert set(out) == set(per_doc)
+    for doc_id, bgs in per_doc.items():
+        lps = [math.log((bgc[g] + k) / (ctx[g[0]] + k * V)) for g in bgs]
+        avg = sum(lps) / len(lps)
+        assert out[doc_id]["n_bigrams"] == len(bgs)
+        assert abs(out[doc_id]["avg_logp"] - round(avg, 4)) <= 1e-9, doc_id
+        assert abs(out[doc_id]["perplexity"] - round(math.exp(-avg), 4)) <= 1e-9, doc_id
