@@ -27,24 +27,29 @@ from meteor_spark.registry import register_sink
 class FileSink(Sink):
     CONFIG = {
         "path": Field(required=True, type=str),
-        "format": Field(default="json", oneof=("json", "yaml", "ndjson")),
+        "format": Field(default="json", oneof=("json", "yaml", "ndjson", "parquet")),
         "overwrite": Field(default=True),
-        "distributed": Field(default=False),  # True => df.write.json directory output
+        "distributed": Field(default=False),  # True => df.write directory output
     }
 
     def init(self, config):
         super().init(config)
         p = Path(self.config["path"])
-        if not self.config["distributed"] and "." not in p.name:
+        # parquet is always the distributed df.write path (directory output)
+        distributed = self.config["distributed"] or self.config["format"] == "parquet"
+        if not distributed and "." not in p.name:
             # reference: file.go:128-136 requires name.ext
             raise InvalidConfigError([ConfigError("path", "path must be a file name like name.ext")])
 
     def sink(self, df: DataFrame) -> int:
         path = Path(self.config["path"])
         fmt = self.config["format"]
-        if self.config["distributed"]:
+        if self.config["distributed"] or fmt == "parquet":
             mode = "overwrite" if self.config["overwrite"] else "append"
-            df.write.mode(mode).json(str(path))
+            if fmt == "parquet":
+                df.write.mode(mode).parquet(str(path))
+            else:
+                df.write.mode(mode).json(str(path))
             return df.count()
         path.parent.mkdir(parents=True, exist_ok=True)
         mode = "w" if self.config["overwrite"] else "a"

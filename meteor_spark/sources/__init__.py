@@ -2,4 +2,11 @@
 built-ins, the analogue of the reference's blank-import registration
 (reference: plugins/extractors/populate.go)."""
 
-from meteor_spark.sources import api_sources, csv_source, jdbc, lakehouse, parquet_catalog  # noqa: F401
+from meteor_spark.sources import (  # noqa: F401
+    api_sources,
+    csv_source,
+    jdbc,
+    lakehouse,
+    parquet_catalog,
+    table_source,
+)

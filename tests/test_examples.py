@@ -59,3 +59,32 @@ def test_lakehouse_example_runs_end_to_end(tmp_path, capsys, monkeypatch):
     assert main(["run", str(EXAMPLES / "lakehouse_to_console.yaml")]) == 0
     out = capsys.readouterr().out
     assert "OK" in out and "sales" in out
+
+
+def test_curate_example_runs_end_to_end(tmp_path, capsys, monkeypatch, spark):
+    """Raw documents -> curate (quality/PII/dedup) -> chunk -> parquet:
+    the recipe engine driving the training-data operators."""
+    monkeypatch.setenv("METEOR_DATA_DIR", SF_DIR)
+    monkeypatch.setenv("METEOR_OUT_DIR", str(tmp_path))
+    assert main(["run", str(EXAMPLES / "curate_documents.yaml")]) == 0
+    assert "OK" in capsys.readouterr().out
+
+    out = spark.read.parquet(str(tmp_path / "curated_chunks"))
+    assert set(out.columns) == {"doc_id", "chunk_start", "n_tokens", "chunk"}
+    n = out.count()
+    assert n > 0
+    # curation can only remove chunks (the sf0.001 fixture happens to be
+    # clean enough that nothing is cut; each individual cut is exercised
+    # on synthetic data in test_runner.py::test_curate_processor_cuts)
+    from meteor_spark.operators.text import chunk_documents
+
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw_chunks = chunk_documents(raw, chunk_size=64, overlap=16).count()
+    assert n <= raw_chunks
+    # scrub happened: no raw emails survive in any chunk
+    from pyspark.sql import functions as F
+
+    assert (
+        out.filter(F.col("chunk").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).count()
+        == 0
+    )

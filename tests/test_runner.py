@@ -151,3 +151,40 @@ def test_build_config_validation():
         build_config({"fmt": "xml"}, spec)
     keys = {e.key for e in ei.value.errors}
     assert keys == {"path", "fmt"}
+
+
+def test_curate_processor_cuts(spark):
+    """Each curation knob removes exactly the rows it should."""
+    from meteor_spark.registry import processors as proc_registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house with a friend"),  # keeps
+            (2, "the cat and the dog sat in the house with a friend"),  # exact dup of 1
+            (3, "tiny"),                                                # < min_tokens
+            (4, "xq zzz !!! ### @@@ %% ^^ && ** (( ))"),                # low quality
+            (5, "mail me at john.doe@example.com for the cat and the dog details ok"),  # pii -> scrubbed, kept
+        ],
+        "doc_id long, text string",
+    )
+    p = proc_registry.get("curate")
+    p.init({"min_tokens": 3, "min_quality": 0.3, "scrub_pii": True, "dedup": True})
+    out = p.process(docs).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 5]
+    scrubbed = next(r["text"] for r in out if r["doc_id"] == 5)
+    assert "john.doe@example.com" not in scrubbed
+
+
+def test_parquet_table_extractor_projects_and_filters(spark, sf_dir):
+    from meteor_spark.registry import extractors as ex_registry
+
+    ex = ex_registry.get("parquet_table")
+    ex.init({"path": f"{sf_dir}/documents.parquet", "columns": ["doc_id", "lang"], "where": "lang = 'en'"})
+    df = ex.extract(spark)
+    assert df.columns == ["doc_id", "lang"]
+    assert df.count() > 0
+    assert df.filter("lang <> 'en'").count() == 0
+    # projection + predicate must reach the scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
