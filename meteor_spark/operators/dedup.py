@@ -303,15 +303,19 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     bottleneck, not the text scan.
     """
     w = df.select(F.col(id_col), F.explode(F.array_distinct(words(normalize_text(F.col(text_col))))).alias("w"))
-    # each md5 hex digit covers 4 bit positions; compute the digit value
-    # once per nibble and derive its 4 contributions in codegen
-    h = F.md5(F.col("w"))
+    # ONE conv() of the first 8 hex chars materializes all 32 bit
+    # positions; bit b (hex digit b//4, bit b%4 within it) is
+    # (v32 >> (4*(7 - b//4) + b%4)) & 1 — value-identical to the
+    # per-nibble instr() decode (digit d at hex position n contributes
+    # d * 16^(7-n) to v32), but the expression tree is ~5x smaller,
+    # which cuts whole-stage-codegen size and the cold-start compile.
+    w = w.withColumn("__v32", F.conv(F.substring(F.md5(F.col("w")), 1, bits // 4), 16, 10).cast("long"))
     contribs = []
-    for nib in range(bits // 4):
-        hexval = F.instr(F.lit("0123456789abcdef"), F.substring(h, nib + 1, 1)) - 1
-        for r in range(4):
-            b = nib * 4 + r
-            contribs.append(((F.shiftright(hexval, r).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"c{b}"))
+    for b in range(bits):
+        shift = 4 * (bits // 4 - 1 - b // 4) + (b % 4)
+        contribs.append(
+            ((F.shiftright(F.col("__v32"), shift).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"c{b}")
+        )
     return (
         w.select(id_col, *contribs)
         .groupBy(id_col)
