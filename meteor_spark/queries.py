@@ -45,6 +45,14 @@ def query(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from meteor_spark.io import read_parquet_table
 
+    try:
+        # every oracle comparison assumes UTC wall-clock semantics
+        # (unix_us NTZ casts, date_trunc/hour bucketing); pin it even on
+        # a caller-constructed session so a non-UTC host can't skew them
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — conf may be restricted
+        pass
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
