@@ -126,7 +126,8 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {failures}")
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"\n{n_run - len(failures)}/{n_run} ok ({len(qs)} registered); failures: {failures}")
     return 1 if failures else 0
 
 
