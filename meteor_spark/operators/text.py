@@ -488,7 +488,11 @@ def bigram_lm_perplexity(
         )
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m"))
+    # the per-doc tf frame feeds BOTH the LM count derivation and the
+    # probability lookup join; persist it once (it is the compact
+    # distinct-bigrams-per-doc form, far smaller than the token stream)
+    # so the corpus is tokenized a single time
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("m")).persist()
     bgc = tf.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     ctx = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = worded.select(F.explode("__ws").alias("w")).agg(

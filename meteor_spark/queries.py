@@ -1219,9 +1219,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimal exact plan."""
     docs = _docs(spark, sf_dir)
     sh = dedup.shingle_frame(docs, "text", "doc_id", _NGRAM_K, extra_cols=("lang", "source"))
+    # both sides of the self-join read the postings; persist so the
+    # corpus is shingled once, not once per side
     toks = sh.select(
         "doc_id", "lang", "source", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
-    )
+    ).persist()
     a, b = toks.alias("a"), toks.alias("b")
     inter = (
         a.join(
