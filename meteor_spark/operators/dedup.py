@@ -444,6 +444,10 @@ def prefix_filter_jaccard_pairs(
     freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "gram")
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    # (measured: persisting `prefixes` here is a LOSS — the window output
+    # pipelines into both join sides within one stage, and forcing a
+    # materialization breaks that for no rescan saved, since `sh` above
+    # is already the persisted frame.)
     prefixes = (
         toks.join(freq, "gram")
         .withColumn("rn", F.row_number().over(w))
