@@ -152,3 +152,62 @@ def test_transform_with_state_plan_builds(spark, sf_dir):
     out = user_activity_stateful(stream)
     assert out.isStreaming
     assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value", "n_types"]
+
+
+def test_stateful_restart_recovers_from_checkpoint(spark, tmp_path):
+    """Stop after batch 1, restart the same query from its checkpoint
+    with new input: per-user state must carry across the restart (the
+    driver-failure story on a real cluster)."""
+    import glob
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    watch = tmp_path / "in"
+    watch.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:05:00", 7, "view", 2.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b2 = spark.createDataFrame(
+        # > 30 min after b1's last event -> a SECOND session for user 7
+        [(3, "2024-01-01 02:00:00", 7, "click", 3.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def stage(df, name, mtime):
+        d = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(p for p in glob.glob(f"{d}/part-*.parquet"))
+        dst = watch / f"{name}.parquet"
+        dst.write_bytes(open(src, "rb").read())
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        # the memory sink cannot recover from a checkpoint; foreachBatch
+        # is the fault-tolerant sink path (same as production)
+        got: list = []
+
+        def collect_batch(df, _epoch):
+            got.extend(df.collect())
+
+        stream = spark.readStream.schema(b1.schema).parquet(str(watch))
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    stage(b1, "b1", 1_700_000_000)
+    first = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in run_once()}
+    assert first[7] == (2, 1)
+
+    stage(b2, "b2", 1_700_000_900)
+    second = run_once()  # RESTART: must resume from ckpt and only read b2
+    # state carried: 3 total events, and the 2h gap opened session #2
+    assert {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in second}[7] == (3, 2)
