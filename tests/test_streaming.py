@@ -93,3 +93,72 @@ def test_stream_stream_join_is_stateful_symmetric_hash(spark, sf_dir):
         .select("purchase_id", "click_id", "user_id", F.round("value", 2).alias("purchase_value"))
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_watermark_drops_data_later_than_horizon(spark, tmp_path):
+    """An event arriving in a later batch with event-time older than
+    (max seen - watermark) must be excluded from its closed window; a
+    late-but-within-watermark event must still be counted. Pins the
+    exact lateness semantics the rollup relies on at scale."""
+    import glob
+    import os
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    watch = tmp_path / "wm_in"
+    watch.mkdir()
+
+    def stage(rows, name, mtime):
+        df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = next(p for p in glob.glob(f"{d}/part-*.parquet"))
+        dst = watch / f"{name}.parquet"
+        dst.write_bytes(open(src, "rb").read())
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime
+
+    ts = datetime.fromisoformat
+    # batch 1 advances the max event time to 12:00; the 09:00 watermark
+    # (12:00 - 3h) is committed after the batch and visible to the
+    # late-row filter one batch later (the micro-batch watermark lag)
+    stage(
+        [(1, ts("2024-01-01 09:30:00"), "click", 1.0),
+         (2, ts("2024-01-01 12:00:00"), "click", 1.0)],
+        "b1", 1_700_000_000,
+    )
+    stage([(9, ts("2024-01-01 11:00:00"), "click", 1.0)], "b2", 1_700_000_900)
+    # batch 3 (09:00 watermark now in force): event 3 at 09:45 lands in
+    # the 09:00 window (end 10:00 > watermark -> accepted, late but
+    # within horizon); event 4 at 05:30 lands in the 05:00 window
+    # (end 06:00 < watermark -> DROPPED)
+    stage(
+        [(3, ts("2024-01-01 09:45:00"), "click", 1.0),
+         (4, ts("2024-01-01 05:30:00"), "click", 1.0)],
+        "b3", 1_700_001_800,
+    )
+    # final batch advances max event time to 15:00 -> watermark 12:00,
+    # which closes (emits) every window ending <= 12:00
+    stage([(5, ts("2024-01-01 15:00:00"), "click", 1.0)], "b4", 1_700_002_700)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(watch)).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(watch))
+    )
+    agg = (
+        stream.withWatermark("ts", "3 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("hour"), "n")
+    )
+    from meteor_spark.streaming.pipeline import run_stream_to_batch
+
+    out = {r["hour"]: r["n"] for r in run_stream_to_batch(agg, output_mode="append").collect()}
+    # the 09:00 window closed with BOTH event 1 and late-within-horizon
+    # event 3; the beyond-horizon event 4 left no 05:00 window at all
+    assert out.get("2024-01-01 09:00:00") == 2
+    assert "2024-01-01 05:00:00" not in out
+    # 12:00's window (end 13:00 > watermark 12:00) is still open: append
+    # mode must NOT have emitted it
+    assert "2024-01-01 12:00:00" not in out
