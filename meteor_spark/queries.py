@@ -1399,9 +1399,22 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_near_dup_pairs")  # no oracle: SRP blocking is approximate
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SRP blocking + verification."""
+    """Embedding-cosine near-dup pairs via SRP blocking + verification.
+
+    The synthetic embeddings are random (no true near-dups at any SF),
+    which made this rows-only gate vacuous (0 rows = nothing checked).
+    Plant determinism instead: union the corpus with exact copies of its
+    20 lowest-id vectors under shifted ids — every planted (v, copy)
+    pair has cosine 1.0 and an identical SRP signature, so the operator
+    MUST surface at least those 20 pairs or the gate shows the recall
+    break."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.9, bits=4, dim=64)
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(20)
+        .select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding", "label")
+    )
+    return similarity.embedding_near_duplicates(emb.unionByName(planted), threshold=0.9, bits=4, dim=64)
 
 
 # --------------------------------------------------------------------------
