@@ -2348,6 +2348,46 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_incremental_neardup")  # rows-only: greedy sequential
+# survivor rule over probabilistic LSH collisions — not SQL-practical
+def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingestion dedup (streaming.pipeline.
+    incremental_neardup_stream): two crawl microbatches checked by
+    shingle-Jaccard against a persistent LSH band store seeded with the
+    corpus. Planted paraphrases (one appended token — high Jaccard, NOT
+    exact-equal, so a fingerprint dedup would miss them) of 25 corpus
+    docs are dropped at the LSH family's recall (12 hashes / 4 bands:
+    ~98% per pair — e.g. 24-25 of the 25 planted); novel docs survive."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    paraphrased = (
+        docs.filter(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + 5000).alias("doc_id"), F.concat("text", F.lit(" addendum")).alias("text"))
+    )
+    newb = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480)).union(paraphrased)
+    base = tempfile.mkdtemp(prefix="msk_snd_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    parts = (newb.filter(F.col("doc_id") < 5000), newb.filter(F.col("doc_id") >= 5000))
+    for i, part in enumerate(parts):
+        d = os.path.join(base, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    from meteor_spark.streaming.pipeline import incremental_neardup_stream
+
+    return incremental_neardup_stream(
+        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt")
+    )
+
+
 @query("pq_ann_topk")  # no oracle: approximate (quantized) scoring, rows-only
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_topk): the memory-bound

@@ -219,3 +219,135 @@ def incremental_dedup_stream(
     )
     q.awaitTermination()
     return spark.read.parquet(store_dir).filter(F.col(id_col).isNotNull()).select(id_col)
+
+
+def incremental_neardup_stream(
+    spark,
+    watch_dir: str,
+    corpus: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming incremental NEAR-dup dedup: each microbatch is checked
+    against a persistent LSH band store by shingle-Jaccard SIMILARITY,
+    not just exact fingerprints — the production shape for "drop crawl
+    pages that are 90% boilerplate-identical to something we already
+    have".
+
+    Store layout (parquet-append; Delta/Iceberg MERGE in a real
+    deployment): `bands/` holds (doc_id, band, band_key) — a few dozen
+    bytes per historical doc — and `shingles/` holds (doc_id, sh) for
+    exact verification of the FEW band-collision candidates. Per batch:
+
+      1. shingle + minhash-band the batch (the same sketch family as
+         operators.dedup, so batch vs store collisions mean the same
+         thing as batch-mode LSH);
+      2. candidates = batch bands ⋈ store bands on (band, band_key) —
+         an equi-join that touches only colliding keys, never the
+         corpus;
+      3. exact Jaccard verify against the stored shingle sets; matches
+         >= threshold are dropped;
+      4. batch-internal near-dups collapse to the min-id survivor;
+      5. survivors append their bands + shingles to the store.
+
+    Returns the surviving id rows across the whole bounded stream.
+    """
+    from meteor_spark.operators.dedup import minhash_signature, shingle_frame
+
+    rows = num_hashes // bands
+
+    def _bands_of(sh_df: DataFrame) -> DataFrame:
+        base = sh_df.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.element_at(F.col("sig"), b * rows + r + 1).cast("string") for r in range(rows)],
+                        )
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return base.select(F.col(id_col), F.explode(structs).alias("bk")).select(
+            F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+        )
+
+    corpus_sh = shingle_frame(corpus, text_col, id_col, k).persist()
+    corpus_sh.write.mode("overwrite").parquet(f"{store_dir}/shingles")
+    _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
+    corpus_sh.unpersist()
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        sh_b = shingle_frame(batch_df, text_col, id_col, k).persist()
+        b_b = _bands_of(sh_b).persist()
+
+        store_bands = s.read.parquet(f"{store_dir}/bands")
+        store_sh = s.read.parquet(f"{store_dir}/shingles")
+
+        # batch vs store: band collision -> exact verify
+        cand = (
+            b_b.join(store_bands.withColumnRenamed(id_col, "__old"), ["band", "band_key"])
+            .select(F.col(id_col), "__old")
+            .distinct()
+        )
+        osh = store_sh.select(F.col(id_col).alias("__old"), F.col("sh").alias("osh"))
+        si = F.size(F.array_intersect("sh", "osh"))
+        jac = si.cast("double") / (F.size("sh") + F.size("osh") - si)
+        dup_of_store = (
+            cand.join(sh_b, id_col)
+            .join(osh, "__old")
+            .filter(jac >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+
+        # batch-internal: min-id survivor among near-dup pairs
+        l, r = b_b.alias("l"), b_b.alias("r")
+        pairs = (
+            l.join(r, ["band", "band_key"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+            .distinct()
+        )
+        sa = sh_b.select(F.col(id_col).alias("a"), F.col("sh").alias("ash"))
+        sb = sh_b.select(F.col(id_col).alias("b"), F.col("sh").alias("bsh"))
+        si2 = F.size(F.array_intersect("ash", "bsh"))
+        jac2 = si2.cast("double") / (F.size("ash") + F.size("bsh") - si2)
+        dup_in_batch = (
+            pairs.join(sa, "a").join(sb, "b").filter(jac2 >= threshold)
+            .select(F.col("b").alias(id_col))
+            .distinct()
+        )
+
+        dropped = dup_of_store.unionByName(dup_in_batch).distinct()
+        survivors_sh = sh_b.join(dropped, id_col, "left_anti").persist()
+        survivors_sh.write.mode("append").parquet(f"{store_dir}/shingles")
+        _bands_of(survivors_sh).write.mode("append").parquet(f"{store_dir}/bands")
+        sh_b.unpersist(); b_b.unpersist(); survivors_sh.unpersist()
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    survivors = spark.read.parquet(f"{store_dir}/shingles").select(id_col)
+    corpus_ids = corpus.select(id_col)
+    return survivors.join(corpus_ids, id_col, "left_anti")

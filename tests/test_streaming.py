@@ -162,3 +162,48 @@ def test_watermark_drops_data_later_than_horizon(spark, tmp_path):
     # 12:00's window (end 13:00 > watermark 12:00) is still open: append
     # mode must NOT have emitted it
     assert "2024-01-01 12:00:00" not in out
+
+
+def test_incremental_neardup_stream_cross_batch(spark, tmp_path):
+    """Near-dup (not exact) ingestion dedup: a batch-2 doc that is a
+    close paraphrase of a corpus doc must be dropped; a batch-3 near-dup
+    of a batch-2 SURVIVOR must be dropped (store grows as the stream
+    runs); genuinely novel docs survive."""
+    import os
+
+    from meteor_spark.streaming.pipeline import incremental_neardup_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    # 10: one-word change from corpus doc 1 -> high jaccard -> dropped
+    # 11: novel -> survives
+    b1 = spark.createDataFrame(
+        [(10, base.replace("today", "tonight")),
+         (11, "completely different content about spark structured streaming state stores and dedup")],
+        "doc_id long, text string",
+    )
+    # 20: near-dup of survivor 11 -> dropped; 21: novel -> survives
+    b2 = spark.createDataFrame(
+        [(20, "completely different content about spark structured streaming state stores and dedup pipelines"),
+         (21, "unrelated text on partition pruning bucketing and broadcast joins in catalyst")],
+        "doc_id long, text string",
+    )
+    watch = tmp_path / "nd_in"
+    watch.mkdir()
+    for i, part in enumerate((b1, b2)):
+        d = str(tmp_path / f"nd_b{i}")
+        part.coalesce(1).write.parquet(d)
+        src = next(p for p in os.listdir(d) if p.startswith("part-") and p.endswith(".parquet"))
+        dst = watch / f"batch_{i}.parquet"
+        dst.write_bytes((tmp_path / f"nd_b{i}" / src).read_bytes())
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    out = incremental_neardup_stream(
+        spark,
+        str(watch),
+        corpus,
+        str(tmp_path / "nd_store"),
+        str(tmp_path / "nd_ckpt"),
+        threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 21]
