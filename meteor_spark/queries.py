@@ -987,15 +987,30 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "exact_dup_groups",
     f"""
-    SELECT md5({_NORM_SQL}) AS fingerprint, count(*) AS n_docs,
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id < 30),
+    nd AS (SELECT doc_id, {_NORM_SQL} AS nt FROM corpus)
+    SELECT md5(nt) AS fingerprint, count(*) AS n_docs,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
-    FROM documents GROUP BY 1 HAVING count(*) > 1
+    FROM nd GROUP BY 1 HAVING count(*) > 1
     """,
 )
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    """The synthetic documents contain no exact duplicates at any SF, so
+    the unplanted form of this gate matched its oracle on EMPTY sets
+    (vacuously). Both sides now union in case-mangled re-crawls of the
+    30 lowest-id docs — normalization must fold them into their
+    originals' groups, so the gate exercises the fingerprint + grouping
+    path on every round. (_NORM_SQL lowercases, so upper(text) is an
+    exact dup AFTER normalization but not before.)"""
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"), "lang", "source", "n_chars"
+    )
     return (
-        dedup.exact_duplicates(docs)
+        dedup.exact_duplicates(docs.unionByName(recrawl))
         .select(
             "fingerprint",
             "n_docs",
