@@ -182,3 +182,44 @@ class LoggingMonitor:
         }
         self.runs.append(rec)
         log.info("run report: %s", rec)
+
+
+class RunHistoryMonitor:
+    """Monitor that lands run telemetry in a QUERYABLE parquet table —
+    the Spark-native evolution of the reference's fire-and-forget statsd
+    counters (metrics/statsd.go:37-64): same fields (runDuration, run,
+    runRecordCount + success/recipe/extractor tags), but appended to a
+    table you can aggregate over ("which recipes regressed this week?",
+    "records/day per extractor") with the engine itself.
+
+    Appends one small file per run; compact periodically with
+    io.compact_files like any other high-frequency append table.
+    """
+
+    SCHEMA = (
+        "ts timestamp, recipe string, extractor string, success boolean, "
+        "duration_ms long, record_count long, error string"
+    )
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path
+
+    def record_run(self, run: Run) -> None:
+        import datetime
+
+        row = [
+            (
+                datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None),
+                run.recipe.name,
+                run.recipe.source.name,
+                run.success,
+                run.duration_ms,
+                run.record_count,
+                run.error,
+            )
+        ]
+        self.spark.createDataFrame(row, self.SCHEMA).write.mode("append").parquet(self.path)
+
+    def history(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)

@@ -188,3 +188,36 @@ def test_parquet_table_extractor_projects_and_filters(spark, sf_dir):
     # projection + predicate must reach the scan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_run_history_monitor_is_queryable(spark, tmp_path):
+    """Run telemetry lands in a parquet table aggregable by the engine
+    itself - the queryable evolution of the reference's statsd counters."""
+    from meteor_spark.recipe.loader import PluginRecipe, Recipe
+    from meteor_spark.runner.agent import Agent, RunHistoryMonitor
+
+    csv = tmp_path / "h.csv"
+    csv.write_text("a,b\n1,2\n")
+    hist_path = str(tmp_path / "run_history")
+    mon = RunHistoryMonitor(spark, hist_path)
+    agent = Agent(spark, monitors=[mon])
+    recipe = Recipe(
+        name="hist_demo",
+        version="v1beta1",
+        source=PluginRecipe(name="csv", config={"path": str(csv)}),
+        sinks=[PluginRecipe(name="console")],
+    )
+    for _ in range(2):
+        r = agent.run(recipe)
+        assert r.success
+
+    h = mon.history()
+    assert h.count() == 2
+    from pyspark.sql import functions as F
+
+    agg = h.groupBy("recipe", "extractor").agg(
+        F.count("*").alias("n_runs"),
+        F.sum("record_count").alias("total_records"),
+        F.max("success").alias("any_success"),
+    ).first()
+    assert agg["n_runs"] == 2 and agg["extractor"] == "csv" and agg["any_success"] is True
