@@ -223,6 +223,90 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_assign(
+    df: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest seed centroid by cosine
+    (ties -> lowest cluster id): the coarse clustering step of SemDeDup
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication").
+
+    Seeds are the `n_clusters` lowest-id vectors — a deterministic
+    zero-iteration quantizer, reproducible on any engine (the oracle
+    re-derives the identical seeds in SQL). The seed matrix is collected
+    driver-side (n_clusters x dim doubles — KB-scale, a broadcast dim in
+    spirit) and inlined as literal arrays, so assignment is pure codegen
+    arithmetic per row: one scan, no shuffle, no UDF. At 100 TB the
+    seeds would come from a deterministic sample instead of a LIMIT, and
+    n_clusters grows ~sqrt(N) so cluster sizes stay bounded.
+    """
+    seeds = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    # argmax by (cos, -cluster): struct max is lexicographic, so equal
+    # cosines deterministically pick the LOWEST cluster id
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(x) for x in s])).alias("c"),
+                F.lit(-ci).alias("nc"),
+            )
+            for ci, s in enumerate(seeds)
+        ]
+    )
+    cluster = (-F.array_max(scored).getField("nc")).cast("int")
+    return df.select(F.col(id_col), v.alias("v"), cluster.alias("cluster"))
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup semantic near-dup pairs: within-cluster cosine >= threshold,
+    over a `semantic_assign` output frame (persist it — both sides of the
+    self-join read it).
+
+    The pairing self-join is an equi-join on the cluster id — the point
+    of the coarse quantizer is that candidate generation scales with
+    sum(cluster_size^2), never corpus^2, and the shuffle key cardinality
+    is n_clusters (grown with the corpus at scale, see semantic_assign).
+    Exact given the seeds: every within-cluster pair is scored, so the
+    DuckDB oracle reproduces the full result, unlike probabilistic LSH.
+    """
+    l, r = assigned.alias("l"), assigned.alias("r")
+    return (
+        l.join(r, "cluster")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            "cluster",
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that appears as the higher id
+    of a qualifying pair (min-id representative per semantic match —
+    SemDeDup's 'keep one per duplicate group' with a deterministic,
+    SQL-expressible survivor rule). Anti-join: no new shuffle shape."""
+    removed = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(removed, id_col, "left_anti")
+
+
 def _np_kmeans(X, k: int, seed: int, iters: int = 10):
     """Tiny deterministic Lloyd's k-means (numpy) for PQ codebooks.
 

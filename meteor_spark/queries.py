@@ -1432,6 +1432,96 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_duplicates(emb.unionByName(planted), threshold=0.9, bits=4, dim=64)
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_PLANT = 20
+
+# shared CTE prefix: planted base -> deterministic seeds -> nearest-seed
+# assignment -> within-cluster cosine pairs (the SQL twin of
+# similarity.semantic_assign + semantic_dedup_pairs)
+_SEMDEDUP_CTE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id < {_SEMDEDUP_PLANT}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS sv
+  FROM base ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+assign AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT b.vec_id, b.v, s.cluster,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, s.sv) /
+                      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+                      s.cluster) AS rn
+    FROM base b CROSS JOIN seeds s) WHERE rn = 1),
+pairs AS (
+  SELECT l.cluster, l.vec_id AS a, r.vec_id AS b,
+         round(list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+               4) AS cos
+  FROM assign l JOIN assign r ON l.cluster = r.cluster AND l.vec_id < r.vec_id)
+"""
+
+
+def _semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted base (exact copies of the 20 lowest-id vectors under
+    shifted ids, so the gate can never be vacuously green on the random
+    fixture embeddings) -> seeded cluster assignment, shared across the
+    pairs and survivors gates."""
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        planted = (
+            emb.orderBy("vec_id")
+            .limit(_SEMDEDUP_PLANT)
+            .select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding", "label")
+        )
+        return similarity.semantic_assign(emb.unionByName(planted), n_clusters=_SEMDEDUP_K).persist()
+
+    return _shared(spark, sf_dir, "semdedup_assigned", build)
+
+
+@query(
+    "semantic_dedup_pairs",
+    _SEMDEDUP_CTE
+    + f"SELECT cluster, a, b, cos FROM pairs WHERE cos >= {_SEMDEDUP_TAU}",
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic near-dup pairs: nearest-seed
+    coarse clustering (zero-iteration quantizer — deterministic, so the
+    oracle reproduces it exactly) + within-cluster cosine >= tau. The
+    candidate join is an equi-join on cluster id: cost scales with
+    sum(cluster_size^2), never corpus^2. Exact given the seeds, unlike
+    probabilistic LSH blocking — every within-cluster pair is scored."""
+    return similarity.semantic_dedup_pairs(
+        _semdedup_assigned(spark, sf_dir), threshold=_SEMDEDUP_TAU
+    )
+
+
+@query(
+    "semantic_dedup_survivors",
+    _SEMDEDUP_CTE
+    + f"""
+    SELECT a.vec_id, a.cluster FROM assign a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p WHERE p.b = a.vec_id AND p.cos >= {_SEMDEDUP_TAU})
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set: drop the higher id of every semantic match
+    (min-id representative — a deterministic, SQL-expressible survivor
+    rule). Anti-join against the pair report; all 20 planted copies MUST
+    be dropped (cos 1.0 with their originals) or the gate fails."""
+    assigned = _semdedup_assigned(spark, sf_dir)
+    pairs = similarity.semantic_dedup_pairs(assigned, threshold=_SEMDEDUP_TAU)
+    return similarity.semantic_dedup_survivors(
+        assigned.select("vec_id", "cluster"), pairs
+    )
+
+
 # --------------------------------------------------------------------------
 # Sampling, histograms, semi/anti joins, range join (beyond-reference)
 # --------------------------------------------------------------------------

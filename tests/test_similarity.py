@@ -135,3 +135,54 @@ def test_ivf_materialized_index_prunes_partitions(spark, sf_dir, tmp_path):
         for r in ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3, seed=42).collect()
     }
     assert {(r["query_id"], r["neighbor_id"]) for r in rows} == mem
+
+
+def test_semantic_assign_nearest_seed_and_tiebreak(spark):
+    # seeds = 2 lowest ids: cluster 0 = (1,0,0), cluster 1 = (0,1,0).
+    # vec 2 is closer to seed 1; vec 3 is equidistant -> lowest cluster.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.1, 0.9, 0.0]),
+        (3, [1.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"] for r in similarity.semantic_assign(emb, n_clusters=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 0}
+
+
+def test_semantic_dedup_pairs_and_survivors(spark):
+    # seeds = vecs 0/1 (orthogonal); 2 lands in cluster 0, 12 is its copy
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),
+        (12, [1.0, 0.001, 0.0]),  # exact copy of 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = similarity.semantic_assign(emb, n_clusters=2).persist()
+    pairs = similarity.semantic_dedup_pairs(assigned, threshold=0.99)
+    got = {(p["a"], p["b"]): p["cos"] for p in pairs.collect()}
+    assert set(got) == {(0, 2), (0, 12), (2, 12)}
+    assert got[(2, 12)] == 1.0
+    # survivors: min-id representative per match -> 2 and 12 dropped
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_survivors(assigned.select("vec_id", "cluster"), pairs).collect()
+    )
+    assert kept == [0, 1]
+
+
+def test_semantic_pairs_never_cross_clusters(spark):
+    # near-identical vectors split across clusters are NOT paired: the
+    # coarse quantizer bounds candidate generation (SemDeDup's trade)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.7071, 0.7072, 0.0]),  # nearest seed 1 (by a hair)
+        (3, [0.7072, 0.7071, 0.0]),  # nearest seed 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = similarity.semantic_assign(emb, n_clusters=2).persist()
+    pairs = similarity.semantic_dedup_pairs(assigned, threshold=0.99).collect()
+    assert [(p["a"], p["b"]) for p in pairs] == []
