@@ -1394,13 +1394,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary(docs))
 
 
-@query("srp_ann_topk")  # no oracle: approximate bucketing, checked rows-only
+# The SRP hyperplanes are md5-derived (similarity._hyperplane_component:
+# int(md5(f"{b}:{j}")[:8], 16) / 0x7FFFFFFF - 1), so the oracle rebuilds
+# the IDENTICAL planes, signatures, bucket joins, and ranks in SQL —
+# "approximate" ANN, but deterministic given the hash family, hence
+# exactly checkable. Only the per-plane dot's summation order differs
+# between engines; a sign flip would need |dot| ~ 1e-12 (never on real
+# vectors).
+_SRP_BITS = 4
+_SRP_ORACLE = f"""
+WITH planes AS (
+  SELECT b.range::INT AS b, j.range::INT AS j,
+         ('0x' || substr(md5(b.range || ':' || j.range), 1, 8))::BIGINT / 2147483647.0 - 1.0 AS h
+  FROM range({_SRP_BITS}) b, range(64) j),
+comps AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings),
+dots AS (
+  SELECT c.vec_id, p.b, sum(c.x * p.h) AS d
+  FROM comps c JOIN planes p USING (j) GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS sig FROM dots GROUP BY 1),
+q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv, s.sig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id < {_ANN_NQUERY}),
+c AS (SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, s.sig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos
+  FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= {_ANN_K}
+"""
+
+
+@query("srp_ann_topk", _SRP_ORACLE)
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH ANN (the scale path): signature bucket join + exact
-    re-rank. Approximate by construction — recorded as rows-only."""
+    re-rank. The md5-derived hyperplane family makes the whole pipeline
+    deterministic, so the oracle reproduces signatures, buckets, and
+    ranks exactly — an ANN gate with full value equality, not rows-only."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return similarity.srp_topk(emb, q, dim=64, k=_ANN_K, bits=4)
+    return similarity.srp_topk(emb, q, dim=64, k=_ANN_K, bits=_SRP_BITS)
 
 
 @query("ivf_ann_topk")  # no oracle: approximate (kmeans cells), rows-only
