@@ -9,7 +9,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  streaming incl. session windows, stream-static and
                  stream-stream joins, drift/contamination/sketch ops,
                  LM perplexity quality filter, domain-mixture weights) —
-                 107 entries, 100 with exact DuckDB oracles.
+                 108 entries, 101 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 7 approximate/iterative operators are rows-only and
                  have no oracle).

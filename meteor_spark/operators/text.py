@@ -122,6 +122,72 @@ def quality_score(text: Column, round_to: int = 4) -> Column:
     return F.round(score, round_to)
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1) as per-doc
+    flags: word-count bounds, mean word length in [3,10], symbol-to-word
+    ratio (# / ellipsis) < 0.1, >80% words containing an alphabetic
+    character, >=2 distinct English stopwords, <90% bullet-led lines,
+    <=30% ellipsis-ended lines, and the conjunction as `passes`.
+
+    Pure pyspark.sql.functions over one scan (column-pruned to id+text,
+    zero Python, whole-stage codegen) — the rule-based corpus filter that
+    typically runs FIRST in a training-data pipeline, before any
+    dedup/LM machinery touches the surviving docs. Ratios are rounded
+    before comparison so the SQL oracle reproduces every flag exactly.
+    """
+    t = F.col(text_col)
+    toks = words(t)
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+        / F.greatest(n_words, F.lit(1)),
+        round_to,
+    )
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit("[#…]|\\.\\.\\."), 0))
+    symbol_ratio = F.round(n_symbols.cast("double") / F.greatest(n_words, F.lit(1)), round_to)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / F.greatest(n_words, F.lit(1)), round_to)
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words(F.lower(t))), sw))
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = F.round(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))).cast("double") / n_lines, round_to
+    )
+    ellipsis_ratio = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") / n_lines, round_to
+    )
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_ratio") > 0.8)
+        & (F.col("n_stopwords") >= 2)
+        & (F.col("bullet_ratio") < 0.9)
+        & (F.col("ellipsis_ratio") <= 0.3),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))

@@ -963,6 +963,48 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.analyze(docs)
 
 
+_GOPHER_STOPWORDS = "['the','and','of','to','a','in','is','it','for','on']"
+
+
+@query(
+    "gopher_quality_gate",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS ws,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS wl,
+             string_split(text, chr(10)) AS ls
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(list_sum(list_transform(ws, w -> len(w)))::DOUBLE / greatest(len(ws), 1), 4) AS mean_word_len,
+             round(len(regexp_extract_all(text, '[#…]|\\.\\.\\.'))::DOUBLE / greatest(len(ws), 1), 4) AS symbol_ratio,
+             round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / greatest(len(ws), 1), 4) AS alpha_ratio,
+             len(list_intersect(list_distinct(wl), {_GOPHER_STOPWORDS})) AS n_stopwords,
+             round(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / greatest(len(ls), 1), 4) AS bullet_ratio,
+             round(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE / greatest(len(ls), 1), 4) AS ellipsis_ratio
+      FROM base)
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+            AND n_stopwords >= 2
+            AND bullet_ratio < 0.9 AND ellipsis_ratio <= 0.3) AS passes
+    FROM feat
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1): per-doc
+    word-count/word-length/symbol/alpha/stopword/line-shape flags and
+    the pass verdict — the first cut of a curation pipeline, before any
+    dedup or LM scoring. One column-pruned scan, zero Python (see
+    operators.text.gopher_rules); every ratio rounded pre-comparison so
+    DuckDB reproduces each flag exactly."""
+    docs = _docs(spark, sf_dir)
+    return text.gopher_rules(docs)
+
+
 # --------------------------------------------------------------------------
 # Deduplication (beyond-reference)
 # --------------------------------------------------------------------------

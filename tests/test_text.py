@@ -175,3 +175,34 @@ def test_bigram_lm_perplexity_randomized_cross_check(spark):
         assert out[doc_id]["n_bigrams"] == len(bgs)
         assert abs(out[doc_id]["avg_logp"] - round(avg, 4)) <= 1e-9, doc_id
         assert abs(out[doc_id]["perplexity"] - round(math.exp(-avg), 4)) <= 1e-9, doc_id
+
+
+def test_gopher_rules_flags(spark):
+    good = "the quick brown fox jumps over a lazy dog and then it runs on to the hill for fun " * 4
+    rows = [
+        (0, good),                                    # passes everything
+        (1, "the of short"),                          # too few words
+        (2, "#### #### #### #### #### " + good),     # symbol-heavy
+        (3, "zz qq ww rr ss tt uu vv xx yy " * 10),   # no stopwords
+        (4, "- one\n- two\n- three\nthe end of it"),  # bullet-led lines
+        (5, "so it goes...\nand ends...\nthe of a"),  # ellipsis-ended lines
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(docs, min_words=10).collect()}
+    assert out[0]["passes"]
+    assert not out[1]["passes"] and out[1]["n_words"] == 3
+    assert not out[2]["passes"] and out[2]["symbol_ratio"] >= 0.1
+    assert not out[3]["passes"] and out[3]["n_stopwords"] == 0
+    assert not out[4]["passes"] and out[4]["bullet_ratio"] == 0.75
+    assert not out[5]["passes"] and out[5]["ellipsis_ratio"] > 0.3
+
+
+def test_gopher_rules_word_length_bounds(spark):
+    rows = [
+        (0, "aa bb cc dd ee ff gg hh ii jj the of"),  # mean len 2 -> fail
+        (1, "extraordinarily incomprehensible satisfactions " * 5 + "the of"),  # mean > 10
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.gopher_rules(docs, min_words=5).collect()}
+    assert not out[0]["passes"] and out[0]["mean_word_len"] < 3
+    assert not out[1]["passes"] and out[1]["mean_word_len"] > 10
