@@ -2529,8 +2529,11 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
     from meteor_spark.streaming.pipeline import incremental_dedup_stream
 
+    # microbatches here are a few hundred rows; 4 shuffle partitions
+    # kills per-batch task-scheduling overhead (see _run_foreach_batch)
     return incremental_dedup_stream(
-        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt")
+        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt"),
+        shuffle_partitions=4,
     )
 
 
@@ -2569,8 +2572,11 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
     from meteor_spark.streaming.pipeline import incremental_neardup_stream
 
+    # microbatches here are ~100 rows; 4 shuffle partitions kills
+    # per-batch task-scheduling overhead (measured 11.6s -> 6.3s)
     return incremental_neardup_stream(
-        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt")
+        spark, watch, corpus, os.path.join(base, "store"), os.path.join(base, "ckpt"),
+        shuffle_partitions=4,
     )
 
 
