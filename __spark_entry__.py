@@ -61,10 +61,12 @@ _CHECKED_ROUNDS_1_2 = {
     "preview_lineitem", "profile_lineitem", "profile_orders", "props_json_agg",
     "props_variant_agg", "purchase_click_attribution", "q1_pricing_summary",
     "q3_top_orders", "q5_nation_revenue", "row_counts", "scrub_documents",
-    "simhash_docs", "sql_api_revenue", "sql_condition_mining", "srp_ann_topk",
+    "simhash_docs", "sql_api_revenue", "sql_condition_mining",
     "stratified_sample", "streaming_click_attribution", "streaming_hourly_rollup",
     "text_analysis", "top_customers", "user_event_grants", "user_sessions",
     "winnowing_fingerprints",
+    # NOT srp_ann_topk: its r2 row was rows-only ("no_oracle"); the gate
+    # gained an exact oracle in r3 and should be re-sampled early.
 }
 
 

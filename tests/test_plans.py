@@ -264,3 +264,23 @@ def test_sql_api_revenue_has_no_expand(spark):
     # (2x fact shuffle); the two-level form must not
     plan = _plan(spark, "sql_api_revenue")
     assert "Expand" not in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_equi_join(spark):
+    # the SemDeDup pairing must be a hash equi-join on the cluster id —
+    # never a cartesian/BNLJ — and the seed-assignment side adds no
+    # shuffle of its own (pure projection over the scan)
+    plan = _plan(spark, "semantic_dedup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster" in plan
+
+
+def test_gopher_gate_is_single_pruned_scan(spark):
+    # rule evaluation is one scan projected to (doc_id, text): no joins,
+    # no exchanges beyond the (conditional) small-input repartition, and
+    # the untouched lang/source/n_chars columns never reach the scan
+    plan = _plan(spark, "gopher_quality_gate")
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "n_chars" not in read_schema and "source" not in read_schema
