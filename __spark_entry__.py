@@ -8,8 +8,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  hygiene/quality/chunking, sampling, range join,
                  streaming incl. session windows, stream-static and
                  stream-stream joins, drift/contamination/sketch ops,
-                 LM perplexity quality filter, domain-mixture weights) —
-                 108 entries, 101 with exact DuckDB oracles.
+                 LM perplexity quality filter, domain-mixture weights,
+                 BM25 retrieval, DSIR importance reweighting, passage
+                 dedup, training-order interleave) —
+                 112 entries, 105 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 7 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -562,3 +562,80 @@ def duplicated_spans(
         (F.max("pos") + (k - 1)).alias("span_end"),
         (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
     ).select(id_col, "span_start", "span_end", "span_tokens")
+
+
+# ------------------------------------------------------- passage dedup
+
+def passage_dedup(
+    df: DataFrame,
+    chunk_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level exact dedup with document reassembly: split every
+    document into fixed-width word windows ("passages"), keep the FIRST
+    occurrence of each distinct passage corpus-wide, and stitch each
+    document back together from its surviving passages — the
+    whole-passage granularity between document-level dedup_exact and
+    duplicated_spans' arbitrary ranges (C4 dropped repeated 3-sentence
+    spans the same way; this corpus has no sentence punctuation, so the
+    window is word-count-based).
+
+    "First occurrence" is ownership by min (doc_id, chunk_id) per
+    passage fingerprint — deterministic across partitionings and
+    engines, no arrival-order dependence.
+
+    Returns (id, n_chunks, kept_chunks, new_text_hash) where
+    new_text_hash is md5 of the surviving passages joined in document
+    order (NULL when every passage of the doc occurred earlier
+    elsewhere). Hashing the reassembled text keeps the result frame
+    bounded while still value-checking the reassembly byte-for-byte.
+
+    Scale: passages are built with sequence+slice INSIDE the row (no
+    doc×token explode — the exploded frame is one row per passage, ~1/8
+    the token count); ownership is one row_number window partitioned by
+    the md5 fingerprint (uniform hash key, no skew); reassembly is one
+    groupBy(id) with an in-group sort of ≤ n_chunks structs. Nothing
+    joins back against the full corpus.
+    """
+    ws = words(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("__ws"))
+    n_chunks = F.ceil(F.size("__ws") / F.lit(chunk_words)).cast("int")
+    passages = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda j: F.concat_ws(" ", F.slice(F.col("__ws"), j * chunk_words + 1, chunk_words)),
+            )
+        ).alias("chunk_id", "passage"),
+    )
+
+    from pyspark.sql import Window
+
+    own = Window.partitionBy(F.md5("passage")).orderBy(id_col, "chunk_id")
+    ranked = passages.withColumn("__rn", F.row_number().over(own))
+
+    tot = passages.groupBy(id_col).agg(F.count("*").cast("long").alias("n_chunks"))
+    kept = (
+        ranked.filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("kept_chunks"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_id", "passage"))),
+                        lambda s: s["passage"],
+                    ),
+                )
+            ).alias("new_text_hash"),
+        )
+    )
+    return tot.join(kept, id_col, "left").select(
+        id_col,
+        "n_chunks",
+        F.coalesce(F.col("kept_chunks"), F.lit(0).cast("long")).alias("kept_chunks"),
+        "new_text_hash",
+    )

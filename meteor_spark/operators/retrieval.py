@@ -1,0 +1,88 @@
+"""Sparse lexical retrieval over the document corpus: BM25 top-k.
+
+Beyond-reference operator (BASELINE.json north star): a training-data
+pipeline needs corpus search — picking the documents most relevant to a
+probe query drives targeted curation (DSIR-style target matching,
+contamination triage, eyeball sampling of a topic).
+
+Formulation is the classic inverted-index join, fully relational:
+
+    postings(term, doc_id, tf)  ⋈  query_terms  →  per-doc score sum
+
+Scale design:
+- The term filter lands BEFORE the (doc, term) aggregation, so the
+  postings frame only ever contains rows for the query's terms — at
+  100 TB the explode+filter prunes inside the scan stage and the
+  shuffled aggregate carries |matching docs| × |query terms| rows,
+  not the corpus vocabulary.
+- Per-term document frequencies and the corpus scalars (N, avgdl) are
+  tiny aggregates broadcast to the score join; nothing large shuffles
+  twice.
+- Top-k is orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+  no global sort).
+- Everything is pyspark.sql.functions — no Python in the hot path —
+  and md5-free, so the oracle twin is plain SQL arithmetic.
+
+No reference twin (odpf/meteor has no search operator); determinism
+contract follows meteor_spark.queries (round(score, 4), tie-break on
+doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meteor_spark.operators.text import normalize_text, words
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under Okapi BM25.
+
+    idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Returns (id_col, n_terms, bm25) ordered by (bm25 desc, id).
+    """
+    base = df.select(F.col(id_col), words(normalize_text(F.col(text_col))).alias("__ws"))
+
+    # one pass: doc length travels with the exploded token, so matched
+    # docs never join back against the full corpus for dl
+    tok = base.select(
+        F.col(id_col),
+        F.size("__ws").alias("dl"),
+        F.explode("__ws").alias("w"),
+    ).filter(F.col("w").isin(list(terms)))
+    tf = tok.groupBy(id_col, "dl", "w").agg(F.count("*").alias("tf"))
+
+    # corpus scalars: one tiny agg row, broadcast via crossJoin
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("__ws")).alias("avgdl"),
+    )
+    # per-term document frequency: (doc, term) is unique in tf
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("dft"))
+
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(idf * tf_part), round_to).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)

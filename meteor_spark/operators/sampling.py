@@ -164,3 +164,136 @@ def source_mix_weights(
         F.round("w", round_to).alias("weight"),
         F.round(F.col("w") / F.col("mw"), round_to).alias("sample_rate"),
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter: Column,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under the TARGET
+    subcorpus's distribution than under the raw corpus's.
+
+        feature(w)  = md5-bucket of the token, in [0, buckets)
+        p_T(b)      = (count_T(b) + 1) / (total_T + buckets)   (add-one)
+        p_R(b)      = (count_R(b) + 1) / (total_R + buckets)
+        log_w(doc)  = Σ_tokens ln(p_T(b) / p_R(b))
+
+    Sampling proportionally to exp(log_w) then reproduces the target
+    distribution — here we emit the deterministic per-doc log-weight and
+    leave the draw to `weighted_sample` (same hash-Bernoulli machinery).
+
+    Scale design: tokens reduce to per-(doc, bucket) multiplicities
+    first (map-side combine — the shuffle carries ≤ `buckets` rows per
+    doc, not one per token); both bucket distributions are ≤ `buckets`-row
+    aggregates broadcast to the scoring join; the log-ratio table is
+    computed ONCE and reused — the per-doc pass is one explode + two
+    hash aggregates, no corpus-sized join.
+
+    Exactly oracle-checkable: md5 bucketing and add-one smoothing are
+    plain SQL in DuckDB (see queries.dsir_importance_weights).
+    """
+    from meteor_spark.operators.text import normalize_text, words
+
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long") % buckets
+    ).cast("int")
+    tok = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_target"),
+        F.explode(words(normalize_text(F.col(text_col)))).alias("w"),
+    ).select(id_col, "__is_target", bkt.alias("bkt"))
+
+    # per-(doc, bucket) multiplicities: the only corpus-sized aggregate
+    m = tok.groupBy(id_col, "__is_target", "bkt").agg(F.count("*").alias("m"))
+
+    raw = m.groupBy("bkt").agg(F.sum("m").alias("cr"))
+    tgt = m.filter(F.col("__is_target")).groupBy("bkt").agg(F.sum("m").alias("ct"))
+    dist = raw.join(tgt, "bkt", "left").na.fill({"ct": 0})
+    tots = dist.agg(
+        F.sum("ct").cast("double").alias("tot_t"),
+        F.sum("cr").cast("double").alias("tot_r"),
+    )
+    lp = (
+        dist.crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tot_t") + buckets))
+                - F.log((F.col("cr") + 1.0) / (F.col("tot_r") + buckets))
+            ).alias("lp"),
+        )
+    )
+    return (
+        m.join(F.broadcast(lp), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("m") * F.col("lp")), round_to).alias("log_weight"),
+        )
+    )
+
+
+def training_order_interleave(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic epoch-shuffled, source-interleaved training order:
+    every document gets a global `position` such that reading in position
+    order (a) visits each source round-robin (no source-contiguous runs —
+    the curriculum property batch-wise mixing needs) and (b) permutes
+    WITHIN each source by a seeded hash (the epoch shuffle), reproducibly
+    across runs, engines, and partitionings.
+
+        source_rank = rank of the doc inside its source, ordered by
+                      md5('ep{epoch}:' || doc_id)
+        position    = (source_rank - 1) · n_sources + source_index
+
+    Scale design: position is COMPUTED, not assigned by a global
+    row_number — a global window would funnel 100 TB through one
+    reducer. The only window is per-source (bounded by the largest
+    source; for a handful of giant sources the same rank is obtained
+    with the standard per-partition-count prefix-sum offset, plan
+    unchanged downstream), and the source-index dim is a tiny broadcast.
+    Positions are strictly ordered but not contiguous once short sources
+    exhaust — harmless for a sort key.
+    """
+    from pyspark.sql import Window
+
+    seed = F.lit(f"ep{epoch}:")
+    shuffle_key = F.md5(F.concat(seed, F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(shuffle_key, F.col(id_col))
+
+    sdim = df.select(group_col).distinct()
+    sidx = sdim.select(
+        group_col,
+        F.row_number()
+        .over(Window.orderBy(group_col))
+        .alias("__si"),  # tiny dim: the one legitimate global window
+    )
+    n_sources = sdim.count()
+
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.row_number().over(w).cast("long").alias("source_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(sidx), group_col)
+        .select(
+            id_col,
+            group_col,
+            "source_rank",
+            ((F.col("source_rank") - 1) * n_sources + F.col("__si") - 1)
+            .cast("long")
+            .alias("position"),
+        )
+        .orderBy("position")
+    )

@@ -1005,6 +1005,141 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_rules(docs)
 
 
+_BM25_TERMS = ("spark", "window", "hash")
+_BM25_K = 25
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM nd),
+    tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+           WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, dl, w),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM nd),
+    dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY w)
+    SELECT tf.doc_id,
+           count(*) AS n_terms,
+           round(sum(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                     * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+    FROM tf JOIN dfq USING (w) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (operators.retrieval.bm25_topk): the
+    corpus-search primitive of targeted curation — inverted-index
+    postings restricted to the query terms inside the scan stage,
+    df/N/avgdl as broadcast aggregates, TakeOrdered top-k."""
+    from meteor_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=_BM25_K)
+
+
+_DSIR_BUCKETS = 256
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w
+      FROM documents),
+    b AS (SELECT doc_id, is_t,
+                 CAST(('0x' || substr(md5(w), 1, 4))::BIGINT % {_DSIR_BUCKETS} AS INT) AS bkt
+          FROM tok),
+    m AS (SELECT doc_id, is_t, bkt, count(*) AS m FROM b GROUP BY doc_id, is_t, bkt),
+    raw AS (SELECT bkt, sum(m) AS cr FROM m GROUP BY bkt),
+    tgt AS (SELECT bkt, sum(m) AS ct FROM m WHERE is_t GROUP BY bkt),
+    dist AS (SELECT raw.bkt, coalesce(tgt.ct, 0) AS ct, raw.cr
+             FROM raw LEFT JOIN tgt USING (bkt)),
+    tots AS (SELECT CAST(sum(ct) AS DOUBLE) AS tot_t, CAST(sum(cr) AS DOUBLE) AS tot_r FROM dist),
+    lp AS (SELECT bkt,
+                  ln((ct + 1.0) / (tot_t + {_DSIR_BUCKETS}))
+                  - ln((cr + 1.0) / (tot_r + {_DSIR_BUCKETS})) AS lp
+           FROM dist CROSS JOIN tots)
+    SELECT m.doc_id, CAST(sum(m.m) AS BIGINT) AS n_tokens,
+           round(sum(m.m * lp.lp), 4) AS log_weight
+    FROM m JOIN lp USING (bkt)
+    GROUP BY m.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance reweighting (Xie et al. 2023) toward the 'en'
+    subcorpus: hashed-unigram bucket log-likelihood ratios, add-one
+    smoothed — the importance-resampling scorer of targeted data
+    selection (operators.sampling.dsir_log_weights). Per-(doc,bucket)
+    multiplicities shuffle once; both distributions broadcast."""
+    from meteor_spark.operators.sampling import dsir_log_weights
+
+    return dsir_log_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=_DSIR_BUCKETS
+    )
+
+
+_PASSAGE_WORDS = 8
+
+
+@query(
+    "passage_dedup_survivors",
+    f"""
+    WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(j AS INT) AS chunk_id,
+             array_to_string(list_slice(ws, j * {_PASSAGE_WORDS} + 1, j * {_PASSAGE_WORDS} + {_PASSAGE_WORDS}), ' ') AS passage
+      FROM nd, unnest(range(0, CAST(ceil(len(ws) / {_PASSAGE_WORDS}.0) AS BIGINT))) AS t(j)),
+    rk AS (SELECT doc_id, chunk_id, passage,
+                  row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, chunk_id) AS rn
+           FROM ch),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+    kept AS (SELECT doc_id, count(*) AS kept_chunks,
+                    md5(string_agg(passage, ' ' ORDER BY chunk_id)) AS new_text_hash
+             FROM rk WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           coalesce(k.kept_chunks, 0) AS kept_chunks, k.new_text_hash
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def passage_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup with document reassembly
+    (operators.dedup.passage_dedup): fixed-width word windows, first
+    corpus-wide occurrence survives, doc re-stitched from surviving
+    passages (hash of the reassembled text keeps the frame bounded) —
+    C4's repeated-span drop at whole-passage granularity."""
+    from meteor_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir), chunk_words=_PASSAGE_WORDS)
+
+
+@query(
+    "training_order_interleave",
+    """
+    WITH sdim AS (SELECT DISTINCT source FROM documents),
+    sidx AS (SELECT source, row_number() OVER (ORDER BY source) AS si FROM sdim),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sdim),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) AS source_rank
+          FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.source_rank AS BIGINT) AS source_rank,
+           CAST((r.source_rank - 1) * ns.n + sidx.si - 1 AS BIGINT) AS position
+    FROM r JOIN sidx USING (source) CROSS JOIN ns
+    ORDER BY position
+    """,
+)
+def training_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + strict source round-robin training
+    order (operators.sampling.training_order_interleave): position is
+    COMPUTED as (source_rank-1)·n_sources + source_index — no global
+    row_number funneling the corpus through one reducer; the only
+    window is per-source and the source dim is a broadcast."""
+    from meteor_spark.operators.sampling import training_order_interleave as toi
+
+    return toi(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication (beyond-reference)
 # --------------------------------------------------------------------------

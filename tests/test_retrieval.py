@@ -1,0 +1,103 @@
+"""BM25 retrieval, DSIR reweighting, passage dedup, training-order
+interleave — behavior + plan-shape checks for the round-3 additions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from meteor_spark.operators.dedup import passage_dedup
+from meteor_spark.operators.retrieval import bm25_topk
+from meteor_spark.operators.sampling import dsir_log_weights, training_order_interleave
+
+
+def _docs_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    docs = _docs_frame(
+        spark,
+        [
+            (1, "spark spark spark join", "en", "a"),
+            (2, "spark filler filler filler filler filler filler filler", "en", "a"),
+            (3, "nothing relevant here at all", "en", "a"),
+            (4, "window hash spark", "en", "a"),
+        ],
+    )
+    out = bm25_topk(docs, ("spark", "window", "hash"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no query term -> never scored
+    assert ids[0] == 4  # matches all three terms, shortest doc
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[4].n_terms == 3 and by_id[1].n_terms == 1
+    # tf saturation: doc1 (tf=3) must beat doc2 (tf=1, longer)
+    assert by_id[1].bm25 > by_id[2].bm25
+
+
+def test_bm25_plan_filters_terms_before_aggregation(spark):
+    docs = _docs_frame(spark, [(1, "spark join", "en", "a")])
+    plan = bm25_topk(docs, ("spark",), k=5)._jdf.queryExecution().optimizedPlan().toString()
+    # the isin() term filter must sit below the tf aggregate, and top-k
+    # must not be a global sort
+    assert "Filter" in plan
+    physical = bm25_topk(docs, ("spark",), k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in physical
+    assert "CartesianProduct" not in physical  # scalar joins are broadcast
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    rows = [(i, "alpha beta gamma delta", "en", "a") for i in range(10)]
+    rows += [(100 + i, "uno dos tres cuatro", "es", "b") for i in range(10)]
+    # one doc of each language flavor, weights must separate them
+    docs = _docs_frame(spark, rows)
+    out = dsir_log_weights(docs, F.col("lang") == "en").collect()
+    w = {r.doc_id: r.log_weight for r in out}
+    assert all(w[i] > w[100 + j] for i in (0, 5) for j in (0, 5))
+    assert all(r.n_tokens == 4 for r in out)
+
+
+def test_dsir_is_deterministic_across_runs(spark):
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared", "en" if i % 2 else "de", "s") for i in range(30)]
+    docs = _docs_frame(spark, rows)
+    a = sorted(map(tuple, dsir_log_weights(docs, F.col("lang") == "en").collect()))
+    b = sorted(map(tuple, dsir_log_weights(docs, F.col("lang") == "en").repartition(7).collect()))
+    assert a == b
+
+
+def test_passage_dedup_drops_later_copies_and_reassembles(spark):
+    base = " ".join(f"w{i}" for i in range(16))  # exactly 2 chunks of 8
+    uniq = " ".join(f"u{i}" for i in range(16))
+    docs = _docs_frame(
+        spark,
+        [
+            (1, base, "en", "a"),
+            (2, base, "en", "a"),  # full copy -> loses both passages
+            (3, uniq + " " + base, "en", "a"),  # 16-word prefix -> doc1's
+            # passages recur chunk-ALIGNED at offset 16 and are dropped
+            (4, "pad " + base, "en", "a"),  # 1-word shift -> no window of
+            # doc4 matches doc1's passages; everything survives
+        ],
+    )
+    out = {r.doc_id: r for r in passage_dedup(docs, chunk_words=8).collect()}
+    assert out[1].n_chunks == 2 and out[1].kept_chunks == 2
+    assert out[2].n_chunks == 2 and out[2].kept_chunks == 0
+    assert out[2].new_text_hash is None
+    assert out[3].n_chunks == 4 and out[3].kept_chunks == 2
+    assert out[4].n_chunks == 3 and out[4].kept_chunks == 3
+    # identical surviving text -> identical reassembly hash
+    solo = {r.doc_id: r for r in passage_dedup(docs.filter("doc_id = 1"), chunk_words=8).collect()}
+    assert solo[1].new_text_hash == out[1].new_text_hash
+
+
+def test_interleave_is_round_robin_and_seeded(spark):
+    rows = [(i, "x", "en", f"s{i % 3}") for i in range(30)]
+    docs = _docs_frame(spark, rows)
+    out = training_order_interleave(docs).collect()
+    # positions strictly increase and the first cycle hits every source once
+    pos = [r.position for r in out]
+    assert pos == sorted(pos) and len(set(pos)) == len(pos)
+    first_cycle = [r.source for r in out[:3]]
+    assert sorted(first_cycle) == ["s0", "s1", "s2"]
+    # same input -> identical order regardless of partitioning
+    again = training_order_interleave(docs.repartition(5)).collect()
+    assert [r.doc_id for r in again] == [r.doc_id for r in out]
