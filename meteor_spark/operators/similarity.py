@@ -539,3 +539,111 @@ def ivf_query_index(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------ distributed k-means
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+):
+    """Distributed Lloyd's k-means over the embedding table — the
+    clustering step of cluster-balanced data mixing (and the trained
+    big-data sibling of semantic_assign's zero-iteration quantizer /
+    _np_kmeans' driver-side codebook trainer).
+
+    Per iteration:
+    - ASSIGN: centroids inline as literal arrays (k x dim doubles —
+      KB-scale), nearest by squared L2 via the argmax of
+      v·c − |c|²/2 (the |v|² term is constant across centroids and
+      drops); ties break to the lowest cluster id. Pure codegen
+      arithmetic in one scan — no shuffle, no UDF.
+    - UPDATE: posexplode the vector to (cluster, pos, val) and average
+      per (cluster, pos). Partial aggregation combines map-side, so the
+      shuffle carries ≤ k·dim rows PER PARTITION, never N·dim; the k·dim
+      result is collected driver-side (bounded) to become the next
+      iteration's literals. Components are rounded to `round_to` —
+      summation-order noise cannot leak across iterations, so the fit is
+      reproducible across partitionings and cluster sizes.
+
+    Empty clusters keep their previous centroid (same rule as
+    _np_kmeans). At 100 TB: persist `df` once (every iteration re-reads
+    it), grow k ~ sqrt(N), and cap iterations — each costs exactly one
+    scan + one k·dim-row shuffle.
+
+    Returns (assigned DataFrame (id, cluster), centroids list).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = [
+        [float(x) for x in r[0]]
+        for r in base.orderBy(id_col).limit(k).select("v").collect()
+    ]
+
+    def assign(centroids) -> DataFrame:
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                        - sum(x * x for x in c) / 2.0
+                    ).alias("s"),
+                    F.lit(-ci).alias("nc"),
+                )
+                for ci, c in enumerate(centroids)
+            ]
+        )
+        cluster = (-F.array_max(scored).getField("nc")).cast("int")
+        return base.select(id_col, "v", cluster.alias("cluster"))
+
+    for _ in range(iters):
+        a = assign(cents)
+        rows = (
+            a.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), round_to).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cluster -> keep previous
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for ci, comp in by_cluster.items():
+            new[ci] = [comp[p] for p in range(len(comp))]
+        cents = new
+
+    return assign(cents).select(id_col, "cluster"), cents
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster mix report over a k-means fit: size, dominant label
+    and its share — the 'is my mixture balanced / which clusters to
+    up-sample' readout of cluster-aware curation. Label mode is
+    deterministic (max by (count, label)). One join on id + two
+    aggregates; the label dim never shuffles the vectors."""
+    assigned, _ = kmeans_fit(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    lab = (
+        assigned.join(df.select(id_col, label_col), id_col)
+        .groupBy("cluster", label_col)
+        .agg(F.count("*").alias("n"))
+    )
+    top = lab.groupBy("cluster").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.max(F.struct(F.col("n"), F.col(label_col).cast("long").alias("l"))).alias("t"),
+    )
+    return top.select(
+        "cluster",
+        "n_vecs",
+        F.col("t.l").cast("int").alias("top_label"),
+        F.round(F.col("t.n") / F.col("n_vecs"), 4).alias("top_label_share"),
+    ).orderBy("cluster")

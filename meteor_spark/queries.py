@@ -1140,6 +1140,18 @@ def training_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toi(_t(spark, sf_dir, "documents"))
 
 
+@query("embedding_kmeans_profile")  # rows-only: iterative fit, like ivf/pq
+def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table + per-cluster
+    label-mix report (operators.similarity.kmeans_fit): each iteration is
+    one scan + one k·dim-row partial-agg shuffle; centroids round-tripped
+    as rounded literals so the fit is partitioning-reproducible. The
+    cluster-balanced-mixing readout of embedding curation."""
+    from meteor_spark.operators.similarity import kmeans_cluster_profile
+
+    return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication (beyond-reference)
 # --------------------------------------------------------------------------

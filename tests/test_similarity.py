@@ -186,3 +186,52 @@ def test_semantic_pairs_never_cross_clusters(spark):
     assigned = similarity.semantic_assign(emb, n_clusters=2).persist()
     pairs = similarity.semantic_dedup_pairs(assigned, threshold=0.99).collect()
     assert [(p["a"], p["b"]) for p in pairs] == []
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blobs = []
+    for b in range(3):
+        center = np.zeros(8)
+        center[b] = 10.0
+        for i in range(20):
+            blobs.append((b * 100 + i, (center + rng.randn(8) * 0.1).tolist(), b))
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>, label int")
+    from meteor_spark.operators.similarity import kmeans_fit
+
+    assigned, cents = kmeans_fit(df, k=3, iters=4)
+    rows = assigned.collect()
+    # every true blob lands wholly in one fitted cluster
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r.vec_id // 100, set()).add(r.cluster)
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == 3
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+
+
+def test_kmeans_is_partitioning_invariant(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(6).tolist(), i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    from meteor_spark.operators.similarity import kmeans_fit
+
+    a1, c1 = kmeans_fit(df, k=4, iters=3)
+    a2, c2 = kmeans_fit(df.repartition(13), k=4, iters=3)
+    assert c1 == c2  # rounded centroid round-trip kills summation-order noise
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_kmeans_profile_shape(spark, sf_dir):
+    from meteor_spark.io import read_parquet_table
+    from meteor_spark.operators.similarity import kmeans_cluster_profile
+
+    emb = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    out = kmeans_cluster_profile(emb, k=4, iters=2).collect()
+    assert 0 < len(out) <= 4
+    assert sum(r.n_vecs for r in out) == emb.count()
+    assert all(0 < r.top_label_share <= 1.0 for r in out)
