@@ -101,3 +101,25 @@ def test_interleave_is_round_robin_and_seeded(spark):
     # same input -> identical order regardless of partitioning
     again = training_order_interleave(docs.repartition(5)).collect()
     assert [r.doc_id for r in again] == [r.doc_id for r in out]
+
+
+def test_passage_dedup_reassembly_identity_on_unique_corpus(spark):
+    """With no duplicate passages anywhere, every doc survives intact and
+    the reassembled text is byte-identical to the (normalized) original —
+    checked via an independent Python md5, not Spark's."""
+    import hashlib
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(16)), "en", "s") for i in range(5)]
+    docs = _docs_frame(spark, rows)
+    out = {r.doc_id: r for r in passage_dedup(docs, chunk_words=8).collect()}
+    for i, text, _, _ in rows:
+        assert out[i].kept_chunks == out[i].n_chunks == 2
+        assert out[i].new_text_hash == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_bm25_is_partitioning_invariant(spark):
+    rows = [(i, f"spark tok{i % 5} window tok{i % 11} filler", "en", "s") for i in range(40)]
+    docs = _docs_frame(spark, rows)
+    a = [tuple(r) for r in bm25_topk(docs, ("spark", "window"), k=15).collect()]
+    b = [tuple(r) for r in bm25_topk(docs.repartition(9), ("spark", "window"), k=15).collect()]
+    assert a == b
