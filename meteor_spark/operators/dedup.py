@@ -571,6 +571,7 @@ def passage_dedup(
     chunk_words: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit: str = "hash",
 ) -> DataFrame:
     """Passage-level exact dedup with document reassembly: split every
     document into fixed-width word windows ("passages"), keep the FIRST
@@ -590,6 +591,8 @@ def passage_dedup(
     order (NULL when every passage of the doc occurred earlier
     elsewhere). Hashing the reassembled text keeps the result frame
     bounded while still value-checking the reassembly byte-for-byte.
+    With emit="text" the reassembled text itself is returned as
+    `new_text` instead (the recipe-processor form).
 
     Scale: passages are built with sequence+slice INSIDE the row (no
     doc×token explode — the exploded frame is one row per passage, ~1/8
@@ -616,26 +619,27 @@ def passage_dedup(
     own = Window.partitionBy(F.md5("passage")).orderBy(id_col, "chunk_id")
     ranked = passages.withColumn("__rn", F.row_number().over(own))
 
+    reassembled = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "passage"))),
+            lambda s: s["passage"],
+        ),
+    )
+    out_col = (
+        F.md5(reassembled).alias("new_text_hash")
+        if emit == "hash"
+        else reassembled.alias("new_text")
+    )
     tot = passages.groupBy(id_col).agg(F.count("*").cast("long").alias("n_chunks"))
     kept = (
         ranked.filter(F.col("__rn") == 1)
         .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("kept_chunks"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("chunk_id", "passage"))),
-                        lambda s: s["passage"],
-                    ),
-                )
-            ).alias("new_text_hash"),
-        )
+        .agg(F.count("*").cast("long").alias("kept_chunks"), out_col)
     )
     return tot.join(kept, id_col, "left").select(
         id_col,
         "n_chunks",
         F.coalesce(F.col("kept_chunks"), F.lit(0).cast("long")).alias("kept_chunks"),
-        "new_text_hash",
+        "new_text_hash" if emit == "hash" else "new_text",
     )

@@ -1,3 +1,3 @@
 """Processor plugins. Importing registers built-ins."""
 
-from meteor_spark.processors import curate, enrich, relational  # noqa: F401
+from meteor_spark.processors import curate, enrich, mix, relational  # noqa: F401

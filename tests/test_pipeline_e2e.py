@@ -126,3 +126,65 @@ def test_filter_processor_rejects_missing_config(spark):
 
     with pytest.raises(InvalidConfigError):
         p.init({})
+
+
+def test_mix_pipeline_e2e(spark, tmp_path):
+    """parquet_table -> [reweight, passage_dedup, interleave] -> file:
+    the data-mixing recipe surface over the round-3 curation ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = " ".join(f"w{i}" for i in range(16))
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base, "fresh unique words entirely " + " ".join(f"u{i}" for i in range(12)), "mas palabras unicas aqui " + " ".join(f"v{i}" for i in range(12))],
+        "lang": ["en", "en", "en", "es"],
+        "source": ["a", "b", "a", "b"],
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table(rows), src)
+    out = tmp_path / "mixed"
+
+    from meteor_spark.recipe.loader import parse_recipe
+    from meteor_spark.runner import Agent
+
+    recipe = parse_recipe(
+        f"""
+name: mix
+version: v1beta1
+source:
+  name: parquet_table
+  config:
+    path: {src}
+processors:
+  - name: reweight
+    config:
+      target_col: lang
+      target_value: en
+  - name: passage_dedup
+    config:
+      chunk_words: 8
+  - name: interleave
+    config: {{}}
+sinks:
+  - name: file
+    config:
+      path: {out}
+      format: parquet
+""",
+        default_name="mix",
+    )
+    agent = Agent(spark)
+    assert agent.validate(recipe) == []
+    run = agent.run(recipe)
+    assert run.success, run.error
+    got = spark.read.parquet(str(out)).orderBy("position").collect()
+    ids = [r.doc_id for r in got]
+    assert 2 not in ids  # doc2 = full passage-level dup of doc1
+    assert set(ids) == {1, 3, 4}
+    cols = set(got[0].asDict())
+    assert {"doc_id", "text", "lang", "source", "log_weight", "position"} <= cols
+    # round-robin: the two sources alternate at the head of the order
+    assert got[0].source != got[1].source
+    # reweight kept the weight column populated
+    assert all(r.log_weight is not None for r in got)
