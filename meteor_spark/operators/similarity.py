@@ -279,8 +279,14 @@ def semantic_dedup_pairs(
     is n_clusters (grown with the corpus at scale, see semantic_assign).
     Exact given the seeds: every within-cluster pair is scored, so the
     DuckDB oracle reproduces the full result, unlike probabilistic LSH.
+
+    Norms are projected ONCE PER ROW below the join (2N evaluations)
+    instead of inside the pair expression (2·Σcluster² evaluations) —
+    the same doubles in the same order, so the rounded cosine is
+    bit-identical to the naive form, measurably cheaper at pair counts.
     """
-    l, r = assigned.alias("l"), assigned.alias("r")
+    sided = assigned.withColumn("__nv", norm(F.col("v")))
+    l, r = sided.alias("l"), sided.alias("r")
     return (
         l.join(r, "cluster")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -288,7 +294,10 @@ def semantic_dedup_pairs(
             "cluster",
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), round_to).alias("cos"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.__nv") * F.col("r.__nv")),
+                round_to,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
