@@ -53,16 +53,24 @@ def brute_force_topk(
     partition scores its slice and the per-query top-k is a single
     window over (queries x corpus) after local pruning.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms projected once per row below the join (N+Q evaluations, not
+    # 2·N·Q): same doubles in the same order -> rounded cosine unchanged
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias(
-                "cos"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -110,18 +118,24 @@ def srp_topk(
     signature, so it scales with bucket sizes, not corpus^2.
     """
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        srp_signature(F.col(vec_col), dim, bits).alias("sig"),
+    ).withColumn("cn", norm(F.col("cv")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        srp_signature(F.col(vec_col), dim, bits).alias("sig"),
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -207,8 +221,10 @@ def embedding_near_duplicates(
     # persist: both sides of the self-join would otherwise recompute the
     # bits*dim-term signature expression from raw vectors
     sigs = df.select(
-        F.col(id_col), F.col(vec_col).alias("v"), srp_signature(F.col(vec_col), dim, bits).alias("sig")
-    ).persist()
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        srp_signature(F.col(vec_col), dim, bits).alias("sig"),
+    ).withColumn("nv", norm(F.col("v"))).persist()
     l, r = sigs.alias("l"), sigs.alias("r")
     return (
         l.join(r, "sig")
@@ -216,7 +232,9 @@ def embedding_near_duplicates(
         .select(
             F.col(f"l.{id_col}").alias("a"),
             F.col(f"r.{id_col}").alias("b"),
-            F.round(cosine(F.col("l.v").cast("array<double>"), F.col("r.v").cast("array<double>")), round_to).alias("cos"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nv") * F.col("r.nv")), round_to
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
