@@ -179,7 +179,9 @@ def ivf_topk(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="features", predictionCol="cell", initMode="random", maxIter=5
     ).fit(corpus_v)
-    assigned = model.transform(corpus_v).select("neighbor_id", "cv", "cell")
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", F.col("cv").cast("array<double>").alias("cv"), "cell"
+    ).withColumn("cn", norm(F.col("cv")))
 
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     centers_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centers])
@@ -190,7 +192,8 @@ def ivf_topk(
         .withColumn("c_cos", cosine(F.col("qv").cast("array<double>"), F.col("center")))
         .withColumn("p_rank", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), "cell")))
         .filter(F.col("p_rank") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", F.col("qv").cast("array<double>").alias("qv"), "cell")
+        .withColumn("qn", norm(F.col("qv")))
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
@@ -198,7 +201,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to).alias("cos"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -462,8 +467,12 @@ def pq_topk(
     )
 
     # ---- exact cosine re-rank on the candidates only
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         cand.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -471,7 +480,7 @@ def pq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), round_to
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
             ).alias("cos"),
         )
     )
@@ -539,8 +548,8 @@ def ivf_query_index(
         sims = []
         for ci, c in enumerate(centers):
             cn = math.sqrt(sum(x * x for x in c)) or 1.0
-            dot = sum(a * b for a, b in zip(qv, c))
-            sims.append((dot / (qn * cn), -ci))
+            dp = sum(a * b for a, b in zip(qv, c))
+            sims.append((dp / (qn * cn), -ci))
         sims.sort(reverse=True)
         cells = [-ci for _, ci in sims[:n_probe]]
         probe_cells.update(cells)
@@ -551,15 +560,20 @@ def ivf_query_index(
             f"query_id long, qv array<float>, cell int",
         )
     )
-    corpus = spark.read.parquet(path).filter(F.col("cell").isin(*[int(c) for c in probe_cells]))
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(*[int(c) for c in probe_cells]))
+        .withColumn("cvd", F.col(vec_col).cast("array<double>"))
+        .withColumn("cn", norm(F.col("cvd")))
+    )
     scored = (
-        corpus.join(probe_df, "cell")
+        corpus.join(probe_df.withColumn("qvd", F.col("qv").cast("array<double>")).withColumn("qn", norm(F.col("qvd"))), "cell")
         .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.round(
-                cosine(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>")),
+                dot(F.col("qvd"), F.col("cvd")) / (F.col("qn") * F.col("cn")),
                 round_to,
             ).alias("cos"),
         )
