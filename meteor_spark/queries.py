@@ -1640,7 +1640,36 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, q, k=_ANN_K, n_cells=8, n_probe=3)
 
 
-@query("embedding_near_dup_pairs")  # no oracle: SRP blocking is approximate
+_ENDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 20)),
+planes AS (
+  SELECT b.range::INT AS b, j.range::INT AS j,
+         ('0x' || substr(md5(b.range || ':' || j.range), 1, 8))::BIGINT / 2147483647.0 - 1.0 AS h
+  FROM range({_SRP_BITS}) b, range(64) j),
+comps AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM base),
+dots AS (
+  SELECT c.vec_id, p.b, sum(c.x * p.h) AS d
+  FROM comps c JOIN planes p USING (j) GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS sig FROM dots GROUP BY 1),
+sided AS (
+  SELECT base.vec_id, base.v, sigs.sig FROM base JOIN sigs USING (vec_id))
+SELECT DISTINCT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.v, r.v) /
+             (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4) AS cos
+FROM sided l JOIN sided r USING (sig)
+WHERE l.vec_id < r.vec_id
+  AND round(list_dot_product(l.v, r.v) /
+            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 4) >= 0.9
+"""
+
+
+@query("embedding_near_dup_pairs", _ENDUP_ORACLE)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP blocking + verification.
 
@@ -1650,7 +1679,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 lowest-id vectors under shifted ids — every planted (v, copy)
     pair has cosine 1.0 and an identical SRP signature, so the operator
     MUST surface at least those 20 pairs or the gate shows the recall
-    break."""
+    break. EXACT oracle since r3b: the md5 hyperplane family rebuilds
+    signatures/buckets/cosines in SQL (the srp_ann_topk construction),
+    so blocking, verification, and the planted recall are all
+    value-checked, not just row-counted."""
     emb = _t(spark, sf_dir, "embeddings")
     planted = (
         emb.orderBy("vec_id")
