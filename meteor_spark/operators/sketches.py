@@ -42,3 +42,63 @@ def merge_distinct(sketches: DataFrame, keys: list[str]) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
         F.sum("n_rows").alias("n_rows"),
     )
+
+
+def quantile_bin_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch partials: fixed-bin counts per key over
+    a fixed [lo, hi] domain — the quantile sibling of distinct_sketches.
+    Integer bin counts merge by plain sum (associative, EXACT — unlike
+    approx_percentile's opaque internal state, which Spark doesn't
+    expose for re-aggregation), so per-day partials persisted once
+    answer any coarser-key quantile later without rescanning raw data.
+    One map-side-combined groupBy; the shuffle carries (keys, bin)
+    partial counts, never values."""
+    w = (hi - lo) / bins
+    bin_col = F.greatest(
+        F.least(F.floor((F.col(value_col) - lo) / w).cast("int"), F.lit(bins - 1)),
+        F.lit(0),
+    )
+    return df.groupBy(*keys, bin_col.alias("bin")).agg(F.count("*").alias("cnt"))
+
+
+def merge_quantile_bins(
+    partials: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    round_to: int = 4,
+) -> DataFrame:
+    """Roll quantile-sketch partials up to coarser keys and read off
+    quantile estimates: q-th estimate = lower edge of the first bin
+    whose cumulative count reaches q·total (deterministic integer
+    logic — no interpolation, identical on any engine; error bounded
+    by one bin width). Merge is one sum-groupBy + one per-key window
+    over ≤ `bins` rows."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    merged = partials.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    win = Window.partitionBy(*keys).orderBy("bin")
+    cum = merged.select(
+        *keys,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(win).alias("c"),
+        F.sum("cnt").over(Window.partitionBy(*keys)).alias("total"),
+    )
+    aggs = [F.max("total").cast("long").alias("n_rows")]
+    for q in quantiles:
+        b = F.min(F.when(F.col("c") >= q * F.col("total"), F.col("bin")))
+        aggs.append(
+            F.round(F.lit(lo) + b * w, round_to).alias(f"p{int(q * 100)}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

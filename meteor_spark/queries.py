@@ -1140,6 +1140,57 @@ def training_order_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toi(_t(spark, sf_dir, "documents"))
 
 
+_QSK_BINS = 64
+
+
+@query(
+    "event_value_quantile_sketch_rollup",
+    f"""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             greatest(least(CAST(floor((value - lo) / ((hi - lo) / {_QSK_BINS})) AS INTEGER),
+                            {_QSK_BINS - 1}), 0) AS bin
+      FROM events, b),
+    merged AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM merged)
+    SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
+           round(lo + min(CASE WHEN c >= 0.5  * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p50,
+           round(lo + min(CASE WHEN c >= 0.95 * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p95,
+           round(lo + min(CASE WHEN c >= 0.99 * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p99
+    FROM cum, b GROUP BY event_type, lo, hi
+    """,
+)
+def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (operators.sketches.quantile_bin_*):
+    per-(event_type, day) fixed-bin partials merged up to event_type and
+    read off as p50/p95/p99 — the quantile twin of the HLL rollup, with
+    EXACT merge semantics (integer bin counts sum associatively), so the
+    oracle checks full value equality. Since sum-merge is exact, the
+    oracle's one-stage grouping is definitionally identical to the
+    engine's two-stage partial/merge path — the gate proves precisely
+    the mergeability property. Bounds are one broadcast agg row."""
+    from meteor_spark.operators.sketches import merge_quantile_bins, quantile_bin_partials
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    partials = quantile_bin_partials(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ["event_type", "day"],
+        "value",
+        float(lo),
+        float(hi),
+        bins=_QSK_BINS,
+    )
+    return merge_quantile_bins(
+        partials, ["event_type"], float(lo), float(hi), bins=_QSK_BINS
+    )
+
+
 @query("embedding_kmeans_profile")  # rows-only: iterative fit, like ivf/pq
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding table + per-cluster

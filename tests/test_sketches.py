@@ -47,3 +47,41 @@ def test_estimate_is_partitioning_invariant(spark, sf_dir):
         ["event_type"],
     ).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_quantile_bins_merge_equals_whole(spark):
+    """Sum-merge of per-day partials must equal sketching the whole
+    table directly — the mergeability property, checked exactly."""
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.sketches import merge_quantile_bins, quantile_bin_partials
+
+    rows = [(i % 3, f"d{i % 5}", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, day string, v double")
+    lo, hi = 0.0, 299.0
+    daily = quantile_bin_partials(df, ["k", "day"], "v", lo, hi, bins=32)
+    whole = quantile_bin_partials(df, ["k"], "v", lo, hi, bins=32)
+    a = sorted(map(tuple, merge_quantile_bins(daily, ["k"], lo, hi, bins=32).collect()))
+    b = sorted(map(tuple, merge_quantile_bins(whole, ["k"], lo, hi, bins=32).collect()))
+    assert a == b
+    # estimates live within one bin width of the true quantile
+    w = (hi - lo) / 32
+    vals = sorted(r[2] for r in rows if r[0] == 0)
+    # the q-th value by the sketch's own rule: first index where the
+    # cumulative count reaches ceil(q*n) -> vals[ceil(0.5*n) - 1]
+    true_p50 = vals[-(-len(vals) // 2) - 1]
+    got = {r.k: r for r in merge_quantile_bins(daily, ["k"], lo, hi, bins=32).collect()}
+    # estimate is the lower edge of the bin holding that value: error < w
+    assert abs(got[0].p50 - true_p50) <= w + 1e-9
+
+
+def test_quantile_bins_partitioning_invariant(spark):
+    from meteor_spark.operators.sketches import merge_quantile_bins, quantile_bin_partials
+
+    rows = [(1, float(i * 7 % 101)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    a = sorted(map(tuple, merge_quantile_bins(
+        quantile_bin_partials(df, ["k"], "v", 0.0, 101.0), ["k"], 0.0, 101.0).collect()))
+    b = sorted(map(tuple, merge_quantile_bins(
+        quantile_bin_partials(df.repartition(11), ["k"], "v", 0.0, 101.0), ["k"], 0.0, 101.0).collect()))
+    assert a == b
