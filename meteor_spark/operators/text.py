@@ -580,3 +580,63 @@ def bigram_lm_perplexity(
         F.round(avg, round_to).alias("avg_logp"),
         F.round(F.exp(-avg), round_to).alias("perplexity"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    round_to: int = 4,
+) -> DataFrame:
+    """Cross-source content-overlap matrix over winnowing fingerprints:
+    for every source pair that shares at least one fingerprint, the
+    shared count plus Jaccard and overlap coefficients of their
+    fingerprint sets — the corpus-forensics readout that flags mirrored/
+    scraped-from-each-other sources before dedup budgets are set.
+
+    Scale: the (source, fp) frame is distinct-reduced BEFORE the
+    self-join (bounded by distinct fingerprints x the few sources that
+    contain each, not by corpus rows) and persisted — the join, both
+    per-source counts, and the metric join all read it once. Fingerprint
+    keys are md5-uniform, so the equi-join has no intrinsic hot keys; a
+    fingerprint shared by MANY sources fans out as sources², which is
+    the signal being measured (at web scale, drop fps present in > T
+    sources first — boilerplate that carries no provenance signal).
+    """
+    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    sfp = (
+        fps.join(df.select(id_col, group_col), id_col)
+        .select(group_col, "fp")
+        .distinct()
+        .persist()
+    )
+    cnt = sfp.groupBy(group_col).agg(F.count("*").alias("n"))
+    a = sfp.select(F.col(group_col).alias("source_a"), "fp")
+    b = sfp.select(F.col(group_col).alias("source_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    ca = cnt.select(F.col(group_col).alias("source_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col(group_col).alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps") / (F.col("na") + F.col("nb") - F.col("shared_fps")),
+                round_to,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared_fps") / F.least(F.col("na"), F.col("nb")), round_to
+            ).alias("overlap"),
+        )
+    )

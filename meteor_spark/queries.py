@@ -942,6 +942,42 @@ FROM winnowed GROUP BY doc_id
 """
 
 
+_OVERLAP_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(nws) - {_WINNOW_K - 1}, 1) + 1),
+                i -> array_to_string(list_slice(nws, i, i + {_WINNOW_K - 1}), ' '))) AS gram,
+         unnest(range(1, greatest(len(nws) - {_WINNOW_K - 1}, 1) + 1)) AS pos
+  FROM nd),
+hashes AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM grams),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM hashes),
+sfp AS (SELECT DISTINCT d.source, w.fp FROM winnowed w JOIN documents d USING (doc_id)),
+cnt AS (SELECT source, count(*) AS n FROM sfp GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fps,
+       round(count(*)::DOUBLE / (ca.n + cb.n - count(*)), 4) AS jaccard,
+       round(count(*)::DOUBLE / least(ca.n, cb.n), 4) AS overlap
+FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+JOIN cnt ca ON ca.source = a.source JOIN cnt cb ON cb.source = b.source
+GROUP BY a.source, b.source, ca.n, cb.n
+"""
+
+
+@query("source_overlap_matrix", _OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (operators.text
+    .source_overlap_matrix): shared winnowing fingerprints per source
+    pair with Jaccard/overlap coefficients — mirrored-source forensics
+    over the same fingerprint family the winnowing gate value-checks."""
+    return text.source_overlap_matrix(_docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W)
+
+
 @query("winnowing_fingerprints", _WINNOW_ORACLE)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (SWA'03) local fingerprints: k-gram md5 hashes, sliding

@@ -206,3 +206,17 @@ def test_gopher_rules_word_length_bounds(spark):
     out = {r["doc_id"]: r for r in text.gopher_rules(docs, min_words=5).collect()}
     assert not out[0]["passes"] and out[0]["mean_word_len"] < 3
     assert not out[1]["passes"] and out[1]["mean_word_len"] > 10
+
+
+def test_source_overlap_flags_mirrored_source(spark):
+    from meteor_spark.operators.text import source_overlap_matrix
+
+    uniq = lambda tag, i: " ".join(f"{tag}{i}w{j}" for j in range(12))
+    rows = [(i, uniq("a", i), "en", "orig") for i in range(5)]
+    rows += [(100 + i, uniq("a", i), "en", "mirror") for i in range(5)]  # full copy
+    rows += [(200 + i, uniq("z", i), "en", "indep") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.source_a, r.source_b): r for r in source_overlap_matrix(df).collect()}
+    m = out[("mirror", "orig")]
+    assert m.jaccard == 1.0 and m.overlap == 1.0  # identical fingerprint sets
+    assert ("indep", "mirror") not in out and ("indep", "orig") not in out
