@@ -11,9 +11,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  LM perplexity quality filter, domain-mixture weights,
                  BM25 retrieval, DSIR importance reweighting, passage
                  dedup, training-order interleave) —
-                 115 entries, 108 with exact DuckDB oracles.
+                 117 entries, 109 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
-                 the 7 approximate/iterative operators are rows-only and
+                 the 8 approximate/iterative operators are rows-only and
                  have no oracle).
 """
 

@@ -1227,6 +1227,47 @@ def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query("bpe_merge_rules")  # rows-only: iterative greedy argmax, like kmeans
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on the corpus (operators.bpe.train_bpe):
+    distributed word-type counting (the only corpus-scale pass), then a
+    deterministic merge loop over the bounded word-type table — the
+    HF-tokenizers split of labor. Output = the first 20 merge rules
+    with their weighted pair counts."""
+    from meteor_spark.operators.bpe import merge_rules_frame, train_bpe
+
+    rules, _ = train_bpe(_docs(spark, sf_dir), n_merges=20)
+    return merge_rules_frame(spark, rules)
+
+
+@query(
+    "bpe_token_stats",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents)
+    SELECT doc_id, count(*) AS n_words, CAST(sum(len(w)) AS BIGINT) AS n_chars
+    FROM tok GROUP BY doc_id
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization stats feeding the BPE trainer (word + char
+    counts per doc — the bounds of any subword count: n_words <=
+    n_subwords <= n_chars). The encode path itself (trained merges,
+    Arrow-batched over distinct word types) is covered by
+    tests/test_bpe.py; this gate value-checks the corpus-scale
+    tokenization layer it runs on."""
+    docs = _docs(spark, sf_dir)
+    from meteor_spark.operators.text import normalize_text, words
+
+    tok = docs.select(
+        "doc_id", F.explode(words(normalize_text(F.col("text")))).alias("w")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).cast("long").alias("n_chars"),
+    )
+
+
 @query("embedding_kmeans_profile")  # rows-only: iterative fit, like ivf/pq
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding table + per-cluster
