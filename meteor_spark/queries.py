@@ -1227,6 +1227,47 @@ def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query(
+    "streaming_quantile_rollup",
+    f"""
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             greatest(least(CAST(floor((value - lo) / ((hi - lo) / {_QSK_BINS})) AS INTEGER),
+                            {_QSK_BINS - 1}), 0) AS bin
+      FROM events, b),
+    merged AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM merged)
+    SELECT event_type, CAST(max(total) AS BIGINT) AS n_rows,
+           round(lo + min(CASE WHEN c >= 0.5  * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p50,
+           round(lo + min(CASE WHEN c >= 0.95 * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p95,
+           round(lo + min(CASE WHEN c >= 0.99 * total THEN bin END) * (hi - lo) / {_QSK_BINS}, 4) AS p99
+    FROM cum, b GROUP BY event_type, lo, hi
+    """,
+)
+def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile sketch: the events STREAM maintains per-(type,
+    bin) counts in state (complete mode — integer bin counts are the
+    mergeable sketch partials, updated incrementally per microbatch),
+    then the finished state reads off p50/p95/p99. Because bin-count
+    merge is EXACT, the bounded stream must equal the batch sketch to
+    the last digit — an exact-oracle streaming aggregation, not an
+    approximation gate. Bounds come from one static agg (a production
+    stream fixes its sketch domain upfront the same way)."""
+    from meteor_spark.operators.sketches import merge_quantile_bins, quantile_bin_partials
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    lo, hi = _t(spark, sf_dir, "events").agg(F.min("value"), F.max("value")).collect()[0]
+    ev = stream_events(spark, sf_dir)
+    partials = quantile_bin_partials(ev, ["event_type"], "value", float(lo), float(hi), bins=_QSK_BINS)
+    state = run_stream_to_batch(partials, output_mode="complete")
+    return merge_quantile_bins(state, ["event_type"], float(lo), float(hi), bins=_QSK_BINS)
+
+
 @query("bpe_merge_rules")  # rows-only: iterative greedy argmax, like kmeans
 def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the corpus (operators.bpe.train_bpe):
