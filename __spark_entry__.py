@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECKED_ROUNDS_1_2 = {
     "ann_cosine_topk", "catalog_assets", "catalog_snapshot_diff",
     "customer_order_set_ops", "customers_without_orders", "dedup_exact_survivors",
-    "embedding_near_dup_pairs", "enrich_catalog", "event_join_pairs",
+    "enrich_catalog", "event_join_pairs",
     "event_key_skew_report", "events_asof_purchase", "events_hourly_rollup",
     "events_multi_rollup", "events_usage", "events_usage_salted",
     "exact_dup_groups", "ivf_ann_topk", "lineitem_price_histogram",
@@ -67,8 +67,9 @@ _CHECKED_ROUNDS_1_2 = {
     "stratified_sample", "streaming_click_attribution", "streaming_hourly_rollup",
     "text_analysis", "top_customers", "user_event_grants", "user_sessions",
     "winnowing_fingerprints",
-    # NOT srp_ann_topk: its r2 row was rows-only ("no_oracle"); the gate
-    # gained an exact oracle in r3 and should be re-sampled early.
+    # NOT srp_ann_topk / embedding_near_dup_pairs: their r2 rows were
+    # rows-only ("no_oracle"); both gates gained exact oracles in r3 and
+    # should be re-sampled early.
 }
 
 
