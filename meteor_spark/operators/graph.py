@@ -1,0 +1,83 @@
+"""Graph analytics over catalog/workload graphs: weighted PageRank.
+
+Beyond-reference operator: the reference mines join pairs from query
+logs (plugins/extractors/bigquery/auditlog/stats.go — tables that
+co-occur in joins) but only counts them. Ranking assets by centrality
+in that co-usage graph is the standard "popularity" signal a data
+catalog layers on top (dataset search ranking); PageRank over the
+mined join graph computes it engine-side.
+
+Scale design: the classic edge-join formulation — each iteration is
+one join of the edge frame against the current rank vector plus one
+map-side-combined aggregate (shuffle keyed by node id, uniform unless
+the graph itself is a star — which is the signal). The normalized edge
+frame is built once and persisted; per-iteration lineage is truncated
+with localCheckpoint (the cluster.py label-propagation pattern) so the
+plan never grows with the iteration count. Ranks are ROUNDED each
+iteration, so results are reproducible across partitionings and
+engines — which is what lets a fixed-iteration run be checked by an
+exact SQL oracle (chained CTEs, one per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iter_round: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted PageRank, fixed iterations, deterministic:
+
+        pr_{k+1}(v) = round((1-d)/N + d * Σ_u pr_k(u) · w(u,v)/wout(u), 8)
+
+    Dangling nodes (no out-edges) simply leak rank mass — acceptable for
+    a ranking signal and what keeps the formulation one join + one agg.
+    Returns (node, pagerank) ordered by (pagerank desc, node).
+    """
+    e_raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), F.col(weight_col).alias("w")
+    )
+    nodes = (
+        e_raw.select(F.col("src").alias("node"))
+        .union(e_raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    wout = e_raw.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
+    e = (
+        e_raw.join(wout, "src")
+        .select("src", "dst", (F.col("w") / F.col("wout")).alias("p"))
+        .persist()
+    )
+    pr = nodes.select("node", F.round(F.lit(1.0) / n, iter_round).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(F.col("dst").alias("node"), (F.col("pr") * F.col("p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .na.fill({"s": 0.0})
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n) + damping * F.col("s"), iter_round
+                ).alias("pr"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays iteration-constant
+        )
+    return pr.select("node", F.round("pr", round_to).alias("pagerank")).orderBy(
+        F.col("pagerank").desc(), "node"
+    )

@@ -1227,6 +1227,68 @@ def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    base = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS a, b.event_type AS b, count(*) AS w
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    edges AS (SELECT a AS src, b AS dst, w FROM pairs UNION ALL SELECT b, a, w FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    wout AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM edges GROUP BY src),
+    e AS (SELECT src, dst, w / wout AS p FROM edges JOIN wout USING (src)),
+    pr0 AS (SELECT node, round(1.0 / n, 8) AS pr FROM nodes, nn),
+    """
+    its = []
+    for k in range(1, _PR_ITERS + 1):
+        its.append(f"""pr{k} AS (
+      SELECT nodes.node,
+             round((1 - {_PR_D}) / nn.n + {_PR_D} * coalesce(c.s, 0), 8) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, sum(pr{k - 1}.pr * e.p) AS s
+                 FROM e JOIN pr{k - 1} ON e.src = pr{k - 1}.node GROUP BY e.dst) c
+        ON c.node = nodes.node)""")
+    return (
+        base
+        + ",\n    ".join(its)
+        + f"\n    SELECT node, round(pr, 6) AS pagerank FROM pr{_PR_ITERS}"
+    )
+
+
+@query("workload_table_pagerank", _pagerank_oracle())
+def workload_table_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset centrality in the mined co-usage graph: the join-pair graph
+    (the reference's auditlog join mining, reference stats.go) ranked by
+    weighted PageRank (operators.graph.pagerank) — the dataset-search
+    popularity signal a catalog layers over usage stats. Fixed
+    iterations with per-iteration rounding make the run deterministic,
+    so the oracle replays all 5 iterations as chained CTEs and checks
+    full value equality — an iterative graph algorithm with an EXACT
+    gate."""
+    from meteor_spark.operators.graph import pagerank
+
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("pa"), F.col("b.event_type").alias("pb")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    return pagerank(edges, damping=_PR_D, iters=_PR_ITERS)
+
+
 @query(
     "streaming_quantile_rollup",
     f"""
