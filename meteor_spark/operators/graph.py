@@ -53,6 +53,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty result, not a 1/N division blow-up
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("pagerank")
+        )
     wout = e_raw.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
     e = (
         e_raw.join(wout, "src")

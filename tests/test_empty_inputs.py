@@ -1,0 +1,71 @@
+"""Empty-input robustness: a pipeline stage upstream may filter
+everything out; operators must return empty frames, not throw
+(division-by-zero, empty sequence/slice, empty collect edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+
+
+@pytest.fixture()
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+
+
+def test_text_family_on_empty(empty_docs):
+    from meteor_spark.operators import text
+
+    assert text.analyze(empty_docs).count() == 0
+    assert text.corpus_top_ngrams(empty_docs).count() == 0
+    assert text.source_overlap_matrix(empty_docs).count() == 0
+    assert text.tfidf_corpus_terms(empty_docs).count() == 0
+
+
+def test_dedup_family_on_empty(empty_docs):
+    from meteor_spark.operators import dedup
+
+    assert dedup.dedup_exact(empty_docs).count() == 0
+    assert dedup.passage_dedup(empty_docs).count() == 0
+    assert dedup.minhash_near_duplicates(empty_docs).count() == 0
+    assert dedup.prefix_filter_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_sampling_retrieval_on_empty(empty_docs):
+    from meteor_spark.operators.retrieval import bm25_topk
+    from meteor_spark.operators.sampling import (
+        dsir_log_weights,
+        source_mix_weights,
+        training_order_interleave,
+    )
+
+    assert bm25_topk(empty_docs, ("spark",)).count() == 0
+    assert dsir_log_weights(empty_docs, F.col("lang") == "en").count() == 0
+    assert source_mix_weights(empty_docs).count() == 0
+    assert training_order_interleave(empty_docs).count() == 0
+
+
+def test_bpe_on_empty(empty_docs):
+    from meteor_spark.operators.bpe import encode_token_counts, train_bpe
+
+    rules, wt = train_bpe(empty_docs, n_merges=3)
+    assert rules == [] and wt == []
+    assert encode_token_counts(empty_docs, rules).count() == 0
+
+
+def test_sketches_graph_on_empty(spark):
+    from meteor_spark.operators.graph import pagerank
+    from meteor_spark.operators.sketches import merge_quantile_bins, quantile_bin_partials
+
+    empty_ev = spark.createDataFrame([], "k int, v double")
+    p = quantile_bin_partials(empty_ev, ["k"], "v", 0.0, 1.0)
+    assert merge_quantile_bins(p, ["k"], 0.0, 1.0).count() == 0
+    empty_edges = spark.createDataFrame([], "src string, dst string, w double")
+    assert pagerank(empty_edges).count() == 0
