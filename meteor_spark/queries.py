@@ -1227,6 +1227,92 @@ def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+@query(
+    "events_trailing_window",
+    """
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num,
+             round(sum(value), 2) AS daily_total
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(day_num AS BIGINT) AS day_num, daily_total,
+           round(sum(daily_total) OVER w, 2) AS trailing7_total,
+           round(avg(daily_total) OVER w, 4) AS trailing7_avg
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding window: per-type daily revenue with a 7-day
+    trailing sum/avg — RANGE BETWEEN over an integer day index (NOT rows:
+    missing days must shrink the frame). Two layers: a map-side-combined
+    daily aggregate (shuffle = types x days rows), then the range frame
+    over that small frame — the raw table never enters the window."""
+    ev = _t(spark, sf_dir, "events")
+    day_num = F.datediff(
+        F.to_date(F.date_trunc("day", "ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    d = ev.groupBy("event_type", day_num.alias("day_num")).agg(
+        F.round(F.sum("value"), 2).alias("daily_total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    return d.select(
+        "event_type",
+        "day_num",
+        "daily_total",
+        F.round(F.sum("daily_total").over(w), 2).alias("trailing7_total"),
+        F.round(F.avg("daily_total").over(w), 4).alias("trailing7_avg"),
+    )
+
+
+@query(
+    "event_value_outliers",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, med.med, abs(e.value - med.med) AS ad
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, count(*) AS n,
+           round(max(d.med), 4) AS med, round(max(mad.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics per key: median + MAD (median absolute
+    deviation) + |x-med| > 3·MAD count — the heavy-tail-safe anomaly
+    screen a value column gets before drift monitoring. Two exact
+    interpolated percentiles (Spark F.percentile == SQL
+    percentile_cont), medians broadcast back; three passes over the
+    scan, never a per-row window."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
 _PR_D = 0.85
 _PR_ITERS = 5
 
