@@ -1228,6 +1228,38 @@ def event_value_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "lineitem_measure_unpivot",
+    """
+    WITH u AS (
+      SELECT l_orderkey, 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, 'discount', l_discount FROM lineitem)
+    SELECT measure, count(*) AS n, round(sum(v), 2) AS total, round(avg(v), 4) AS mean
+    FROM u GROUP BY measure
+    """,
+)
+def lineitem_measure_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long) + per-measure profile: Spark's native
+    `unpivot` emits one Expand node over a single scan — one pass,
+    not the oracle's three-scan UNION ALL (the declarative form lets
+    Catalyst keep it single-scan where a hand-written union cannot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    u = li.unpivot(
+        "l_orderkey",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "v",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+    return u.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).alias("total"),
+        F.round(F.avg("v"), 4).alias("mean"),
+    )
+
+
+@query(
     "events_trailing_window",
     """
     WITH d AS (
