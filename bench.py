@@ -144,6 +144,14 @@ def main() -> None:
         "purchase_click_attribution",
         "doc_bigram_perplexity",
         "source_mix_weights",
+        "bm25_search_topk",
+        "dsir_importance_weights",
+        "passage_dedup_survivors",
+        "training_order_interleave",
+        "embedding_kmeans_profile",
+        "event_value_quantile_sketch_rollup",
+        "workload_table_pagerank",
+        "bpe_merge_rules",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]
