@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_manifest(
@@ -62,3 +63,81 @@ def pack_manifest(
         )
         .alias("n_seqs"),
     )
+
+
+def next_fit_bins(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    capacity: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequential NEXT-FIT bin packing: documents flow in `id_col` order
+    within each `group_col` stream; each lands in the current open bin
+    unless it would overflow `capacity`, in which case the bin closes and
+    a fresh one opens. Unlike `pack_manifest` (concat-and-chunk, docs
+    split across sequence boundaries), next-fit keeps every document
+    WHOLE inside one bin — the padding-based packing used when documents
+    must not be split (instruction tuning, contrastive pairs, eval sets).
+
+    Emitted per document: `bin_id` (0-based, local to the stream) and
+    `bin_offset` (token position inside the bin). A document larger than
+    `capacity` gets a bin of its own (next-fit never splits); a
+    non-positive token count occupies zero width at the current offset.
+
+    Execution: the recurrence (bin, fill) -> next (bin, fill) is
+    non-associative — no window/prefix-sum formulation exists — so this
+    is the documented applyInPandas case: one Arrow batch per stream,
+    a numpy-backed sequential loop inside. State is two integers.
+
+    Scale: parallelism is #streams-wide and each stream must fit one
+    executor's Arrow batch. For an unbounded stream at 100 TB, salt the
+    stream key (group_col = (source, hash_bucket(doc_id) % S)) exactly as
+    sampling.hash_bucket does: sub-streams pack independently and bin ids
+    are namespaced by (stream, salt) — packing quality is unchanged
+    (next-fit has no cross-bin lookback) and group size is bounded by
+    construction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    in_schema = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, in_schema[id_col]),
+            T.StructField(group_col, in_schema[group_col]),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("bin_offset", T.LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        toks = np.maximum(pdf[token_col].to_numpy(dtype=np.int64), 0)
+        n = len(toks)
+        bin_id = np.empty(n, dtype=np.int64)
+        offset = np.empty(n, dtype=np.int64)
+        b = 0
+        fill = 0
+        for i in range(n):
+            t = int(toks[i])
+            if fill > 0 and fill + t > cap:
+                b += 1
+                fill = 0
+            bin_id[i] = b
+            offset[i] = fill
+            fill += t
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                "n_tokens": pdf[token_col].to_numpy(dtype=np.int64),
+                "bin_id": bin_id,
+                "bin_offset": offset,
+            }
+        )
+
+    cols = [id_col, group_col, token_col]
+    return df.select(*cols).groupBy(group_col).applyInPandas(pack, schema=out_schema)

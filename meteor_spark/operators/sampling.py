@@ -297,3 +297,36 @@ def training_order_interleave(
         )
         .orderBy("position")
     )
+
+
+def holdout_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the same md5 bucket
+    as deterministic_sample: cumulative bucket ranges over `splits`
+    (insertion order), e.g. {"train": 0.9, "val": 0.05, "test": 0.05} ->
+    buckets [0,9000) train, [9000,9500) val, [9500,10000) test.
+
+    Why hash ranges and not df.randomSplit: the assignment is a pure
+    per-row expression — reproducible across runs, engines, and corpus
+    versions (a document keeps its split when the corpus grows, so eval
+    contamination can't creep in through resampling), shuffle-free, and
+    exactly reproducible in SQL for the oracle. Rates that don't sum to
+    1 leave a remainder of unassigned rows (label NULL) — useful as a
+    discard band.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = hash_bucket(F.col(key_col), buckets)
+    label: Column = F.lit(None).cast("string")
+    lo = 0
+    cases = []
+    for name, rate in splits.items():
+        hi = lo + int(rate * buckets)
+        cases.append((name, lo, hi))
+        lo = hi
+    for name, lo_b, hi_b in reversed(cases):
+        label = F.when((bucket >= lo_b) & (bucket < hi_b), F.lit(name)).otherwise(label)
+    return df.withColumn("split", label)

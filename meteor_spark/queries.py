@@ -969,6 +969,82 @@ GROUP BY a.source, b.source, ca.n, cb.n
 """
 
 
+@query(
+    "next_fit_bin_packing",
+    f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    pk AS (
+      SELECT doc_id, source, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(0 AS BIGINT) AS bin_offset,
+             GREATEST(n_tokens, 0) AS fill
+      FROM tk WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.source, t.n_tokens, t.rn,
+             p.bin_id + CASE WHEN p.fill > 0
+                              AND p.fill + GREATEST(t.n_tokens, 0) > 512
+                             THEN 1 ELSE 0 END,
+             CASE WHEN p.fill > 0 AND p.fill + GREATEST(t.n_tokens, 0) > 512
+                  THEN 0 ELSE p.fill END,
+             CASE WHEN p.fill > 0 AND p.fill + GREATEST(t.n_tokens, 0) > 512
+                  THEN 0 ELSE p.fill END + GREATEST(t.n_tokens, 0)
+      FROM tk t JOIN pk p ON t.source = p.source AND t.rn = p.rn + 1)
+    SELECT doc_id, source, n_tokens, bin_id, bin_offset FROM pk
+    """,
+)
+def next_fit_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit packing manifest (packing.next_fit_bins):
+    each doc lands whole in the current 512-token bin or opens a new one.
+    The recurrence is non-associative (no window form), so the Spark side
+    is the documented applyInPandas sequential case — one (bin, fill)
+    state pair per stream — and the oracle replays the identical
+    recurrence as a DuckDB recursive CTE stepping one row per stream per
+    iteration."""
+    from meteor_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
+    )
+    return packing.next_fit_bins(tk, "n_tokens", capacity=512)
+
+
+@query(
+    "corpus_holdout_split",
+    """
+    WITH b AS (
+      SELECT doc_id, source, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+      FROM documents)
+    SELECT source, lang,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT doc_id) AS n_distinct
+    FROM b GROUP BY source, lang, split
+    """,
+)
+def corpus_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout (sampling.holdout_split):
+    md5-bucket ranges over doc_id — a document keeps its split forever as
+    the corpus grows, so eval contamination can't creep in through
+    resampling. Reported as per-(source, lang, split) counts; the oracle
+    rebuilds the identical md5 bucket math in SQL."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.holdout_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.groupBy("source", "lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
 @query("source_overlap_matrix", _OVERLAP_ORACLE)
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source content-overlap matrix (operators.text

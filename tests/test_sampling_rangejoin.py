@@ -157,3 +157,67 @@ def test_source_mix_weights_math(spark):
     # the scarcest domain keeps everything; big is cut to 1/4
     assert out["small"]["sample_rate"] == 1.0
     assert out["big"]["sample_rate"] == 0.25
+
+
+def test_next_fit_bins_matches_reference_loop(spark):
+    from meteor_spark.operators.packing import next_fit_bins
+
+    rows = [(i, f"s{i % 3}", (i * 37) % 400) for i in range(60)]
+    rows.append((100, "s0", 900))  # oversized: > capacity, gets its own bin
+    rows.append((101, "s0", 0))  # zero-width doc
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r["doc_id"]: r for r in next_fit_bins(df, "n_tokens", capacity=512).collect()}
+
+    # independent python reference
+    by_src = {}
+    for doc_id, src, tok in sorted(rows):
+        by_src.setdefault(src, []).append((doc_id, tok))
+    for src, docs in by_src.items():
+        b, fill = 0, 0
+        for doc_id, tok in docs:
+            t = max(tok, 0)
+            if fill > 0 and fill + t > 512:
+                b, fill = b + 1, 0
+            r = got[doc_id]
+            assert (r["bin_id"], r["bin_offset"], r["n_tokens"]) == (b, fill, tok), doc_id
+            fill += t
+
+
+def test_next_fit_bins_invariants(spark):
+    from meteor_spark.operators.packing import next_fit_bins
+
+    rows = [(i, "s", 50 + (i * 131) % 300) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sorted(next_fit_bins(df, "n_tokens", capacity=512).collect(), key=lambda r: r["doc_id"])
+    # docs are whole: offset + tokens <= capacity whenever the doc fits at all
+    assert all(r["bin_offset"] + r["n_tokens"] <= 512 for r in out if r["n_tokens"] <= 512)
+    # bin ids are non-decreasing in doc order and dense (no skipped bins)
+    bins = [r["bin_id"] for r in out]
+    assert bins == sorted(bins)
+    assert set(bins) == set(range(max(bins) + 1))
+    # every bin's docs are offset-contiguous: offsets restart at 0 per bin
+    first_in_bin = {}
+    for r in out:
+        first_in_bin.setdefault(r["bin_id"], r["bin_offset"])
+    assert all(v == 0 for v in first_in_bin.values())
+
+
+def test_holdout_split_is_total_and_stable(spark):
+    from meteor_spark.operators.sampling import holdout_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = holdout_split(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()
+    labels = {r["doc_id"]: r["split"] for r in out}
+    assert set(labels.values()) <= {"train", "val", "test"}
+    assert all(v is not None for v in labels.values())  # rates sum to 1 -> total
+    # growing the corpus never reassigns an existing key
+    bigger = holdout_split(
+        spark.createDataFrame([(i,) for i in range(1000)], "doc_id long"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).collect()
+    assert all(labels[r["doc_id"]] == r["split"] for r in bigger if r["doc_id"] in labels)
+    # discard band: rates summing below 1 leave NULL-labelled rows
+    part = holdout_split(df, "doc_id", {"train": 0.5}).collect()
+    assert any(r["split"] is None for r in part)
+    assert any(r["split"] == "train" for r in part)
