@@ -643,3 +643,69 @@ def passage_dedup(
         F.coalesce(F.col("kept_chunks"), F.lit(0).cast("long")).alias("kept_chunks"),
         "new_text_hash" if emit == "hash" else "new_text",
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT directed containment join: every ordered pair (a, b) with
+    |A ∩ B| / |A| >= threshold over k-shingle sets — the asymmetric
+    overlap measure that catches a short document swallowed whole by a
+    long one (quote farms, wrapper boilerplate, excerpt pages), which
+    symmetric Jaccard misses because the union is dominated by the long
+    side.
+
+    Candidate generation is the asymmetric half of prefix filtering
+    (cf. prefix_filter_jaccard_pairs): only the CONTAINED side A needs a
+    prefix — if C(A→B) >= t then fewer than |A| - ceil(t|A|) + 1 of A's
+    rarest shingles can miss B, so A's rare-first prefix against B's
+    full postings list is a lossless candidate generator. Rare-first
+    ordering keeps the join keys near-unique (A probes with its RAREST
+    grams, so B's postings for those grams are short — the inverted
+    index is only ever probed at its sparse end). A size prune
+    (|B| >= t|A|, since the intersection fits in B) cuts candidates
+    before the exact array-intersect verify.
+
+    One shuffle for gram frequencies, one window for prefix ranks, one
+    equi-join, one verify join — same stage budget as the symmetric
+    PPJoin, no quadratic step.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_frame(df, text_col, id_col, k).withColumn("sz", F.size("sh")).persist()
+    toks = sh.select(F.col(id_col), "sz", F.explode("sh").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "gram")
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
+    prefixes = (
+        toks.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col(id_col).alias("a"), F.col("sz").alias("sza"), "gram")
+    )
+    postings = toks.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"), "gram")
+    cands = (
+        prefixes.join(
+            postings,
+            (prefixes.gram == postings.gram)
+            & (F.col("a") != F.col("b"))
+            & (F.col("szb") >= F.col("sza") * F.lit(threshold)),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha"), F.col("sz").alias("sza"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb"))
+    cont = F.size(F.array_intersect("sha", "shb")) / F.col("sza")
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("containment", F.round(cont, round_to))
+        .filter(F.size(F.array_intersect("sha", "shb")) >= F.col("sza") * F.lit(threshold))
+        .select("a", "b", "containment")
+    )

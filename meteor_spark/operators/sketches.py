@@ -102,3 +102,88 @@ def merge_quantile_bins(
             F.round(F.lit(lo) + b * w, round_to).alias(f"p{int(q * 100)}")
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def count_min_partials(
+    df: DataFrame, keys: list[str], item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Mergeable COUNT-MIN sketch partials: per key group, a d×w grid of
+    cell counts — the frequency sibling of distinct_sketches. Every row
+    increments one column per hash row (column = md5(item|r) bucket, the
+    same engine-portable md5 family as sampling.hash_bucket), so integer
+    cell counts merge by plain sum and per-day partials persisted once
+    answer any coarser-key frequency estimate later without rescanning
+    raw data. The grid is d*w cells per key group regardless of item
+    cardinality — heavy-hitter queries over unbounded key domains at a
+    fixed memory budget.
+
+    One explode(depth) + map-side-combined groupBy; the shuffle carries
+    (keys, r, c) partial counts, never items.
+    """
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws("|", F.col(item_col), F.lit(str(r)))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % width
+                    ).alias("c"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(*keys, cells.alias("rc"))
+        .groupBy(*keys, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    partials: DataFrame, items: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates from merged count-min partials: for each
+    candidate item, min over hash rows of its cell count (the classic
+    one-sided CMS bound — never under the true count). `partials` may be
+    at any key granularity; they are merged to a single global grid here
+    (sum per cell — lossless). The candidate side is tiny (heavy-hitter
+    candidates), so its hash positions broadcast-join against the d×w
+    grid: no shuffle of the grid.
+    """
+    grid = partials.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    pos = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat_ws("|", F.col(item_col), F.lit(str(r)))), 1, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(item_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        grid.join(F.broadcast(pos), ["r", "c"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )

@@ -95,6 +95,17 @@ _TABLES = ["customer", "documents", "embeddings", "events", "lineitem", "nation"
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB mirror of operators.dedup.shingles (distinct word k-grams
+    over normalized text)."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(nws) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice(nws, i, i + {k - 1}), ' ')))"
+    )
+
+
+
 # static column counts of the fixture schemas (TESTDATA.md)
 _N_COLS = {
     "customer": 5, "documents": 5, "embeddings": 3, "events": 6, "lineitem": 11,
@@ -970,6 +981,81 @@ GROUP BY a.source, b.source, ca.n, cb.n
 
 
 @query(
+    "doc_containment_pairs",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    sh AS (
+      SELECT doc_id, {_shingle_sql(3)} AS sh FROM nd)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4)
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= len(a.sh) * 0.7
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join (dedup.containment_pairs): ordered pairs
+    where >= 70% of a's 3-shingles occur in b — the asymmetric overlap
+    that catches short docs swallowed by long ones, which Jaccard's
+    union-normalization misses. Spark side is asymmetric prefix
+    filtering (contained-side rare-gram prefix vs full postings,
+    lossless); the oracle brute-forces every directed pair."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(docs, threshold=0.7)
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+@query(
+    "event_type_count_min",
+    f"""
+    WITH cells AS (
+      SELECT r, ('0x' || substr(md5(e.event_type || '|' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+                 % {_CM_WIDTH} AS c,
+             count(*) AS cnt
+      FROM events e, range({_CM_DEPTH}) t(r) GROUP BY 1, 2),
+    items AS (SELECT DISTINCT event_type FROM events),
+    pos AS (
+      SELECT event_type, r,
+             ('0x' || substr(md5(event_type || '|' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+               % {_CM_WIDTH} AS c
+      FROM items, range({_CM_DEPTH}) t(r)),
+    est AS (
+      SELECT p.event_type, min(cells.cnt) AS cm_estimate
+      FROM pos p JOIN cells ON cells.r = p.r AND cells.c = p.c
+      GROUP BY p.event_type)
+    SELECT e.event_type, est.cm_estimate, count(*) AS exact_count
+    FROM events e JOIN est ON est.event_type = e.event_type
+    GROUP BY e.event_type, est.cm_estimate
+    """,
+)
+def event_type_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (sketches.count_min_partials
+    / count_min_estimate): per-day d×w partial grids merged by plain sum,
+    then point estimates (min over hash rows) for every event type next
+    to the exact count — the CMS one-sided bound (estimate >= exact) made
+    visible. Same engine-portable md5 hash family as sampling.hash_bucket,
+    so the oracle rebuilds the identical grid in SQL. At 100 TB the grid
+    is d*w integers per key group however many distinct items exist."""
+    from meteor_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    partials = sketches.count_min_partials(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "event_type",
+        depth=_CM_DEPTH, width=_CM_WIDTH,
+    )
+    items = ev.select("event_type").distinct()
+    est = sketches.count_min_estimate(
+        partials, items, "event_type", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "event_type").select("event_type", "cm_estimate", "exact_count")
+
+
+@query(
     "next_fit_bin_packing",
     f"""
     WITH RECURSIVE tk AS (
@@ -1631,15 +1717,6 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("doc_ids").alias("min_doc"),
             F.array_max("doc_ids").alias("max_doc"),
         )
-    )
-
-
-def _shingle_sql(k: int) -> str:
-    """DuckDB mirror of operators.dedup.shingles (distinct word k-grams
-    over normalized text)."""
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len(nws) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice(nws, i, i + {k - 1}), ' ')))"
     )
 
 

@@ -208,3 +208,34 @@ def test_duplicated_spans_planted_boilerplate(spark):
     assert spans[1] == (3, 12, 10)
     assert spans[2] == (0, 9, 10)
     assert 3 not in spans
+
+
+def test_containment_pairs_equals_naive_and_is_asymmetric(spark):
+    from meteor_spark.operators.dedup import containment_pairs, shingle_frame
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (1, base),  # short doc fully contained in 2
+        (2, base + " and then some entirely new trailing content follows here afterwards"),
+        (3, "completely different text about spark shuffle partitions and broadcast joins"),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.7).collect()
+    }
+
+    # naive reference over the same shingle sets
+    sh = {r["doc_id"]: set(r["sh"]) for r in shingle_frame(df).collect()}
+    want = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and sa and len(sa & sb) / len(sa) >= 0.7:
+                want[(a, b)] = round(len(sa & sb) / len(sa), 4)
+    assert got == want
+    # asymmetry: 1 is contained in 2, but 2 is not contained in 1
+    assert (1, 2) in got and (2, 1) not in got
+    # exact dups contain each other both ways at 1.0
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0

@@ -85,3 +85,30 @@ def test_quantile_bins_partitioning_invariant(spark):
     b = sorted(map(tuple, merge_quantile_bins(
         quantile_bin_partials(df.repartition(11), ["k"], "v", 0.0, 101.0), ["k"], 0.0, 101.0).collect()))
     assert a == b
+
+
+def test_count_min_overestimates_and_partials_merge(spark):
+    from meteor_spark.operators.sketches import count_min_estimate, count_min_partials
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"t{i % 7}", i % 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, item string, grp int")
+    exact = {r["item"]: r["n"] for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    items = df.select("item").distinct()
+
+    partials = count_min_partials(df, ["grp"], "item", depth=4, width=64)
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in count_min_estimate(partials, items, "item", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    # CMS one-sided bound: estimate never below the true count
+    assert all(est[k] >= exact[k] for k in exact)
+    # partials merge losslessly: grouped-by-grp grids == single global grid
+    global_partials = count_min_partials(df, [], "item", depth=4, width=64)
+    merged = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in partials.groupBy("r", "c").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    whole = {(r["r"], r["c"]): r["cnt"] for r in global_partials.collect()}
+    assert merged == whole
