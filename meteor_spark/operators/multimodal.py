@@ -282,3 +282,66 @@ def cdc_chunks(
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "content").mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(content: bytes):
+    """STUB — real decode needs an audio codec not present in this
+    container. Deterministic fake: the payload bytes read as unsigned
+    8-bit PCM centered at 128, so tests and the SQL oracle can verify
+    the plumbing (framing, energy math, segmentation) end to end."""
+    import numpy as np
+
+    return np.frombuffer(content, dtype=np.uint8).astype(np.float64) - 128.0
+
+
+def frame_energies(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame RMS^2 energy over binary audio content — the decode
+    stage of a VAD/silence pipeline. Arrow-batched mapInPandas (binary
+    codec work is the documented Python-unavoidable case); one input
+    batch yields all full frames of its blobs, the ragged tail is
+    dropped (a real codec pads instead). Energies are exact integers in
+    double (sums of int squares / power-of-two), so downstream
+    comparisons are engine-portable with no float-order hazard."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                s = decode_audio(content)
+                n = len(s) // frame_len
+                if n == 0:
+                    continue
+                e = (s[: n * frame_len] ** 2).reshape(n, frame_len).mean(axis=1)
+                ids.extend([doc_id] * n)
+                frames.extend(range(n))
+                energies.extend(e)
+            yield pd.DataFrame({"doc_id": ids, "frame": frames, "energy": energies})
+
+    return media.mapInPandas(run, schema=ENERGY_SCHEMA)
+
+
+def silence_segments(energies: DataFrame, threshold: float) -> DataFrame:
+    """Merge consecutive below-threshold frames into maximal silence
+    segments — relational gap-and-islands over the energy frame table
+    (everything after the decode stays JVM-side): one window per doc,
+    then a groupBy. Returns (doc_id, seg_start, seg_end, n_frames)."""
+    from pyspark.sql import Window
+
+    sil = energies.filter(F.col("energy") < threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    isl = sil.withColumn("g", F.col("frame") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "g").agg(
+        F.min("frame").alias("seg_start"),
+        F.max("frame").alias("seg_end"),
+        F.count("*").alias("n_frames"),
+    ).drop("g")

@@ -981,6 +981,45 @@ GROUP BY a.source, b.source, ca.n, cb.n
 
 
 @query(
+    "audio_silence_segments",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+    fr AS (
+      SELECT doc_id, unnest(range(0, length(text) // 64)) AS f, text FROM d),
+    en AS (
+      SELECT doc_id, f,
+             list_avg(list_transform(range(1, 65),
+               i -> CAST(pow(ascii(substr(text, CAST(f * 64 + i AS INT), 1)) - 128, 2)
+                         AS DOUBLE))) AS energy
+      FROM fr),
+    sil AS (SELECT doc_id, f FROM en WHERE energy < 1940.0),
+    isl AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+      FROM sil)
+    SELECT doc_id, min(f) AS seg_start, max(f) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio VAD-style silence segmentation (multimodal.frame_energies +
+    silence_segments): binary blobs -> per-frame RMS^2 energy via
+    Arrow-batched mapInPandas (deterministic fake PCM decode — see
+    multimodal.decode_audio), then relational gap-and-islands merge of
+    below-threshold frames. Energies are exact integers in double, so
+    the oracle reproduces the identical framing and energy math over the
+    same bytes in SQL."""
+    from meteor_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_binary(docs)
+    en = multimodal.frame_energies(media, frame_len=64)
+    return multimodal.silence_segments(en, threshold=1940.0)
+
+
+@query(
     "doc_containment_pairs",
     f"""
     WITH nd AS (

@@ -129,3 +129,40 @@ def test_cdc_chunks_spark_roundtrip(spark, sf_dir):
     assert bad == 0
     # chunk hashes are content-addressed: identical texts -> identical chunk sets
     assert chunks.count() == chunks.dropDuplicates(["doc_id", "chunk_no"]).count()
+
+
+def test_frame_energies_and_silence_segments(spark):
+    import numpy as np
+    from meteor_spark.operators.multimodal import attach_binary, frame_energies, silence_segments
+
+    # craft text whose byte frames alternate quiet (near 128 is impossible in
+    # ASCII, so "quiet" = dense lowercase ~ energy < spaces-heavy frames)
+    quiet = "x" * 64          # energy = (120-128)^2 = 64
+    loud = (" " * 32 + "x" * 32)  # energy = (9216 + 64)/2 = 4640
+    rows = [(1, quiet + loud + quiet + quiet), (2, loud + loud), (3, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    en = frame_energies(attach_binary(df), frame_len=64)
+    got = {(r["doc_id"], r["frame"]): r["energy"] for r in en.collect()}
+    assert got[(1, 0)] == 64.0 and got[(1, 1)] == 4640.0
+    assert got[(1, 2)] == 64.0 and got[(1, 3)] == 64.0
+    assert (3, 0) not in got  # sub-frame blob yields no frames
+
+    segs = {
+        (r["doc_id"], r["seg_start"]): (r["seg_end"], r["n_frames"])
+        for r in silence_segments(en, threshold=100.0).collect()
+    }
+    # doc 1: frames 0 and 2-3 silent -> two maximal segments
+    assert segs == {(1, 0): (0, 1), (1, 2): (3, 2)}
+
+
+def test_frame_energies_match_numpy_reference(spark):
+    import numpy as np
+    from meteor_spark.operators.multimodal import attach_binary, frame_energies
+
+    texts = ["the quick brown fox " * 9, "z" * 200, "a b " * 40]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r["doc_id"], r["frame"]): r["energy"] for r in frame_energies(attach_binary(df)).collect()}
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.float64) - 128
+        for f in range(len(b) // 64):
+            assert got[(i, f)] == np.mean(b[f * 64 : (f + 1) * 64] ** 2)
