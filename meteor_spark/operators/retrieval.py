@@ -86,3 +86,34 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), id_col).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of N ranked
+    lists: score(d) = Σ_systems 1/(c + rank_s(d)) — the standard hybrid
+    lexical+vector combiner, needing no score calibration between
+    systems because only RANKS enter the sum.
+
+    Each input frame carries (id_col, rank). Union + one groupBy handles
+    membership asymmetry for free (a doc missing from a system simply
+    contributes no term — full-outer-join semantics without a join), so
+    the plan is a single map-side-combined aggregation over the
+    concatenated candidate lists, then TakeOrdered top-k. Candidate
+    lists are top-L per system (L ~ 10²-10³), so at 100 TB the fusion
+    input is tiny regardless of corpus size — the heavy lifting stays in
+    the per-system retrievers.
+    """
+    u = rankings[0].select(id_col, "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(id_col, "rank"))
+    fused = u.groupBy(id_col).agg(
+        F.count("*").alias("n_systems"),
+        F.round(F.sum(1.0 / (F.lit(c) + F.col("rank"))), round_to).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), id_col).limit(k)

@@ -980,6 +980,66 @@ GROUP BY a.source, b.source, ca.n, cb.n
 """
 
 
+_RRF_L, _RRF_K, _RRF_C = 50, 10, 60
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM nd),
+    tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+           WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, dl, w),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM nd),
+    dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY w),
+    bm AS (SELECT tf.doc_id,
+                  round(sum(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                            * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dfq USING (w) CROSS JOIN stats GROUP BY tf.doc_id),
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm
+            QUALIFY rank <= {_RRF_L}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                              vec_id) AS rank
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+                  WHERE vec_id <> 0) CROSS JOIN q
+            QUALIFY rank <= {_RRF_L}),
+    u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+           round(sum(1.0 / ({_RRF_C} + rank)), 6) AS rrf
+    FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT {_RRF_K}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    (retrieval.rrf_fuse): BM25 top-L over documents and brute-force
+    cosine top-L around query embedding vec_id=0 (doc_id == vec_id is
+    the fixture's linking convention), fused as Σ 1/(60 + rank). Only
+    ranks cross systems — no score calibration — and the fusion is one
+    tiny union+groupBy over the top-L candidate lists."""
+    from pyspark.sql import Window
+
+    from meteor_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from meteor_spark.operators.similarity import brute_force_topk
+
+    docs = _docs(spark, sf_dir)
+    lex = bm25_topk(docs, _BM25_TERMS, k=_RRF_L).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_L).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, vec], k=_RRF_K, c=_RRF_C)
+
+
 @query(
     "audio_silence_segments",
     """

@@ -123,3 +123,27 @@ def test_bm25_is_partitioning_invariant(spark):
     a = [tuple(r) for r in bm25_topk(docs, ("spark", "window"), k=15).collect()]
     b = [tuple(r) for r in bm25_topk(docs.repartition(9), ("spark", "window"), k=15).collect()]
     assert a == b
+
+
+def test_rrf_fuse_math_and_asymmetric_membership(spark):
+    from meteor_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: (r["n_systems"], r["rrf"]) for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    # doc 3 appears in both systems: 1/(60+3) + 1/(60+1)
+    assert out[3] == (2, round(1 / 63 + 1 / 61, 6))
+    # docs in one system only contribute a single term
+    assert out[1] == (1, round(1 / 61, 6))
+    assert out[4] == (1, round(1 / 62, 6))
+    # cross-system doc outranks every single-system doc here
+    assert max(out, key=lambda d: out[d][1]) == 3
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from meteor_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, 1) for i in range(5)], "doc_id long, rank int")
+    out = rrf_fuse([a], k=3).collect()
+    # equal scores -> deterministic id ascending tie-break, k rows
+    assert [r["doc_id"] for r in out] == [0, 1, 2]
