@@ -152,6 +152,12 @@ def main() -> None:
         "event_value_quantile_sketch_rollup",
         "workload_table_pagerank",
         "bpe_merge_rules",
+        "doc_containment_pairs",
+        "hybrid_search_rrf",
+        "audio_silence_segments",
+        "next_fit_bin_packing",
+        "event_type_count_min",
+        "corpus_holdout_split",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]
