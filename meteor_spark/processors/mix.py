@@ -104,3 +104,45 @@ class InterleaveProcessor(Processor):
             df, group_col=c["group_col"], id_col=c["id_col"], epoch=int(c["epoch"])
         ).select(c["id_col"], "position")
         return df.join(order, c["id_col"]).orderBy("position")
+
+
+@register_processor(
+    "pack",
+    "Packing manifest: concat-and-chunk sequence coords or next-fit whole-doc bins",
+    sample_config="mode: next_fit\ncapacity: 512\ngroup_col: source",
+)
+class PackProcessor(Processor):
+    """Attach packing coordinates to every document: `mode: sequence`
+    adds concat-and-chunk sequence coords (packing.pack_manifest),
+    `mode: next_fit` adds whole-document bin assignments
+    (packing.next_fit_bins). The token count is derived from the text
+    column when no `token_col` is given."""
+
+    CONFIG = {
+        "mode": Field(default="next_fit", type=str),  # next_fit | sequence
+        "text_col": Field(default="text", type=str),
+        "id_col": Field(default="doc_id", type=str),
+        "group_col": Field(default="source", type=str),
+        "token_col": Field(default=None, type=str),
+        "capacity": Field(default=512, type=int),
+    }
+
+    def process(self, df: DataFrame) -> DataFrame:
+        from meteor_spark.operators import packing
+        from meteor_spark.operators.text import normalize_text, token_count
+
+        c = self.config
+        if c["mode"] not in ("next_fit", "sequence"):
+            raise ValueError(f"pack: unknown mode {c['mode']!r} (next_fit|sequence)")
+        tok = c["token_col"]
+        base = df
+        if tok is None:
+            tok = "__n_tokens"
+            base = df.withColumn(tok, token_count(normalize_text(F.col(c["text_col"]))))
+        fn = packing.next_fit_bins if c["mode"] == "next_fit" else packing.pack_manifest
+        kw = {"capacity": int(c["capacity"])} if c["mode"] == "next_fit" else {"seq_len": int(c["capacity"])}
+        manifest = fn(base, tok, group_col=c["group_col"], id_col=c["id_col"], **kw)
+        coord_cols = [x for x in manifest.columns if x not in (c["id_col"], c["group_col"])]
+        return df.join(
+            manifest.select(c["id_col"], *coord_cols), c["id_col"], "left"
+        )

@@ -69,3 +69,31 @@ def test_sketches_graph_on_empty(spark):
     assert merge_quantile_bins(p, ["k"], 0.0, 1.0).count() == 0
     empty_edges = spark.createDataFrame([], "src string, dst string, w double")
     assert pagerank(empty_edges).count() == 0
+
+
+def test_round3c_ops_on_empty(spark, empty_docs):
+    from meteor_spark.operators.dedup import containment_pairs
+    from meteor_spark.operators.multimodal import attach_binary, frame_energies, silence_segments
+    from meteor_spark.operators.packing import next_fit_bins
+    from meteor_spark.operators.retrieval import rrf_fuse
+    from meteor_spark.operators.sampling import holdout_split
+    from meteor_spark.operators.sketches import count_min_estimate, count_min_partials
+
+    assert containment_pairs(empty_docs).count() == 0
+
+    en = frame_energies(attach_binary(empty_docs))
+    assert en.count() == 0
+    assert silence_segments(en, threshold=100.0).count() == 0
+
+    tk = empty_docs.select("doc_id", "source", F.lit(0).cast("long").alias("n_tokens"))
+    assert next_fit_bins(tk.filter("1=0"), "n_tokens").count() == 0
+
+    empty_rank = spark.createDataFrame([], "doc_id long, rank int")
+    assert rrf_fuse([empty_rank, empty_rank]).count() == 0
+
+    assert holdout_split(empty_docs, "doc_id").count() == 0
+
+    empty_items = spark.createDataFrame([], "item string")
+    partials = count_min_partials(empty_items.withColumn("g", F.lit(1)), ["g"], "item")
+    assert partials.count() == 0
+    assert count_min_estimate(partials, empty_items, "item").count() == 0

@@ -188,3 +188,55 @@ sinks:
     assert got[0].source != got[1].source
     # reweight kept the weight column populated
     assert all(r.log_weight is not None for r in got)
+
+
+def test_pack_processor_in_recipe(spark, tmp_path):
+    """parquet_table -> pack -> file: packing coords ride the recipe
+    surface like any other mix step."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "d e", "f g h i j"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table(rows), src)
+    out = tmp_path / "packed"
+
+    from meteor_spark.recipe.loader import parse_recipe
+    from meteor_spark.runner import Agent
+
+    recipe = parse_recipe(
+        f"""
+name: pack
+version: v1beta1
+source:
+  name: parquet_table
+  config:
+    path: {src}
+processors:
+  - name: pack
+    config:
+      mode: next_fit
+      capacity: 5
+sinks:
+  - name: file
+    config:
+      path: {out}
+      format: parquet
+""",
+        default_name="pack",
+    )
+    agent = Agent(spark)
+    assert agent.validate(recipe) == []
+    run = agent.run(recipe)
+    assert run.success, run.error
+    got = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    # 3+2 fills bin 0 exactly; the 5-token doc opens bin 1
+    assert (got[1].bin_id, got[1].bin_offset) == (0, 0)
+    assert (got[2].bin_id, got[2].bin_offset) == (0, 3)
+    assert (got[3].bin_id, got[3].bin_offset) == (1, 0)
+    assert "text" in got[1].asDict()  # original columns preserved
