@@ -88,3 +88,18 @@ def test_curate_example_runs_end_to_end(tmp_path, capsys, monkeypatch, spark):
         out.filter(F.col("chunk").rlike(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).count()
         == 0
     )
+
+
+def test_pack_example_runs_end_to_end(tmp_path, capsys, monkeypatch, spark):
+    """Raw documents -> curate -> next-fit pack -> parquet: the packing
+    manifest recipe a trainer's loader would consume."""
+    monkeypatch.setenv("METEOR_DATA_DIR", SF_DIR)
+    monkeypatch.setenv("METEOR_OUT_DIR", str(tmp_path))
+    assert main(["run", str(EXAMPLES / "pack_training_bins.yaml")]) == 0
+    assert "OK" in capsys.readouterr().out
+
+    out = spark.read.parquet(str(tmp_path / "packed_bins"))
+    rows = out.collect()
+    assert rows and {"doc_id", "bin_id", "bin_offset", "n_tokens"} <= set(out.columns)
+    # bins respect capacity for every doc that fits at all
+    assert all(r.bin_offset + r.n_tokens <= 512 for r in rows if r.n_tokens <= 512)
