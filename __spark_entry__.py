@@ -11,7 +11,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  LM perplexity quality filter, domain-mixture weights,
                  BM25 retrieval, DSIR importance reweighting, passage
                  dedup, training-order interleave) —
-                 128 entries, 120 with exact DuckDB oracles.
+                 129 entries, 121 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

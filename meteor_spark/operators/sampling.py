@@ -330,3 +330,50 @@ def holdout_split(
     for name, lo_b, hi_b in reversed(cases):
         label = F.when((bucket >= lo_b) & (bucket < hi_b), F.lit(name)).otherwise(label)
     return df.withColumn("split", label)
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling weights (the mT5/XLM-R
+    p_s ∝ share_s^α law, α ∈ (0, 1]): soften the corpus's natural token
+    distribution toward uniform WITHOUT fully flattening it — low-resource
+    domains are boosted, head domains tamed, and α tunes how far
+    (α=1 natural mix, α→0 uniform; source_mix_weights is the α→0 limit
+    as explicit down-sampling rates).
+
+        target_share(s) = share(s)^α / Σ_t share(t)^α
+        mix_factor(s)   = target_share(s) / share(s)   (per-doc sampling
+                          odds multiplier realizing the target)
+
+    Same plan shape as source_mix_weights: one corpus groupBy, the two
+    scalar reductions (total tokens, normalizer) ride broadcast one-row
+    joins — nothing corpus-sized shuffles twice.
+    """
+    from meteor_spark.operators.text import normalize_text, words
+
+    s = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words(normalize_text(F.col(text_col))))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").cast("double").alias("total"))
+    shared = s.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total")).alias("share"),
+        F.pow(F.col("n_tokens") / F.col("total"), F.lit(alpha)).alias("pa"),
+    )
+    z = shared.agg(F.sum("pa").alias("z"))
+    return shared.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.round("share", round_to).alias("token_share"),
+        F.round(F.col("pa") / F.col("z"), round_to).alias("target_share"),
+        F.round((F.col("pa") / F.col("z")) / F.col("share"), round_to).alias("mix_factor"),
+    )

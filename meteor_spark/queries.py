@@ -980,6 +980,38 @@ GROUP BY a.source, b.source, ca.n, cb.n
 """
 
 
+@query(
+    "temperature_mix_weights",
+    f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_split_to_array({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s),
+    sh AS (
+      SELECT s.source, s.n_docs, s.n_tokens,
+             s.n_tokens / t.total AS share,
+             pow(s.n_tokens / t.total, 0.3) AS pa
+      FROM s, t),
+    z AS (SELECT sum(pa) AS z FROM sh)
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(pa / z.z, 6) AS target_share,
+           round((pa / z.z) / share, 6) AS mix_factor
+    FROM sh, z
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (mT5/XLM-R p ∝ share^α,
+    α=0.3): per-source target shares softened toward uniform and the
+    per-doc odds multiplier realizing them
+    (operators.sampling.temperature_mix_weights) — the tunable sibling
+    of source_mix_weights' uniform target."""
+    from meteor_spark.operators.sampling import temperature_mix_weights as tmw
+
+    return tmw(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
 _RRF_L, _RRF_K, _RRF_C = 50, 10, 60
 
 

@@ -221,3 +221,26 @@ def test_holdout_split_is_total_and_stable(spark):
     part = holdout_split(df, "doc_id", {"train": 0.5}).collect()
     assert any(r["split"] is None for r in part)
     assert any(r["split"] == "train" for r in part)
+
+
+def test_temperature_mix_weights_math(spark):
+    import math
+
+    from meteor_spark.operators.sampling import temperature_mix_weights
+
+    # 90/10 token split, alpha=0.5
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 90), "big"), (2, " ".join(["w"] * 10), "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in temperature_mix_weights(docs, alpha=0.5).collect()}
+    pa_big, pa_small = math.sqrt(0.9), math.sqrt(0.1)
+    z = pa_big + pa_small
+    assert out["big"]["target_share"] == round(pa_big / z, 6)
+    assert out["small"]["target_share"] == round(pa_small / z, 6)
+    # softening: head tamed below natural share, tail boosted above
+    assert out["big"]["target_share"] < 0.9 and out["small"]["target_share"] > 0.1
+    assert out["big"]["mix_factor"] < 1.0 < out["small"]["mix_factor"]
+    # alpha=1 leaves the natural mix untouched
+    nat = {r["source"]: r for r in temperature_mix_weights(docs, alpha=1.0).collect()}
+    assert nat["big"]["mix_factor"] == 1.0 == nat["small"]["mix_factor"]
