@@ -10,7 +10,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  stream-stream joins, drift/contamination/sketch ops,
                  LM perplexity quality filter, domain-mixture weights,
                  BM25 retrieval, DSIR importance reweighting, passage
-                 dedup, training-order interleave) —
+                 dedup, training-order interleave, next-fit packing,
+                 holdout split, containment join, count-min sketches,
+                 audio silence segmentation, RRF hybrid retrieval,
+                 temperature mixture weights) —
                  129 entries, 121 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
