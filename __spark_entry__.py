@@ -13,8 +13,12 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  dedup, training-order interleave, next-fit packing,
                  holdout split, containment join, count-min sketches,
                  audio silence segmentation, RRF hybrid retrieval,
-                 temperature mixture weights) —
-                 129 entries, 121 with exact DuckDB oracles.
+                 temperature mixture weights, Misra-Gries exact heavy
+                 hitters, truncation budgeting, char-entropy quality,
+                 greedy k-center coreset, per-source lexical KL drift,
+                 PMI collocation mining, streaming heavy hitters,
+                 co-usage graph triangle counts) —
+                 137 entries, 129 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -158,6 +158,14 @@ def main() -> None:
         "next_fit_bin_packing",
         "event_type_count_min",
         "corpus_holdout_split",
+        "corpus_word_heavy_hitters",
+        "kcenter_coreset",
+        "char_entropy_quality",
+        "truncation_budget_curve",
+        "source_lexical_kl",
+        "corpus_pmi_bigrams",
+        "streaming_word_heavy_hitters",
+        "workload_graph_triangles",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

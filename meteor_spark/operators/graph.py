@@ -85,3 +85,36 @@ def pagerank(
     return pr.select("node", F.round("pr", round_to).alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "node"
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle membership counts over an undirected graph:
+    (node, n_triangles) for every node in at least one triangle.
+
+    Community structure / clustering-coefficient input for the mined
+    co-usage graph. Edges canonicalize to src < dst, so each triangle
+    (x < y < z) is built exactly once: wedge join (x,y)+(y,z) on the
+    middle node, closed by an equi-join back to the edge set on (x,z) —
+    two equi-joins, never a cross product, with the standard
+    degree-bounded candidate growth of distributed triangle listing.
+    Each closed triangle then credits its three corners via a
+    constant-width explode.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closed = wedges.join(
+        canon.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    return (
+        closed.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

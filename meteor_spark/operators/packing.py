@@ -141,3 +141,39 @@ def next_fit_bins(
 
     cols = [id_col, group_col, token_col]
     return df.select(*cols).groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def truncation_budget_curve(
+    df: DataFrame,
+    token_col,
+    candidate_lens: tuple[int, ...] = (16, 24, 32, 48, 64),
+    round_to: int = 6,
+) -> DataFrame:
+    """Token loss at each candidate max-sequence-length: one row per L
+    with (max_len, docs_truncated, tokens_dropped, drop_share).
+
+    The policy question this answers: "what max_seq_len keeps truncation
+    loss under ε?" — the trainer picks the smallest L whose drop_share
+    clears its budget, instead of guessing from a histogram. One scan:
+    each row fans out to |candidate_lens| literal rows (a constant-width
+    explode, not data-dependent), and the map-side-combined groupBy
+    ships exactly |candidate_lens| partial rows per partition regardless
+    of corpus size. No Python, no window, no second pass.
+    """
+    tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    fan = df.select(
+        tokens.cast("long").alias("t"),
+        F.explode(F.array(*[F.lit(l) for l in candidate_lens])).alias("max_len"),
+    )
+    dropped = F.greatest(F.col("t") - F.col("max_len"), F.lit(0))
+    return (
+        fan.groupBy("max_len")
+        .agg(
+            F.sum((F.col("t") > F.col("max_len")).cast("long")).alias("docs_truncated"),
+            F.sum(dropped).alias("tokens_dropped"),
+            F.round(
+                F.sum(dropped).cast("double") / F.sum("t").cast("double"), round_to
+            ).alias("drop_share"),
+        )
+        .orderBy("max_len")
+    )

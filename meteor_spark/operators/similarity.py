@@ -690,3 +690,64 @@ def kmeans_cluster_profile(
         F.col("t.l").cast("int").alias("top_label"),
         F.round(F.col("t.n") / F.col("n_vecs"), 4).alias("top_label_share"),
     ).orderBy("cluster")
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez) coreset selection: k diverse rows,
+    each the point farthest (squared euclidean, min over selected
+    centers) from everything already chosen.
+
+    The data-curation use: a small maximally-spread subset of a huge
+    embedding table (eval-seed selection, diverse few-shot pools,
+    coverage probes). Greedy k-center is a 2-approximation to the
+    optimal covering radius and — unlike sampling — deterministic here:
+    distances round to `round_to` before every argmax and ties break on
+    the smaller id, so any engine replays the identical selection (the
+    DuckDB oracle re-runs all k steps as chained CTEs and checks full
+    equality).
+
+    Each of the k iterations is one scan: fold the newest center (a
+    64-double literal, part of the plan) into the running min-distance
+    column, then TakeOrdered(1) for the next argmax. Only ONE row is
+    ever collected per iteration; the frame itself is never shuffled
+    (no window, no join) and is localCheckpoint'd so the lineage stays
+    k-free. Output: (rank, vec_id, dist2) — dist2 the point's distance
+    to the set selected before it (0 for the seed, by convention).
+    """
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("n2", F.round(dot(F.col("v"), F.col("v")), round_to))
+    first = pts.orderBy(F.col("n2").desc(), F.col("vec_id")).limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], "rank int, vec_id long, dist2 double"
+        )
+    selected = [(1, first[0]["vec_id"], 0.0)]
+    cur = pts.withColumn("mind", F.lit(None).cast("double"))
+    center_v, center_n2 = first[0]["v"], float(first[0]["n2"])
+    for rank in range(2, k + 1):
+        cv = F.array(*[F.lit(float(x)) for x in center_v])
+        d2 = F.round(
+            F.col("n2") + F.lit(center_n2) - 2.0 * dot(F.col("v"), cv), round_to
+        )
+        cur = cur.withColumn("mind", F.least(F.coalesce(F.col("mind"), d2), d2))
+        cur = cur.localCheckpoint(eager=False)
+        nxt = (
+            cur.filter(~F.col("vec_id").isin([s[1] for s in selected]))
+            .orderBy(F.col("mind").desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        selected.append((rank, nxt[0]["vec_id"], float(nxt[0]["mind"])))
+        center_v, center_n2 = nxt[0]["v"], float(nxt[0]["n2"])
+    return emb.sparkSession.createDataFrame(
+        selected, "rank int, vec_id long, dist2 double"
+    )

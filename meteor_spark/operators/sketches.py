@@ -104,6 +104,77 @@ def merge_quantile_bins(
     return cum.groupBy(*keys).agg(*aggs)
 
 
+def misra_gries_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: ≤ k (key,
+    lower-bound-count) rows per partition, merged by key-sum.
+
+    The bounded-memory half of the classic two-pass exact heavy-hitter
+    pattern: MG with k counters retains every item whose LOCAL frequency
+    exceeds n_p/(k+1), and by pigeonhole any item with GLOBAL frequency
+    > N/k exceeds n_p/(k+1) in at least one partition — so the union of
+    per-partition candidate sets is a guaranteed superset of the true
+    heavy hitters, at O(k) memory per partition no matter how large the
+    key domain is. (Summed MG counters are lower bounds, not exact
+    counts; heavy_hitters_exact adds the verification scan.)
+
+    Arrow-batched mapInPandas; the dict state persists across batches of
+    one partition, so each partition emits one summary regardless of
+    batch count. The shuffle that follows carries ≤ k·partitions rows.
+    """
+    import pandas as pd
+
+    schema = df.select(key_col).schema
+    out_schema = f"{key_col} {schema[key_col].dataType.simpleString()}, mg_count long"
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf[key_col]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame(
+            {key_col: list(counters), "mg_count": list(counters.values())}
+        )
+
+    partials = df.select(key_col).mapInPandas(mg, out_schema)
+    return partials.groupBy(key_col).agg(F.sum("mg_count").alias("mg_count"))
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, k: int, out_count: str = "n_occurrences"
+) -> DataFrame:
+    """EXACT keys with frequency > N/k via MG candidates + verification.
+
+    Pass 1 (misra_gries_candidates) shrinks the unbounded key domain to
+    ≤ k·partitions candidates without a full-domain shuffle; pass 2
+    broadcast-semi-joins the candidates back and counts them exactly,
+    so the output is precisely `SELECT key HAVING count(*) > N/k` — the
+    sketch bounds memory, the verify pass removes its error. The only
+    groupBy over raw keys is restricted to candidate rows.
+    """
+    cands = misra_gries_candidates(df, key_col, k).select(key_col)
+    total = df.groupBy().agg(F.count("*").alias("__total"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias(out_count))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col(out_count) > F.col("__total") / k)
+        .drop("__total")
+    )
+
+
 def count_min_partials(
     df: DataFrame, keys: list[str], item_col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:

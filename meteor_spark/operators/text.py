@@ -199,6 +199,43 @@ def fingerprint(text: Column, bits: int = 64) -> Column:
     return F.substring(F.md5(normalize_text(text)), 1, bits // 4)
 
 
+def char_entropy_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution over
+    normalized text: (id, n_chars_norm, distinct_chars, char_entropy).
+
+    Low entropy flags gibberish/templated/repeated-character documents
+    that length and stopword ratios miss — the information-theoretic leg
+    of the quality-scoring family (quality_features, gopher_rules,
+    compression_ratio). Entropy = -Σ p_c·log2(p_c), exact rational p_c,
+    rounded so summation-order noise can't flip the oracle hash.
+
+    Characters are enumerated relationally (explode over a 1..len
+    sequence + substring — identical semantics on any engine; no
+    Python): one explode to n_chars rows, two map-side-combined
+    groupBys. At 100 TB the per-(doc, char) partial aggregation keeps
+    the shuffle at ≤ |alphabet| rows per document, not one per
+    character.
+    """
+    chars = (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
+        .select(id_col, "__t", F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"))
+        .select(id_col, F.substring(F.col("__t"), F.col("__i"), 1).alias("ch"))
+    )
+    per_char = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    # H = -Σ (c/n)·log2(c/n) = log2(n) - Σ c·log2(c) / n — one groupBy,
+    # no window: n never has to join back under the sum
+    n = F.sum("c").cast("double")
+    return per_char.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_chars_norm"),
+        F.count("*").cast("long").alias("distinct_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, round_to
+        ).alias("char_entropy"),
+    )
+
+
 def compression_ratio(text_col: str = "text") -> Column:
     """zlib-compressed size / raw size — a classic data-quality signal
     (repetitive/templated text compresses far better than natural prose).
@@ -640,3 +677,107 @@ def source_overlap_matrix(
             ).alias("overlap"),
         )
     )
+
+
+def lexical_kl_by_group(
+    df: DataFrame, group_col: str = "source", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Per-group lexical drift: KL divergence (bits) of each group's word
+    distribution from the whole-corpus distribution —
+    (group, n_tokens, distinct_words, kl_bits).
+
+    The lexical sibling of the numeric PSI drift operator: a crawl
+    source whose vocabulary usage diverges from the corpus mix surfaces
+    with a high kl_bits long before numeric metadata shifts. KL is
+    computed over the words the group actually uses (q(w) > 0 there,
+    and p_corpus(w) > 0 by containment — no smoothing needed, the
+    estimate is exact).
+
+    Shape: one explode scan -> (group, word) counts (map-side combined),
+    a word-keyed join against the corpus word counts derived FROM that
+    same frame (no second scan), and a broadcast of the tiny per-group
+    totals. Shuffles are vocabulary-sized, never corpus-sized.
+    """
+    w = df.select(
+        F.col(group_col), F.explode(words(normalize_text(F.col(text_col)))).alias("w")
+    )
+    gw = w.groupBy(group_col, "w").agg(F.count("*").alias("c"))
+    cw = gw.groupBy("w").agg(F.sum("c").alias("cc"))
+    tg = gw.groupBy(group_col).agg(F.sum("c").alias("tg"))
+    total = gw.groupBy().agg(F.sum("c").cast("double").alias("t"))
+    q = F.col("c") / F.col("tg")
+    p = F.col("cc") / F.col("t")
+    return (
+        gw.join(cw, "w")
+        .join(F.broadcast(tg), group_col)
+        .crossJoin(F.broadcast(total))
+        .groupBy(group_col)
+        .agg(
+            F.max("tg").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("distinct_words"),
+            F.round(F.sum(q * F.log2(q / p)), round_to).alias("kl_bits"),
+        )
+    )
+
+
+def pmi_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k adjacent word pairs by pointwise mutual information:
+    (gram, n, pmi) — the phrase-mining statistic (collocations like
+    "new york" score high even at modest raw frequency, where top-k by
+    count only ever finds stopword pairs).
+
+    PMI(a,b) = log2( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    stream and p(a), p(b) over the unigram stream. A min_count floor
+    keeps the estimator out of its high-variance tail. One scan feeds
+    both streams; the bigram->unigram joins are keyed on single words
+    (vocabulary-sized shuffles), and top-k is TakeOrdered, never a
+    global sort.
+    """
+    worded = df.select(words(normalize_text(F.col(text_col))).alias("__ws"))
+    uni = (
+        worded.select(F.explode("__ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot_u = uni.groupBy().agg(F.sum("cu").cast("double").alias("tu"))
+    bi = (
+        worded.select(F.explode(ngrams_of_words(F.col("__ws"), 2)).alias("gram"))
+        .filter(F.col("gram").contains(" "))  # drop the single-word degenerate grams
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    tot_b = (
+        worded.select(F.greatest(F.size("__ws") - 1, F.lit(0)).alias("nb"))
+        .groupBy()
+        .agg(F.sum("nb").cast("double").alias("tb"))
+    )
+    a, b = F.split_part(F.col("gram"), F.lit(" "), F.lit(1)), F.split_part(
+        F.col("gram"), F.lit(" "), F.lit(2)
+    )
+    scored = (
+        bi.withColumn("wa", a)
+        .withColumn("wb", b)
+        .join(uni.select(F.col("w").alias("wa"), F.col("cu").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("cu").alias("cb")), "wb")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "gram",
+            "n",
+            F.round(
+                F.log2(
+                    (F.col("n") / F.col("tb"))
+                    / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "gram").limit(k)

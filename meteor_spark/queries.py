@@ -4593,3 +4593,299 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
     )
     return packing.pack_manifest(tk, "n_tokens", seq_len=512)
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 4: bounded-memory heavy hitters,
+# truncation budgeting, entropy quality, diverse coreset selection
+# --------------------------------------------------------------------------
+
+_HH_K = 50
+
+
+@query(
+    "corpus_word_heavy_hitters",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w)
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM w, t GROUP BY word, t.total
+    HAVING count(*) > t.total / {_HH_K}
+    ORDER BY word
+    """,
+)
+def corpus_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus vocabulary heavy hitters (freq > N/{k}) via the
+    two-pass Misra-Gries pattern (sketches.misra_gries_candidates +
+    heavy_hitters_exact): per-partition MG summaries bound memory at
+    O(k) counters over an unbounded token domain, the pigeonhole
+    guarantee makes the candidate union a superset of every true heavy
+    hitter, and a broadcast-semi-join verification scan restores exact
+    counts — so the oracle is the plain GROUP BY/HAVING the sketch can
+    replace at 100 TB (where the full-vocabulary shuffle is the thing
+    you can't afford). Stopword discovery / vocabulary-pruning input in
+    an LM pipeline."""
+    from meteor_spark.operators.sketches import heavy_hitters_exact
+
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        F.explode(text.words(text.normalize_text(F.col("text")))).alias("word")
+    )
+    return heavy_hitters_exact(w, "word", _HH_K).orderBy("word")
+
+
+@query(
+    "truncation_budget_curve",
+    f"""
+    WITH tk AS (
+      SELECT CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS t
+      FROM documents),
+    f AS (SELECT t, unnest([16, 24, 32, 48, 64]) AS max_len FROM tk)
+    SELECT CAST(max_len AS INTEGER) AS max_len,
+           CAST(sum(CASE WHEN t > max_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+           CAST(sum(greatest(t - max_len, 0)) AS BIGINT) AS tokens_dropped,
+           round(CAST(sum(greatest(t - max_len, 0)) AS DOUBLE) / CAST(sum(t) AS DOUBLE), 6) AS drop_share
+    FROM f GROUP BY max_len ORDER BY max_len
+    """,
+)
+def truncation_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-loss curve over candidate max-sequence-lengths
+    (packing.truncation_budget_curve): for each L, how many documents
+    get truncated and what share of corpus tokens is dropped — the
+    one-scan answer to "what max_seq_len keeps truncation loss under
+    ε?". Constant-width literal explode + map-side-combined groupBy:
+    the shuffle is |candidates| rows per partition at any corpus
+    size."""
+    from meteor_spark.operators import packing
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
+    )
+    return packing.truncation_budget_curve(tk, "n_tokens")
+
+
+@query(
+    "char_entropy_quality",
+    f"""
+    WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    ch AS (
+      SELECT doc_id, substr(t, CAST(i AS INTEGER), 1) AS ch
+      FROM n, unnest(range(1, len(t) + 1)) AS u(i)),
+    pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_norm,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                 4) AS char_entropy
+    FROM pc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy
+    (text.char_entropy_profile): the information-theoretic quality leg —
+    flags gibberish / single-character spam / templated text that
+    length, stopword, and punctuation ratios miss (pairs with the zlib
+    compression_ratio signal, but stays fully relational). Exact
+    rational probabilities, H = log2(n) - Σ c·log2(c)/n in one
+    groupBy."""
+    docs = _docs(spark, sf_dir)
+    return text.char_entropy_profile(docs).orderBy("doc_id")
+
+
+_KC_K = 6
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    base = """
+    WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pn AS (SELECT vec_id, v, round(list_dot_product(v, v), 6) AS n2 FROM p),
+    c1 AS (SELECT vec_id, v, n2, 0.0 AS mind FROM pn ORDER BY n2 DESC, vec_id LIMIT 1),
+    m1 AS (SELECT pn.vec_id, pn.v, pn.n2,
+                  round(pn.n2 + c1.n2 - 2 * list_dot_product(pn.v, c1.v), 6) AS mind
+           FROM pn, c1),
+    """
+    its = []
+    for j in range(2, k + 1):
+        prior = " UNION ALL ".join(f"SELECT vec_id FROM c{i}" for i in range(1, j))
+        its.append(f"""c{j} AS (
+      SELECT vec_id, v, n2, mind FROM m{j - 1}
+      WHERE vec_id NOT IN ({prior})
+      ORDER BY mind DESC, vec_id LIMIT 1)""")
+        if j < k:
+            its.append(f"""m{j} AS (
+      SELECT m.vec_id, m.v, m.n2,
+             least(m.mind, round(m.n2 + c{j}.n2 - 2 * list_dot_product(m.v, c{j}.v), 6)) AS mind
+      FROM m{j - 1} m, c{j})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {j} AS rank, vec_id, mind AS dist2 FROM c{j}" for j in range(1, k + 1)
+    )
+    return base + ",\n    ".join(its) + f"\n    SELECT CAST(rank AS INTEGER) AS rank, vec_id, dist2 FROM ({finals}) ORDER BY rank"
+
+
+@query("kcenter_coreset", _kcenter_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diverse coreset over the embedding table
+    (similarity.kcenter_select): k maximally-spread vectors, the
+    deterministic diversity-selection primitive (eval seeds, few-shot
+    pools, coverage probes). Per-iteration rounding + id tiebreaks make
+    the greedy selection engine-replayable, so the oracle re-runs all k
+    steps as chained CTEs and checks FULL equality — an iterative
+    algorithm with an exact gate, like workload_table_pagerank. One
+    scan + one collected row per iteration; no join, no window, no
+    shuffle of the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_select(emb, k=_KC_K).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 5: lexical drift, phrase mining, streaming
+# heavy hitters, graph triangles
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_lexical_kl",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w
+      FROM documents),
+    gw AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+    cw AS (SELECT w, sum(c) AS cc FROM gw GROUP BY 1),
+    tg AS (SELECT source, sum(c) AS tg FROM gw GROUP BY 1),
+    t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM gw)
+    SELECT gw.source,
+           CAST(max(tg.tg) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_words,
+           round(sum((gw.c / tg.tg) * log2((gw.c / tg.tg) / (cw.cc / t.t))), 4) AS kl_bits
+    FROM gw JOIN cw USING (w) JOIN tg USING (source), t
+    GROUP BY gw.source ORDER BY gw.source
+    """,
+)
+def source_lexical_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift per crawl source (text.lexical_kl_by_group): KL
+    divergence of each source's word distribution from the corpus mix —
+    the vocabulary-level sibling of event_value_drift_psi. Exact (no
+    smoothing: KL over the group's own support), vocabulary-sized
+    shuffles only."""
+    docs = _docs(spark, sf_dir)
+    return text.lexical_kl_by_group(docs, "source").orderBy("source")
+
+
+_PMI_MIN = 5
+_PMI_K = 20
+
+
+@query(
+    "corpus_pmi_bigrams",
+    f"""
+    WITH nd AS (
+      SELECT regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    uni AS (
+      SELECT w, count(*) AS cu FROM (SELECT unnest(nws) AS w FROM nd) GROUP BY w),
+    tu AS (SELECT CAST(sum(cu) AS DOUBLE) AS tu FROM uni),
+    bi AS (
+      SELECT gram, count(*) AS n FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(nws) - 1, 1) + 1),
+                      i -> array_to_string(list_slice(nws, i, i + 1), ' '))) AS gram
+        FROM nd)
+      WHERE gram LIKE '% %' GROUP BY gram HAVING count(*) >= {_PMI_MIN}),
+    tb AS (SELECT CAST(sum(greatest(len(nws) - 1, 0)) AS DOUBLE) AS tb FROM nd)
+    SELECT gram, n,
+           round(log2((n / tb.tb) /
+                      ((ua.cu / tu.tu) * (ub.cu / tu.tu))), 4) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = split_part(gram, ' ', 1)
+    JOIN uni ub ON ub.w = split_part(gram, ' ', 2), tu, tb
+    ORDER BY pmi DESC, gram LIMIT {_PMI_K}
+    """,
+)
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (text.pmi_ngrams): top bigrams by pointwise
+    mutual information with a min-count floor — finds phrases raw
+    frequency ranking can't (corpus_top_bigrams surfaces stopword
+    pairs; PMI surfaces bound collocations). Single-word-keyed joins,
+    TakeOrdered top-k."""
+    docs = _docs(spark, sf_dir)
+    return text.pmi_ngrams(docs, min_count=_PMI_MIN, k=_PMI_K)
+
+
+_HH_STREAM_ORACLE = f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word
+      FROM documents),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM w)
+    SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM w, t GROUP BY word, t.total
+    HAVING count(*) > t.total / {_HH_K}
+    ORDER BY word
+    """
+
+
+@query("streaming_word_heavy_hitters", _HH_STREAM_ORACLE)
+def streaming_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of corpus_word_heavy_hitters: the documents STREAM
+    maintains per-word counts in state (complete mode — the canonical
+    streaming word count), and the finished state thresholds against
+    its own total. Count merge across microbatches is exact integer
+    addition, so the bounded stream must equal the batch GROUP
+    BY/HAVING to the last digit — same exact-gate construction as
+    streaming_quantile_rollup."""
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    wcounts = (
+        docs.select(
+            F.explode(text.words(text.normalize_text(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    state = run_stream_to_batch(wcounts, output_mode="complete")
+    total = state.groupBy().agg(F.sum("n_occurrences").cast("double").alias("t"))
+    return (
+        state.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("t") / _HH_K)
+        .select("word", "n_occurrences")
+        .orderBy("word")
+    )
+
+
+@query(
+    "workload_graph_triangles",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    e AS (
+      SELECT DISTINCT a.event_type AS x, b.event_type AS y
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    tri AS (
+      SELECT e1.x, e1.y, e2.y AS z
+      FROM e e1 JOIN e e2 ON e1.y = e2.x
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node ORDER BY node
+    """,
+)
+def workload_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle membership per node of the mined co-usage graph
+    (graph.triangle_counts): the community-structure complement to
+    workload_table_pagerank over the same join-pair mining (reference
+    stats.go). Canonicalized wedge join + edge closure — two
+    equi-joins, no cross product."""
+    from meteor_spark.operators.graph import triangle_counts
+
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).orderBy("node")

@@ -370,3 +370,14 @@ def incremental_neardup_stream(
     survivors = spark.read.parquet(f"{store_dir}/shingles").select(id_col)
     corpus_ids = corpus.select(id_col)
     return survivors.join(corpus_ids, id_col, "left_anti")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the documents fixture (schema from the file
+    footer, like stream_events — regeneration-proof)."""
+    schema = spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )

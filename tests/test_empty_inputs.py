@@ -97,3 +97,29 @@ def test_round3c_ops_on_empty(spark, empty_docs):
     partials = count_min_partials(empty_items.withColumn("g", F.lit(1)), ["g"], "item")
     assert partials.count() == 0
     assert count_min_estimate(partials, empty_items, "item").count() == 0
+
+
+def test_wave4_on_empty(spark, empty_docs, empty_vecs):
+    from meteor_spark.operators.packing import truncation_budget_curve
+    from meteor_spark.operators.similarity import kcenter_select
+    from meteor_spark.operators.sketches import heavy_hitters_exact
+    from meteor_spark.operators.text import char_entropy_profile
+
+    assert char_entropy_profile(empty_docs).count() == 0
+    assert kcenter_select(empty_vecs, k=4).count() == 0
+    empty_keys = spark.createDataFrame([], "word string")
+    assert heavy_hitters_exact(empty_keys, "word", 10).count() == 0
+    # empty corpus: every candidate length row still appears, zero drops
+    empty_tok = spark.createDataFrame([], "n_tokens long")
+    rows = truncation_budget_curve(empty_tok, "n_tokens", candidate_lens=(8, 16)).collect()
+    assert rows == []  # constant explode over zero rows -> zero rows
+
+
+def test_wave5_on_empty(spark, empty_docs):
+    from meteor_spark.operators.graph import triangle_counts
+    from meteor_spark.operators.text import lexical_kl_by_group, pmi_ngrams
+
+    assert lexical_kl_by_group(empty_docs).count() == 0
+    assert pmi_ngrams(empty_docs).count() == 0
+    empty_edges = spark.createDataFrame([], "src int, dst int")
+    assert triangle_counts(empty_edges).count() == 0

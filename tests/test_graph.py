@@ -62,3 +62,27 @@ def test_pagerank_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank(df).collect()))
     b = sorted(map(tuple, pagerank(df.repartition(13)).collect()))
     assert a == b
+
+
+def test_triangle_counts_known_graph(spark):
+    from meteor_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant 5-1
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b] + [(5, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    from meteor_spark.operators.graph import triangle_counts
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    fwd = spark.createDataFrame(tri, "src int, dst int")
+    # reversed + duplicated edges must not change the count
+    noisy = spark.createDataFrame(tri + [(b, a) for a, b in tri] + tri, "src int, dst int")
+    assert (
+        sorted(map(tuple, triangle_counts(fwd).collect()))
+        == sorted(map(tuple, triangle_counts(noisy).collect()))
+        == [(1, 1), (2, 1), (3, 1)]
+    )

@@ -244,3 +244,21 @@ def test_temperature_mix_weights_math(spark):
     # alpha=1 leaves the natural mix untouched
     nat = {r["source"]: r for r in temperature_mix_weights(docs, alpha=1.0).collect()}
     assert nat["big"]["mix_factor"] == 1.0 == nat["small"]["mix_factor"]
+
+
+def test_truncation_budget_curve_exact_counts(spark):
+    from meteor_spark.operators.packing import truncation_budget_curve
+
+    df = spark.createDataFrame([(10,), (20,), (30,), (40,)], "n_tokens long")
+    out = {
+        r["max_len"]: r
+        for r in truncation_budget_curve(df, "n_tokens", candidate_lens=(15, 25, 50)).collect()
+    }
+    # L=15: docs 20/30/40 truncated, dropped (5+15+25)=45 of 100
+    assert out[15]["docs_truncated"] == 3
+    assert out[15]["tokens_dropped"] == 45
+    assert out[15]["drop_share"] == 0.45
+    # L=25: dropped (5+15)=20
+    assert out[25]["docs_truncated"] == 2 and out[25]["tokens_dropped"] == 20
+    # L=50: nothing truncated
+    assert out[50]["docs_truncated"] == 0 and out[50]["drop_share"] == 0.0

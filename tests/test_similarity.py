@@ -235,3 +235,43 @@ def test_kmeans_profile_shape(spark, sf_dir):
     assert 0 < len(out) <= 4
     assert sum(r.n_vecs for r in out) == emb.count()
     assert all(0 < r.top_label_share <= 1.0 for r in out)
+
+
+def test_kcenter_picks_spread_points(spark):
+    # three tight clusters + seed-dominating far point: k=3 must take one
+    # representative per cluster, never two from the same one
+    pts = [
+        (0, [10.0, 0.0]), (1, [10.1, 0.0]), (2, [9.9, 0.1]),      # cluster A (far -> seed)
+        (10, [0.0, 5.0]), (11, [0.1, 5.0]),                        # cluster B
+        (20, [-8.0, -8.0]), (21, [-8.1, -7.9]),                    # cluster C
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    from meteor_spark.operators.similarity import kcenter_select
+
+    sel = kcenter_select(df, k=3).collect()
+    assert [r["rank"] for r in sel] == [1, 2, 3]
+    chosen = {r["vec_id"] for r in sel}
+    clusters = [{0, 1, 2}, {10, 11}, {20, 21}]
+    assert all(len(chosen & c) == 1 for c in clusters)
+    # seed = max-norm point: cluster C's (-8.1, -7.9), n2 = 128.02
+    assert sel[0]["vec_id"] == 21 and sel[0]["dist2"] == 0.0
+    # later picks report their distance-to-set at selection time, descending
+    assert sel[1]["dist2"] >= sel[2]["dist2"] > 0
+
+
+def test_kcenter_deterministic_and_k_capped(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    from meteor_spark.operators.similarity import kcenter_select
+
+    a = kcenter_select(df, k=5).collect()
+    b = kcenter_select(df.repartition(7), k=5).collect()
+    assert [(r["rank"], r["vec_id"], r["dist2"]) for r in a] == [
+        (r["rank"], r["vec_id"], r["dist2"]) for r in b
+    ]
+    # k larger than the table: selection stops at n rows
+    tiny = spark.createDataFrame(pts[:3], "vec_id long, embedding array<double>")
+    assert kcenter_select(tiny, k=10).count() == 3

@@ -112,3 +112,54 @@ def test_count_min_overestimates_and_partials_merge(spark):
     }
     whole = {(r["r"], r["c"]): r["cnt"] for r in global_partials.collect()}
     assert merged == whole
+
+
+# -- Misra-Gries heavy hitters ---------------------------------------------
+
+
+def test_mg_candidates_superset_of_true_heavy_hitters(spark):
+    # skewed stream: 'a' x 60, 'b' x 25, 40 singletons -> N=125
+    rows = [("a",)] * 60 + [("b",)] * 25 + [(f"x{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    k = 5
+    cands = {r["k"] for r in sketches.misra_gries_candidates(df, "k", k).collect()}
+    n = df.count()
+    true_heavy = {
+        r["k"]
+        for r in df.groupBy("k").count().filter(F.col("count") > n / k).collect()
+    }
+    assert true_heavy <= cands  # guaranteed superset
+    # per-partition summaries are bounded: <= k entries per partition
+    assert len(cands) <= k * df.rdd.getNumPartitions()
+
+
+def test_heavy_hitters_exact_matches_group_by(spark):
+    # N=130, k=5 -> threshold 26: 'a' (60) and 'b' (30) qualify strictly
+    rows = [("a",)] * 60 + [("b",)] * 30 + [(f"x{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    k = 5
+    got = {
+        (r["k"], r["n_occurrences"])
+        for r in sketches.heavy_hitters_exact(df, "k", k).collect()
+    }
+    n = df.count()
+    want = {
+        (r["k"], r["count"])
+        for r in df.groupBy("k").count().filter(F.col("count") > n / k).collect()
+    }
+    assert got == want == {("a", 60), ("b", 30)}
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    rows = [("a",)] * 60 + [(f"x{i}",) for i in range(60)]
+    base = spark.createDataFrame(rows, "k string")
+    outs = []
+    for parts in (1, 3, 8):
+        df = base.repartition(parts)
+        outs.append(
+            sorted(
+                (r["k"], r["n_occurrences"])
+                for r in sketches.heavy_hitters_exact(df, "k", 4).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2] == [("a", 60)]

@@ -220,3 +220,66 @@ def test_source_overlap_flags_mirrored_source(spark):
     m = out[("mirror", "orig")]
     assert m.jaccard == 1.0 and m.overlap == 1.0  # identical fingerprint sets
     assert ("indep", "mirror") not in out and ("indep", "orig") not in out
+
+
+def test_char_entropy_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),            # one symbol -> H = 0
+            (2, "abab"),            # two equiprobable -> H = 1
+            (3, "abcd"),            # four equiprobable -> H = 2
+            (4, "aaaaaaab"),        # skewed: H = -(7/8)log2(7/8)-(1/8)log2(1/8)
+        ],
+        "doc_id long, text string",
+    )
+    from meteor_spark.operators.text import char_entropy_profile
+
+    got = {r["doc_id"]: r for r in char_entropy_profile(df).collect()}
+    assert got[1]["char_entropy"] == 0.0 and got[1]["distinct_chars"] == 1
+    assert got[2]["char_entropy"] == 1.0
+    assert got[3]["char_entropy"] == 2.0
+    import math
+
+    want = round(-(7 / 8) * math.log2(7 / 8) - (1 / 8) * math.log2(1 / 8), 4)
+    assert got[4]["char_entropy"] == want
+    assert got[4]["n_chars_norm"] == 8
+
+
+def test_lexical_kl_zero_for_identical_distributions(spark):
+    from meteor_spark.operators.text import lexical_kl_by_group
+
+    # both sources share the exact same word distribution -> KL == 0
+    df = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "a a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in lexical_kl_by_group(df).collect()}
+    assert out["s1"]["kl_bits"] == 0.0 and out["s2"]["kl_bits"] == 0.0
+    assert out["s1"]["n_tokens"] == 3 and out["s1"]["distinct_words"] == 2
+
+
+def test_lexical_kl_detects_divergent_source(spark):
+    from meteor_spark.operators.text import lexical_kl_by_group
+
+    rows = [(i, "common words here", "base") for i in range(10)]
+    rows += [(100, "rare exotic vocabulary", "odd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["kl_bits"] for r in lexical_kl_by_group(df).collect()}
+    assert out["odd"] > out["base"] >= 0.0
+
+
+def test_pmi_ranks_collocation_over_frequent_pair(spark):
+    from meteor_spark.operators.text import pmi_ngrams
+
+    # "new york" always co-occurs; "the cat"/"the dog" split "the"'s mass
+    docs = [(i, "new york") for i in range(5)]
+    docs += [(10 + i, "the cat sat") for i in range(5)]
+    docs += [(20 + i, "the dog ran") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_ngrams(df, min_count=5, k=10).collect()
+    by_gram = {r["gram"]: r["pmi"] for r in out}
+    # perfectly-bound pairs tie at the top; "the X" pairs score lower
+    # because "the"'s probability mass is split across two continuations
+    assert by_gram["new york"] == by_gram["cat sat"]
+    assert by_gram["new york"] > by_gram["the cat"]
+    assert out[0]["pmi"] == by_gram["new york"]
