@@ -694,14 +694,18 @@ def lexical_kl_by_group(
     estimate is exact).
 
     Shape: one explode scan -> (group, word) counts (map-side combined),
-    a word-keyed join against the corpus word counts derived FROM that
-    same frame (no second scan), and a broadcast of the tiny per-group
-    totals. Shuffles are vocabulary-sized, never corpus-sized.
+    localCheckpoint'd so the three derived aggregates (corpus word
+    counts, per-group totals, grand total) read the materialized
+    vocabulary-sized frame instead of re-exploding the corpus once each
+    (Catalyst does not reuse exchanges across differently-keyed
+    aggregates of the same subplan). Then a word-keyed join against the
+    corpus counts and a broadcast of the tiny per-group totals — every
+    post-checkpoint shuffle is vocabulary-sized, never corpus-sized.
     """
     w = df.select(
         F.col(group_col), F.explode(words(normalize_text(F.col(text_col)))).alias("w")
     )
-    gw = w.groupBy(group_col, "w").agg(F.count("*").alias("c"))
+    gw = w.groupBy(group_col, "w").agg(F.count("*").alias("c")).localCheckpoint()
     cw = gw.groupBy("w").agg(F.sum("c").alias("cc"))
     tg = gw.groupBy(group_col).agg(F.sum("c").alias("tg"))
     total = gw.groupBy().agg(F.sum("c").cast("double").alias("t"))
