@@ -4657,10 +4657,12 @@ def truncation_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan answer to "what max_seq_len keeps truncation loss under
     ε?". Constant-width literal explode + map-side-combined groupBy:
     the shuffle is |candidates| rows per partition at any corpus
-    size."""
+    size. Reads via _docs: the tokenizer regex is per-row compute, and
+    the single-file fixture would otherwise serialize it on one core
+    (measured 19x at a 10x scale-up; 1.9x after the fan-out)."""
     from meteor_spark.operators import packing
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tk = docs.select(
         text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
     )
