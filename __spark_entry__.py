@@ -17,8 +17,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  hitters, truncation budgeting, char-entropy quality,
                  greedy k-center coreset, per-source lexical KL drift,
                  PMI collocation mining, streaming heavy hitters,
-                 co-usage graph triangle counts) —
-                 137 entries, 129 with exact DuckDB oracles.
+                 co-usage graph triangle counts, per-doc novelty
+                 scores, source diversity metrics, Zipf rank-frequency
+                 fit, event transition matrix) —
+                 141 entries, 133 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

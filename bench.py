@@ -166,6 +166,10 @@ def main() -> None:
         "corpus_pmi_bigrams",
         "streaming_word_heavy_hitters",
         "workload_graph_triangles",
+        "doc_novelty_scores",
+        "source_diversity_metrics",
+        "corpus_zipf_fit",
+        "event_transition_matrix",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]
@@ -181,8 +185,13 @@ def main() -> None:
         "full_timings": "BENCH_FULL.json",
     }
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1800:  # hard guard: never exceed the driver's tail window
-        line["queries"] = {}
+    # hard guard: never exceed the driver's tail window. Degrade by
+    # dropping headline entries from the END (the newest additions ride
+    # in BENCH_FULL.json either way) rather than blanking the map.
+    while len(out) > 1800 and line["queries"]:
+        line["queries"].popitem()
+        out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1800:
         line["failed"] = failed[:10] + (["..."] if len(failed) > 10 else [])
         out = json.dumps(line, separators=(",", ":"))
     print(out)

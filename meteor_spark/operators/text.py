@@ -785,3 +785,106 @@ def pmi_ngrams(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "gram").limit(k)
+
+
+def doc_novelty_scores(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's DISTINCT n-grams that
+    occur in no other document — (id, n_grams, n_unique, novelty).
+
+    The inverse of contamination/overlap scoring: high-novelty docs add
+    new content to the corpus, low-novelty docs are recombinations of
+    text already present (upweighting signal for diversity-aware
+    sampling). Gram doc-frequency is one map-side-combined count over
+    the exploded distinct-gram stream (gram-keyed shuffle, never
+    pairwise); the per-doc aggregate folds df==1 indicators back.
+    """
+    grams = distinct_gram_frame(df, n, text_col, id_col).select(
+        F.col(id_col), F.explode("grams").alias("gram")
+    )
+    gdf = grams.groupBy("gram").agg(F.count("*").alias("df_count"))
+    return (
+        grams.join(gdf, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("df_count") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("df_count") == 1).cast("long"))
+                / F.count("*").cast("double"),
+                round_to,
+            ).alias("novelty"),
+        )
+    )
+
+
+def source_diversity_metrics(
+    df: DataFrame, group_col: str = "source", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Lexical diversity per group: (group, n_docs, n_tokens,
+    type_token_ratio, distinct_bigram_ratio) — the distinct-n corpus
+    report (low TTR/bigram ratios flag templated or repetitive
+    sources). One scan builds the words array; unigram and bigram
+    streams explode from it; everything aggregates by group with
+    map-side combine (shuffles carry (group, gram) partials).
+    """
+    worded = df.select(
+        F.col(group_col), words(normalize_text(F.col(text_col))).alias("__ws")
+    )
+    uni = worded.select(group_col, F.explode("__ws").alias("g"))
+    bi = worded.select(
+        group_col, F.explode(ngrams_of_words(F.col("__ws"), 2)).alias("g")
+    ).filter(F.col("g").contains(" "))
+    docs = worded.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+
+    def ratio(stream: DataFrame, out: str) -> DataFrame:
+        return stream.groupBy(group_col).agg(
+            F.count("*").cast("long").alias(f"__n_{out}"),
+            F.round(
+                F.count_distinct("g") / F.count("*").cast("double"), round_to
+            ).alias(out),
+        )
+
+    u = ratio(uni, "type_token_ratio").withColumnRenamed("__n_type_token_ratio", "n_tokens")
+    b = ratio(bi, "distinct_bigram_ratio").drop("__n_distinct_bigram_ratio")
+    return docs.join(u, group_col).join(b, group_col)
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 100, round_to: int = 4
+) -> DataFrame:
+    """Zipf rank-frequency fit over the top_n corpus words: one row
+    (n_terms, zipf_slope, zipf_intercept) from the closed-form OLS of
+    log2(freq) on log2(rank).
+
+    A healthy natural-language corpus fits slope ≈ -1; a flat slope
+    flags templated/synthetic text, a cliff flags boilerplate
+    domination — the corpus-level health check next to the per-doc
+    quality gates. Word counts are one map-side-combined groupBy; the
+    top-n selection is TakeOrdered (freq desc, word — deterministic),
+    and the rank window + OLS aggregate run over top_n rows only.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(words(normalize_text(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "w").limit(top_n)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    ).select(
+        F.log2("r").alias("x"), F.log2("c").alias("y")
+    )
+    n = F.count("*").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(slope, round_to).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, round_to).alias("zipf_intercept"),
+    )

@@ -71,3 +71,38 @@ def filter_conditions(log: DataFrame, referenced_col: str = "referenced", filter
         .groupBy("urn")
         .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list(filters_col)))).alias("filters"))
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    round_to: int = 4,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (src_type, dst_type, n, p) with p = P(next=dst | cur=src).
+
+    The behavioral-analytics complement to the funnel/retention gates:
+    which action follows which, unconditional on time gaps. One lead()
+    window per user (the same user-keyed shuffle every sessionization
+    op pays — at scale this partitioning is shared across the whole
+    family) and a (src,dst)-keyed count; the per-src normalizer rides a
+    window over the tiny |types|² matrix, not the event stream.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("src_type"), F.col("__next").alias("dst_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
+    )

@@ -4891,3 +4891,120 @@ def workload_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 6: novelty, diversity, Zipf health,
+# behavioral transitions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_novelty_scores",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    gl AS (SELECT doc_id, unnest({_shingle_sql(3)}) AS gram FROM nd),
+    gdf AS (SELECT gram, count(*) AS df_count FROM gl GROUP BY gram)
+    SELECT gl.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gdf.df_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(sum(CASE WHEN gdf.df_count = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM gl JOIN gdf USING (gram)
+    GROUP BY gl.doc_id ORDER BY gl.doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (text.doc_novelty_scores): share of the
+    doc's distinct 3-grams that occur in NO other document — the
+    inverse of contamination scoring, the upweighting signal for
+    diversity-aware sampling. Gram-keyed shuffles only, never
+    pairwise."""
+    docs = _docs(spark, sf_dir)
+    return text.doc_novelty_scores(docs, n=3).orderBy("doc_id")
+
+
+@query(
+    "source_diversity_metrics",
+    f"""
+    WITH nd AS (
+      SELECT source, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM documents),
+    u AS (SELECT source, unnest(nws) AS g FROM nd),
+    b AS (SELECT source, gram AS g FROM (
+        SELECT source, unnest(list_transform(range(1, greatest(len(nws) - 1, 1) + 1),
+               i -> array_to_string(list_slice(nws, i, i + 1), ' '))) AS gram FROM nd)
+      WHERE gram LIKE '% %'),
+    d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM nd GROUP BY source),
+    uu AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4) AS type_token_ratio
+           FROM u GROUP BY source),
+    bb AS (SELECT source,
+                  round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4) AS distinct_bigram_ratio
+           FROM b GROUP BY source)
+    SELECT d.source, d.n_docs, uu.n_tokens, uu.type_token_ratio, bb.distinct_bigram_ratio
+    FROM d JOIN uu USING (source) JOIN bb USING (source) ORDER BY d.source
+    """,
+)
+def source_diversity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity report per source (text.source_diversity_metrics):
+    type-token ratio and distinct-bigram ratio — low values flag
+    templated/repetitive sources before any LM machinery runs. The
+    distinct-n corpus report next to source_lexical_kl's divergence
+    view."""
+    docs = _docs(spark, sf_dir)
+    return text.source_diversity_metrics(docs, "source").orderBy("source")
+
+
+@query(
+    "corpus_zipf_fit",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w ORDER BY c DESC, w LIMIT 100),
+    r AS (SELECT log2(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+                 log2(CAST(c AS DOUBLE)) AS y
+          FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x))) * sum(x)) / count(*), 4) AS zipf_intercept
+    FROM r
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (text.zipf_fit): closed-form OLS of
+    log2(freq) on log2(rank) over the top-100 words. Natural text fits
+    slope ≈ -1; flat slopes flag synthetic/templated corpora — the
+    corpus-level health check beside the per-doc quality gates.
+    TakeOrdered top-n; the rank window and OLS aggregate touch top_n
+    rows only."""
+    docs = _docs(spark, sf_dir)
+    return text.zipf_fit(docs, top_n=100)
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    p AS (SELECT event_type AS src_type, nxt AS dst_type, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT src_type, dst_type, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE), 4) AS p
+    FROM p ORDER BY src_type, dst_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (usage.event_transition_matrix): P(next | current) for
+    every event-type pair — the behavioral complement to the
+    funnel/retention family (reference's usage mining, stats.go). One
+    lead() window on the shared user-keyed partitioning; the
+    normalizer window runs over the |types|^2 matrix, not the
+    stream."""
+    ev = _t(spark, sf_dir, "events")
+    return usage.event_transition_matrix(ev).orderBy("src_type", "dst_type")

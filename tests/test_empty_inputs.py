@@ -123,3 +123,20 @@ def test_wave5_on_empty(spark, empty_docs):
     assert pmi_ngrams(empty_docs).count() == 0
     empty_edges = spark.createDataFrame([], "src int, dst int")
     assert triangle_counts(empty_edges).count() == 0
+
+
+def test_wave6_on_empty(spark, empty_docs):
+    from meteor_spark.operators.text import (
+        doc_novelty_scores,
+        source_diversity_metrics,
+        zipf_fit,
+    )
+    from meteor_spark.operators.usage import event_transition_matrix
+
+    assert doc_novelty_scores(empty_docs).count() == 0
+    assert source_diversity_metrics(empty_docs).count() == 0
+    # zipf over empty corpus: the OLS aggregate runs over zero rows ->
+    # one row of nulls is acceptable, but it must not throw
+    assert zipf_fit(empty_docs).count() in (0, 1)
+    empty_ev = spark.createDataFrame([], "event_id long, user_id long, event_type string")
+    assert event_transition_matrix(empty_ev, order_cols=("event_id",)).count() == 0

@@ -78,3 +78,23 @@ def test_key_skew_report_math(spark):
     assert top["n"] == 8
     assert top["share"] == round(8 / 12, 4)
     assert top["skew_factor"] == round(8 * 5 / 12, 4)  # 3.3333x the mean key
+
+
+def test_event_transition_matrix_counts_and_probs(spark):
+    from meteor_spark.operators.usage import event_transition_matrix
+
+    # user 1: a->b->a ; user 2: a->b  => from a: b twice (p=1.0); from b: a once
+    rows = [
+        (1, 1, "a"), (2, 1, "b"), (3, 1, "a"),
+        (4, 2, "a"), (5, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(
+            df, order_cols=("event_id",)
+        ).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 1.0)
+    assert ("b", "b") not in out
