@@ -19,8 +19,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  PMI collocation mining, streaming heavy hitters,
                  co-usage graph triangle counts, per-doc novelty
                  scores, source diversity metrics, Zipf rank-frequency
-                 fit, event transition matrix) —
-                 141 entries, 133 with exact DuckDB oracles.
+                 fit, event transition matrix, sorted-neighborhood
+                 near-dup blocking, exact weighted medians) —
+                 143 entries, 135 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -170,6 +170,8 @@ def main() -> None:
         "source_diversity_metrics",
         "corpus_zipf_fit",
         "event_transition_matrix",
+        "sorted_neighborhood_pairs",
+        "lineitem_weighted_median_price",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

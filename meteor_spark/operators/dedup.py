@@ -725,3 +725,91 @@ def containment_pairs(
         .filter(F.size(F.array_intersect("sha", "shb")) >= F.col("sza") * F.lit(threshold))
         .select("a", "b", "containment")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 12,
+    k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: (a, b, jaccard) for document
+    pairs within `window` positions of each other in the corpus sorted
+    by a blocking key (first `key_len` chars of normalized text), with
+    shingle Jaccard >= threshold.
+
+    The classic entity-resolution blocking family member next to LSH
+    (probabilistic), prefix filtering (lossless), and pigeonhole
+    blocking (Hamming): SNM catches near-dups that SHARE A PREFIX —
+    boilerplate-led copies, versioned documents — with a candidate set
+    linear in N·window instead of quadratic.
+
+    Scale shape: the global sort rank is COMPUTED, not assigned by one
+    reducer — rank within a key-prefix bucket (per-bucket window) plus
+    the broadcast prefix-sum of bucket sizes (the tiny dim is the one
+    legitimate global window, same construction as
+    sampling.training_order_interleave). The neighborhood self-join is
+    a banded equi-join on floor(rank/window) with a 2-wide literal
+    explode — never rank×rank.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col),
+        normalize_text(F.col(text_col)).alias("__t"),
+    ).select(
+        id_col,
+        F.substring("__t", 1, key_len).alias("__k"),
+        # bucket = 4-char key prefix: the per-bucket rank window is
+        # bounded by the largest bucket, so the bucket key must be fine
+        # enough that no single prefix dominates (4 chars of normalized
+        # text; widen for pathologically boilerplate-led corpora)
+        F.substring("__t", 1, 4).alias("__b"),
+        shingles_of_words(words(F.col("__t")), k).alias("__s"),
+    )
+    in_bucket = Window.partitionBy("__b").orderBy("__k", id_col)
+    ranked = keyed.withColumn("__rb", F.row_number().over(in_bucket))
+    sizes = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
+    offsets = sizes.select(
+        "__b",
+        (
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__off"),
+    )
+    ranked = ranked.join(F.broadcast(offsets), "__b").select(
+        id_col, "__s", (F.col("__off") + F.col("__rb")).cast("long").alias("__r")
+    )
+    lo = ranked.select(
+        F.col(id_col).alias("a"), F.col("__s").alias("sa"), F.col("__r").alias("ra"),
+        F.explode(
+            F.array(
+                F.floor(F.col("__r") / window), F.floor(F.col("__r") / window) + 1
+            )
+        ).alias("__blk"),
+    )
+    hi = ranked.select(
+        F.col(id_col).alias("b"), F.col("__s").alias("sb"), F.col("__r").alias("rb"),
+        F.floor(F.col("__r") / window).alias("__blk"),
+    )
+    cand = lo.join(hi, "__blk").filter(
+        (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + window)
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter / union.cast("double"), round_to)
+    return (
+        cand.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )

@@ -219,3 +219,40 @@ def histogram(df: DataFrame, col: str, bins: int = 20, round_to: int = 4) -> Dat
             F.count("*").alias("n"),
         )
     )
+
+
+def weighted_median(
+    df,
+    value_col: str,
+    weight_col: str,
+    keys: list[str],
+    round_to: int = 2,
+):
+    """Exact weighted median of `value_col` under `weight_col` per key
+    group: the smallest value v whose cumulative weight reaches half the
+    group total — (keys..., n_rows, total_weight, weighted_median).
+
+    The weighted sibling of the exact-median profile path (an unweighted
+    median is the weight==1 special case). One per-key cumulative-weight
+    window (RANGE frame, so value ties accumulate as a block — the
+    selected value is set-determined, not order-determined) and one
+    groupBy; with integer-valued weights the cumulative comparisons are
+    exact in doubles, so any engine picks the identical value.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    cum = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).alias("__w"),
+        F.sum(weight_col).over(w).alias("__cw"),
+        F.sum(weight_col).over(Window.partitionBy(*keys)).alias("__tw"),
+    )
+    return cum.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.max("__tw"), round_to).alias("total_weight"),
+        F.round(
+            F.min(F.when(F.col("__cw") >= F.col("__tw") / 2, F.col("__v"))), round_to
+        ).alias("weighted_median"),
+    )

@@ -37,6 +37,8 @@ class CurateProcessor(Processor):
         "min_tokens": Field(default=None, type=int),
         "max_tokens": Field(default=None, type=int),
         "min_quality": Field(default=None, type=float),  # quality_score cut in [0,1]
+        "min_char_entropy": Field(default=None, type=float),  # char-entropy floor (bits)
+        "min_novelty": Field(default=None, type=float),  # distinct-3gram novelty floor
         "scrub_pii": Field(default=False),
         "dedup": Field(default=False),  # exact-content survivors (min id)
     }
@@ -54,6 +56,18 @@ class CurateProcessor(Processor):
             df = df.filter(text.token_count(t) <= int(c["max_tokens"]))
         if c["min_quality"] is not None:
             df = df.filter(text.quality_score(t) >= float(c["min_quality"]))
+        if c["min_char_entropy"] is not None:
+            # entropy/novelty are corpus aggregates, not row expressions:
+            # gate via a semi-join against the passing id set
+            ok = text.char_entropy_profile(df, c["text_col"], c["id_col"]).filter(
+                F.col("char_entropy") >= float(c["min_char_entropy"])
+            )
+            df = df.join(ok.select(c["id_col"]), c["id_col"], "left_semi")
+        if c["min_novelty"] is not None:
+            ok = text.doc_novelty_scores(df, text_col=c["text_col"], id_col=c["id_col"]).filter(
+                F.col("novelty") >= float(c["min_novelty"])
+            )
+            df = df.join(ok.select(c["id_col"]), c["id_col"], "left_semi")
         if c["scrub_pii"]:
             df = df.withColumn(c["text_col"], text.scrub_pii(t))
         if c["dedup"]:

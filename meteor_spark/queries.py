@@ -5008,3 +5008,77 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream."""
     ev = _t(spark, sf_dir, "events")
     return usage.event_transition_matrix(ev).orderBy("src_type", "dst_type")
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 7: sorted-neighborhood blocking, weighted
+# order statistics
+# --------------------------------------------------------------------------
+
+_SNM_W = 4
+_SNM_KEY = 12
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH nd AS (
+      SELECT doc_id, {_NORM_SQL} AS t,
+             regexp_split_to_array({_NORM_SQL}, ' ') AS nws
+      FROM documents),
+    sh AS (
+      SELECT doc_id, substr(t, 1, {_SNM_KEY}) AS k, {_shingle_sql(3)} AS s FROM nd),
+    r AS (
+      SELECT doc_id, s, row_number() OVER (ORDER BY k, doc_id) AS r FROM sh),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             len(list_intersect(x.s, y.s)) AS si, len(x.s) AS la, len(y.s) AS lb
+      FROM r x JOIN r y ON y.r > x.r AND y.r <= x.r + {_SNM_W})
+    SELECT least(a, b) AS a, greatest(a, b) AS b,
+           round(si::DOUBLE / (la + lb - si), 4) AS jaccard
+    FROM cand WHERE round(si::DOUBLE / (la + lb - si), 4) >= 0.5
+    ORDER BY a, b
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking
+    (dedup.sorted_neighborhood_pairs): candidates are rank-adjacent in
+    the corpus sorted by a normalized-prefix key — the classic ER
+    blocking discipline beside LSH / prefix-filter / pigeonhole, built
+    N·window-linear with a computed global rank (per-bucket window +
+    broadcast prefix-sum offsets, no single-reducer sort) and a banded
+    rank equi-join. The oracle replays the identical sort, window and
+    shingle Jaccard."""
+    docs = _docs(spark, sf_dir)
+    return dedup.sorted_neighborhood_pairs(
+        docs, window=_SNM_W, threshold=0.5, key_len=_SNM_KEY
+    ).orderBy("a", "b")
+
+
+@query(
+    "lineitem_weighted_median_price",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, l_quantity AS w,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(tw), 2) AS total_weight,
+           round(min(CASE WHEN cw >= tw / 2 THEN v END), 2) AS weighted_median
+    FROM b GROUP BY flag ORDER BY flag
+    """,
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (profile.weighted_median): the weighted order statistic the profile
+    family lacked — token-weighted quality medians in a corpus report
+    use the identical plan. RANGE cumulative frame makes the pick
+    set-determined under value ties; integer-valued weights keep the
+    comparison exact in doubles on any engine."""
+    from meteor_spark.operators.profile import weighted_median
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(li, "l_extendedprice", "l_quantity", ["flag"]).orderBy("flag")

@@ -239,3 +239,35 @@ def test_containment_pairs_equals_naive_and_is_asymmetric(spark):
     assert (1, 2) in got and (2, 1) not in got
     # exact dups contain each other both ways at 1.0
     assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0
+
+
+def test_sorted_neighborhood_finds_prefix_sharing_neardups(spark):
+    from meteor_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # docs 1/2 share a long prefix and most trigrams; doc 3 unrelated;
+    # doc 4 shares content with 1 but leads differently (SNM's known
+    # blind spot — must NOT pair unless the sort brings them adjacent)
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (3, "completely different words about other things here"),
+            (4, "zz alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r["jaccard"] for r in sorted_neighborhood_pairs(df).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.5
+    assert all(3 not in pair for pair in out)
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    from meteor_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"prefix shared words block {i % 7} tail {'x' * (i % 3)}") for i in range(40)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for parts in (1, 5):
+        got = sorted_neighborhood_pairs(base.repartition(parts), threshold=0.3).collect()
+        outs.append(sorted((r["a"], r["b"], r["jaccard"]) for r in got))
+    assert outs[0] == outs[1]

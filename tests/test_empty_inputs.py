@@ -140,3 +140,12 @@ def test_wave6_on_empty(spark, empty_docs):
     assert zipf_fit(empty_docs).count() in (0, 1)
     empty_ev = spark.createDataFrame([], "event_id long, user_id long, event_type string")
     assert event_transition_matrix(empty_ev, order_cols=("event_id",)).count() == 0
+
+
+def test_wave7_on_empty(spark, empty_docs):
+    from meteor_spark.operators.dedup import sorted_neighborhood_pairs
+    from meteor_spark.operators.profile import weighted_median
+
+    assert sorted_neighborhood_pairs(empty_docs).count() == 0
+    empty_vals = spark.createDataFrame([], "k string, v double, w double")
+    assert weighted_median(empty_vals, "v", "w", ["k"]).count() == 0

@@ -58,3 +58,38 @@ def test_median_interpolation_matches_duckdb(spark):
         "SELECT round(median(x), 4) FROM (SELECT unnest(?::DOUBLE[]) AS x)", params=[vals]
     ).fetchone()[0]
     assert rows["x"]["med"] == expected
+
+
+def test_weighted_median_hand_worked(spark):
+    from meteor_spark.operators.profile import weighted_median
+
+    # group g: values 1,2,3 weights 1,1,10 -> total 12, half 6 -> median 3
+    # group h: values 5,6 weights 3,1 -> total 4, half 2 -> median 5
+    df = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0),
+         ("h", 5.0, 3.0), ("h", 6.0, 1.0)],
+        "k string, v double, w double",
+    )
+    out = {r["k"]: r for r in weighted_median(df, "v", "w", ["k"]).collect()}
+    assert out["g"]["weighted_median"] == 3.0 and out["g"]["total_weight"] == 12.0
+    assert out["h"]["weighted_median"] == 5.0
+
+
+def test_weighted_median_unit_weights_equal_plain_median(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.profile import weighted_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn("one", F.lit(1.0))
+    wm = {
+        r["event_type"]: r["weighted_median"]
+        for r in weighted_median(ev, "value", "one", ["event_type"]).collect()
+    }
+    # weight==1 weighted median = lower median (smallest v with cum >= n/2)
+    for r in ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5, 1)").alias("ignore"),
+        F.sort_array(F.collect_list("value")).alias("vs"),
+    ).collect():
+        vs = r["vs"]; n = len(vs)
+        lower = vs[(n - 1) // 2] if n % 2 else vs[n // 2 - 1]
+        assert abs(wm[r["event_type"]] - round(lower, 2)) < 1e-9

@@ -221,3 +221,24 @@ def test_run_history_monitor_is_queryable(spark, tmp_path):
         F.max("success").alias("any_success"),
     ).first()
     assert agg["n_runs"] == 2 and agg["extractor"] == "csv" and agg["any_success"] is True
+
+
+def test_curate_entropy_and_novelty_gates(spark):
+    from meteor_spark.registry import processors as proc_registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog daily"),  # keeps
+            (2, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),                 # low entropy
+            (3, "the quick brown fox jumps over the lazy dog daily plus"),  # recombination of 1
+        ],
+        "doc_id long, text string",
+    )
+    p = proc_registry.get("curate")
+    p.init({"min_char_entropy": 2.0})
+    assert sorted(r["doc_id"] for r in p.process(docs).collect()) == [1, 3]
+    p2 = proc_registry.get("curate")
+    p2.init({"min_novelty": 0.5})
+    # docs 1 and 3 share most 3-grams -> both fall below the novelty
+    # floor; the low-entropy doc 2 is fully self-unique
+    assert sorted(r["doc_id"] for r in p2.process(docs).collect()) == [2]
