@@ -20,8 +20,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  co-usage graph triangle counts, per-doc novelty
                  scores, source diversity metrics, Zipf rank-frequency
                  fit, event transition matrix, sorted-neighborhood
-                 near-dup blocking, exact weighted medians) —
-                 143 entries, 135 with exact DuckDB oracles.
+                 near-dup blocking, exact weighted medians, seasonal
+                 anomaly residuals, embedding label-centroid overlap) —
+                 145 entries, 137 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -172,6 +172,8 @@ def main() -> None:
         "event_transition_matrix",
         "sorted_neighborhood_pairs",
         "lineitem_weighted_median_price",
+        "event_seasonality_residuals",
+        "label_centroid_similarity",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

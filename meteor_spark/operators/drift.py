@@ -119,3 +119,45 @@ def psi_drift(
             "psi"
         ),
     )
+
+
+def seasonality_residuals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hour-of-day seasonal profile + per-hour residual z-scores:
+    (event_type, hour, n, expected, resid_z) for every concrete
+    (type, wall-clock hour) bucket.
+
+    The time-series anomaly screen next to the distributional PSI gate:
+    expected load for an hour is the mean count over all same
+    hour-of-day buckets of that type, and resid_z = (n - expected) / sd
+    flags hours that break their own seasonal pattern. Two passes over
+    the hourly rollup (which is itself one map-side-combined groupBy of
+    the stream): the (type, hod) profile is a tiny broadcast.
+    """
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col).cast("timestamp")).alias("hour"),
+            F.hour(F.col(ts_col).cast("timestamp")).alias("hod"),
+        )
+        .groupBy("event_type", "hour", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    prof = hourly.groupBy("event_type", "hod").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_pop("n"), F.lit(0.0)).alias("sd"),
+    )
+    return hourly.join(F.broadcast(prof), ["event_type", "hod"]).select(
+        "event_type",
+        F.col("hour").cast("string").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mu", round_to).alias("expected"),
+        F.round(
+            F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")).otherwise(0.0),
+            round_to,
+        ).alias("resid_z"),
+    )

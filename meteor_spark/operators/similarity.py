@@ -751,3 +751,60 @@ def kcenter_select(
     return emb.sparkSession.createDataFrame(
         selected, "rank int, vec_id long, dist2 double"
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding via posexplode + (label, dim) average —
+    (label, n_vecs, centroid array). Fully relational: the shuffle
+    carries (label, dim) partial sums (|labels|·dim rows per partition
+    after map-side combine), never vectors; array_agg reassembles in
+    dim order. Component means are rounded so any engine reproduces
+    the centroid digit-for-digit."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("col"), round_to).alias("m"), F.count("*").alias("cnt")
+    )
+    return per_dim.groupBy("label").agg(
+        (F.max("cnt")).cast("long").alias("n_vecs"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "m"))
+        ).getField("m").alias("centroid"),
+    )
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids:
+    (label_a, label_b, cos) for label_a < label_b — the class-overlap /
+    source-drift report over an embedding table (labels whose centroids
+    converge are candidates for merge or relabeling audits). The
+    centroid frame is |labels| rows, so the pair join is a broadcast
+    self-join over a tiny dim — the corpus itself is touched exactly
+    once by the centroid aggregation."""
+    cents = label_centroids(emb, label_col, vec_col)
+    a = cents.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            dot(F.col("ca"), F.col("cb")) / (norm(F.col("ca")) * norm(F.col("cb"))),
+            round_to,
+        ).alias("cos"),
+    )

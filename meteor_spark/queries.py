@@ -5082,3 +5082,69 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_returnflag").alias("flag"), "l_extendedprice", "l_quantity"
     )
     return weighted_median(li, "l_extendedprice", "l_quantity", ["flag"]).orderBy("flag")
+
+
+# --------------------------------------------------------------------------
+# Training-data curation wave 8: seasonal anomaly screening, embedding
+# class-overlap reporting
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_seasonality_residuals",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             extract(hour FROM ts) AS hod, count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    p AS (
+      SELECT event_type, hod, avg(n) AS mu, coalesce(stddev_pop(n), 0) AS sd
+      FROM h GROUP BY 1, 2)
+    SELECT h.event_type, CAST(h.hour AS VARCHAR) AS hour,
+           CAST(h.n AS BIGINT) AS n,
+           round(p.mu, 4) AS expected,
+           round(CASE WHEN p.sd > 0 THEN (h.n - p.mu) / p.sd ELSE 0 END, 4) AS resid_z
+    FROM h JOIN p USING (event_type, hod)
+    ORDER BY h.event_type, h.hour
+    """,
+)
+def event_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly screen (drift.seasonality_residuals): each
+    (type, hour) bucket scored against its own hour-of-day profile —
+    the time-series leg of drift monitoring beside the distributional
+    PSI gate. The profile is a tiny (type, 24) broadcast; the stream is
+    aggregated exactly once."""
+    ev = _t(spark, sf_dir, "events")
+    return drift.seasonality_residuals(ev).orderBy("event_type", "hour")
+
+
+@query(
+    "label_centroid_similarity",
+    """
+    WITH p AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS (
+      SELECT label, CAST(i AS INTEGER) AS pos, v[CAST(i AS INTEGER)] AS x
+      FROM p, unnest(range(1, len(v) + 1)) AS u(i)),
+    d AS (
+      SELECT label, pos, round(avg(x), 6) AS m FROM e GROUP BY label, pos),
+    c AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM d GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.centroid, b.centroid) /
+                 (sqrt(list_dot_product(a.centroid, a.centroid)) *
+                  sqrt(list_dot_product(b.centroid, b.centroid))), 4) AS cos
+    FROM c a JOIN c b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-overlap report over the embedding table
+    (similarity.label_centroid_similarity): pairwise cosine between
+    per-label centroids. The centroid aggregation is the only pass over
+    the corpus — (label, dim) partial sums with map-side combine — and
+    the pair join is a broadcast self-join over the |labels|-row dim.
+    Component means round before the cosine so both engines compute
+    from identical centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_similarity(emb).orderBy("label_a", "label_b")

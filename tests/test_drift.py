@@ -65,3 +65,44 @@ def test_snapshot_diff_null_values_are_not_membership(spark):
     new = spark.createDataFrame([("a", None), ("b", 5)], "k string, x int")
     rows = {r["k"]: r["status"] for r in drift.snapshot_diff(old, new, ["k"], ["x"]).collect()}
     assert rows == {"a": "unchanged", "b": "changed"}
+
+
+def test_seasonality_residuals_flags_broken_hour(spark):
+    import datetime as dt
+
+    from meteor_spark.operators.drift import seasonality_residuals
+
+    # type 'a': 5 events at 09:00 on days 1-4, but 50 on day 5 -> day-5
+    # bucket must carry a large positive residual z-score
+    rows = []
+    eid = 0
+    for day in range(1, 6):
+        n = 50 if day == 5 else 5
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 3, day, 9, i % 60), 1, "a", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["hour"]: r for r in seasonality_residuals(df).collect()}
+    assert len(out) == 5
+    spike = out["2024-03-05 09:00:00"]
+    normal = out["2024-03-01 09:00:00"]
+    assert spike["resid_z"] > 1.5
+    assert normal["resid_z"] < 0
+    assert spike["expected"] == normal["expected"] == 14.0  # (4*5+50)/5
+
+
+def test_seasonality_residuals_constant_load_is_zero(spark):
+    import datetime as dt
+
+    from meteor_spark.operators.drift import seasonality_residuals
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1 + i % 3, 12, 0), 1, "b", 1.0) for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    for r in seasonality_residuals(df).collect():
+        assert r["resid_z"] == 0.0 and r["n"] == 3

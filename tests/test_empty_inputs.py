@@ -149,3 +149,14 @@ def test_wave7_on_empty(spark, empty_docs):
     assert sorted_neighborhood_pairs(empty_docs).count() == 0
     empty_vals = spark.createDataFrame([], "k string, v double, w double")
     assert weighted_median(empty_vals, "v", "w", ["k"]).count() == 0
+
+
+def test_wave8_on_empty(spark, empty_vecs):
+    from meteor_spark.operators.drift import seasonality_residuals
+    from meteor_spark.operators.similarity import label_centroid_similarity
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert seasonality_residuals(empty_ev).count() == 0
+    assert label_centroid_similarity(empty_vecs).count() == 0

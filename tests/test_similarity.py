@@ -275,3 +275,26 @@ def test_kcenter_deterministic_and_k_capped(spark):
     # k larger than the table: selection stops at n rows
     tiny = spark.createDataFrame(pts[:3], "vec_id long, embedding array<double>")
     assert kcenter_select(tiny, k=10).count() == 3
+
+
+def test_label_centroids_and_similarity(spark):
+    from meteor_spark.operators.similarity import label_centroid_similarity, label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),   # label 0 centroid (2, 0)
+            (3, [0.0, 2.0], 1), (4, [0.0, 4.0], 1),   # label 1 centroid (0, 3)
+            (5, [2.0, 0.0], 2),                        # label 2 centroid (2, 0)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = {r["label"]: r for r in label_centroids(df).collect()}
+    assert cents[0]["centroid"] == [2.0, 0.0] and cents[0]["n_vecs"] == 2
+    assert cents[1]["centroid"] == [0.0, 3.0]
+    sims = {
+        (r["label_a"], r["label_b"]): r["cos"]
+        for r in label_centroid_similarity(df).collect()
+    }
+    assert sims[(0, 2)] == 1.0    # same direction
+    assert sims[(0, 1)] == 0.0    # orthogonal
+    assert sims[(1, 2)] == 0.0
