@@ -21,8 +21,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  scores, source diversity metrics, Zipf rank-frequency
                  fit, event transition matrix, sorted-neighborhood
                  near-dup blocking, exact weighted medians, seasonal
-                 anomaly residuals, embedding label-centroid overlap) —
-                 145 entries, 137 with exact DuckDB oracles.
+                 anomaly residuals, embedding label-centroid overlap,
+                 exact-gated ANN recall evaluation) —
+                 146 entries, 138 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

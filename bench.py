@@ -174,6 +174,7 @@ def main() -> None:
         "lineitem_weighted_median_price",
         "event_seasonality_residuals",
         "label_centroid_similarity",
+        "ann_recall_report",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -5148,3 +5148,85 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from identical centroids."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.label_centroid_similarity(emb).orderBy("label_a", "label_b")
+
+
+_RECALL_ORACLE = f"""
+WITH planes AS (
+  SELECT b.range::INT AS b, j.range::INT AS j,
+         ('0x' || substr(md5(b.range || ':' || j.range), 1, 8))::BIGINT / 2147483647.0 - 1.0 AS h
+  FROM range({_SRP_BITS}) b, range(64) j),
+comps AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings),
+dots AS (
+  SELECT c.vec_id, p.b, sum(c.x * p.h) AS d
+  FROM comps c JOIN planes p USING (j) GROUP BY 1, 2),
+sigs AS (
+  SELECT vec_id, sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS sig FROM dots GROUP BY 1),
+q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv, s.sig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id WHERE e.vec_id < {_ANN_NQUERY}),
+c AS (SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv, s.sig
+      FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) DESC,
+             c.neighbor_id) AS rk
+    FROM q, c WHERE q.query_id <> c.neighbor_id)
+  WHERE rk <= {_ANN_K}),
+srp AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) DESC,
+             neighbor_id) AS rk
+    FROM q JOIN c USING (sig) WHERE query_id <> neighbor_id)
+  WHERE rk <= {_ANN_K})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(s.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(s.neighbor_id) / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM exact e LEFT JOIN srp s
+  ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+@query("ann_recall_report", _RECALL_ORACLE)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class query: per-query
+    recall@k of the SRP-LSH index against the brute-force ground truth
+    — the measurement loop an ANN deployment runs after every index
+    build. Both sides are deterministic (md5 hyperplane family +
+    rounded ties), so even this EVALUATION is exact-oracle-gated: the
+    SQL rebuilds planes, signatures, both top-k sets, and the recall
+    division. Ground truth costs one brute-force pass over the query
+    sample only — the corpus-side join is the same bucketed SRP join
+    the production path uses."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    exact = similarity.brute_force_topk(emb, q, k=_ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.srp_topk(emb, q, dim=64, k=_ANN_K, bits=_SRP_BITS).select(
+        "query_id", F.col("neighbor_id").alias("hit_id")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["hit_id"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "hit_id")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit_id").cast("long").alias("n_hit"),
+            F.round(F.count("hit_id") / F.count("*").cast("double"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

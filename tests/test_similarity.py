@@ -298,3 +298,44 @@ def test_label_centroids_and_similarity(spark):
     assert sims[(0, 2)] == 1.0    # same direction
     assert sims[(0, 1)] == 0.0    # orthogonal
     assert sims[(1, 2)] == 0.0
+
+
+def test_ann_recall_report_bounds_and_identical_vector_floor(spark):
+    """On a corpus where every query has an identical twin, SRP recall@k
+    is bounded below by the twin hit (identical vectors share every
+    bucket) and recall values stay in [0, 1]."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from meteor_spark.queries import QUERIES
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    import random
+
+    rng = random.Random(3)
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v, 0))
+        rows.append((100 + i, list(v), 0))  # identical twin
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        out = QUERIES["ann_recall_report"](spark, d).collect()
+    assert len(out) == 5
+    for r in out:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_exact"] == 5
+        # the identical twin is always retrievable through its shared bucket
+        assert r["n_hit"] >= 1
