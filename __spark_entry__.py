@@ -22,8 +22,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  fit, event transition matrix, sorted-neighborhood
                  near-dup blocking, exact weighted medians, seasonal
                  anomaly residuals, embedding label-centroid overlap,
-                 exact-gated ANN recall evaluation) —
-                 146 entries, 138 with exact DuckDB oracles.
+                 exact-gated ANN recall evaluation, functional- and
+                 inclusion-dependency discovery, column correlations,
+                 join-cardinality estimate validation) —
+                 150 entries, 142 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

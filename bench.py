@@ -175,6 +175,10 @@ def main() -> None:
         "event_seasonality_residuals",
         "label_centroid_similarity",
         "ann_recall_report",
+        "nation_functional_dependencies",
+        "referential_integrity_report",
+        "lineitem_numeric_correlations",
+        "join_cardinality_estimate",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -256,3 +256,69 @@ def weighted_median(
             F.min(F.when(F.col("__cw") >= F.col("__tw") / 2, F.col("__v"))), round_to
         ).alias("weighted_median"),
     )
+
+
+def functional_dependencies(df, cols: list[str]):
+    """Functional-dependency discovery over a column set: for every
+    ordered pair (a, b), a → b holds iff every a-value maps to exactly
+    one b-value — checked as count_distinct(a) == count_distinct(a, b).
+    Output: (det, dep, n_det, n_pairs, holds) per candidate pair.
+
+    Classic single-table metadata profiling (the dependency layer a
+    catalog infers on top of per-column stats; see the reference's
+    profile family). All |cols|·(|cols|-1) checks ride ONE wide
+    aggregate over one scan — each exact distinct costs an Expand
+    internally, so at warehouse scale swap in approx_count_distinct
+    (same plan shape, rename the gate approximate) or check only the
+    pairs a key-candidate prescan shortlists.
+    """
+    aggs = []
+    for a in cols:
+        aggs.append(F.count_distinct(F.col(a)).alias(f"__d_{a}"))
+        for b in cols:
+            if a != b:
+                aggs.append(
+                    F.count_distinct(F.col(a), F.col(b)).alias(f"__p_{a}_{b}")
+                )
+    wide = df.agg(*aggs)
+    pairs = []
+    for a in cols:
+        for b in cols:
+            if a != b:
+                pairs.append(
+                    F.struct(
+                        F.lit(a).alias("det"),
+                        F.lit(b).alias("dep"),
+                        F.col(f"__d_{a}").cast("long").alias("n_det"),
+                        F.col(f"__p_{a}_{b}").cast("long").alias("n_pairs"),
+                        (F.col(f"__d_{a}") == F.col(f"__p_{a}_{b}")).alias("holds"),
+                    )
+                )
+    return wide.select(F.explode(F.array(*pairs)).alias("fd")).select("fd.*")
+
+
+def inclusion_dependency(
+    child, child_col: str, parent, parent_col: str
+):
+    """One referential-integrity check: is every DISTINCT child value
+    present in the parent column? Returns a single row
+    (n_child_values, violations, holds).
+
+    The cross-table half of dependency profiling (foreign-key
+    discovery / FK validation). Both sides reduce to their distinct
+    value sets first, so the anti-join compares keys, not rows — at
+    scale this is two map-side-combined distincts and one key-sized
+    join, and AQE broadcasts whichever side turns out small.
+    """
+    c = child.select(F.col(child_col).alias("__v")).where(F.col(child_col).isNotNull()).distinct()
+    p = parent.select(F.col(parent_col).alias("__v")).where(F.col(parent_col).isNotNull()).distinct()
+    missing = c.join(p, "__v", "left_anti")
+    return (
+        c.agg(F.count("*").alias("n_child_values"))
+        .crossJoin(F.broadcast(missing.agg(F.count("*").alias("violations"))))
+        .select(
+            F.col("n_child_values").cast("long").alias("n_child_values"),
+            F.col("violations").cast("long").alias("violations"),
+            (F.col("violations") == 0).alias("holds"),
+        )
+    )

@@ -5230,3 +5230,198 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog profiling wave: dependency discovery (the metadata layer a
+# catalog infers above per-column stats — reference profile family)
+# --------------------------------------------------------------------------
+
+_FD_COLS = ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def _fd_oracle() -> str:
+    rows = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a != b:
+                rows.append(f"""
+    SELECT '{a}' AS det, '{b}' AS dep,
+           (SELECT count(DISTINCT {a}) FROM nation) AS n_det,
+           (SELECT count(*) FROM (SELECT DISTINCT {a}, {b} FROM nation)) AS n_pairs""")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    SELECT det, dep, CAST(n_det AS BIGINT) AS n_det,
+           CAST(n_pairs AS BIGINT) AS n_pairs, n_det = n_pairs AS holds
+    FROM ({union}) ORDER BY det, dep
+    """
+
+
+@query("nation_functional_dependencies", _fd_oracle())
+def nation_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table functional-dependency discovery
+    (profile.functional_dependencies) on the nation dim: a → b holds
+    iff n_distinct(a) == n_distinct(a,b); recovers the key
+    (n_nationkey → everything, n_name → everything) and rejects
+    n_regionkey as a determinant. All pair checks ride one wide
+    aggregate over one scan."""
+    from meteor_spark.operators.profile import functional_dependencies
+
+    nat = _t(spark, sf_dir, "nation")
+    return functional_dependencies(nat, _FD_COLS).orderBy("det", "dep")
+
+
+_RI_EDGES = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _ri_oracle() -> str:
+    rows = []
+    for ct, cc, pt, pc in _RI_EDGES:
+        rows.append(f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           (SELECT count(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL) AS n_child_values,
+           (SELECT count(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL)
+            WHERE v NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL)) AS violations""")
+    union = " UNION ALL ".join(rows)
+    return f"""
+    SELECT child, parent, CAST(n_child_values AS BIGINT) AS n_child_values,
+           CAST(violations AS BIGINT) AS violations, violations = 0 AS holds
+    FROM ({union}) ORDER BY child, parent
+    """
+
+
+@query("referential_integrity_report", _ri_oracle())
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table inclusion-dependency report
+    (profile.inclusion_dependency): every TPC-H foreign-key edge
+    checked as distinct-child ⊆ parent via key-sized anti-joins — the
+    FK-validation layer of catalog profiling. One row per edge with
+    the violation count; a clean warehouse shows holds=true on every
+    edge, and the gate would surface any fixture corruption as a
+    value diff."""
+    from meteor_spark.operators.profile import inclusion_dependency
+
+    out = None
+    for ct, cc, pt, pc in _RI_EDGES:
+        row = inclusion_dependency(
+            _t(spark, sf_dir, ct), cc, _t(spark, sf_dir, pt), pc
+        ).select(
+            F.lit(f"{ct}.{cc}").alias("child"),
+            F.lit(f"{pt}.{pc}").alias("parent"),
+            "n_child_values",
+            "violations",
+            "holds",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child", "parent")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 4) AS pearson FROM lineitem"
+            )
+    return " UNION ALL ".join(rows) + " ORDER BY col_a, col_b"
+
+
+@query("lineitem_numeric_correlations", _corr_oracle())
+def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the numeric measure columns —
+    the column-correlation layer of catalog statistics (feeds optimizer
+    selectivity models and redundant-measure detection). All pairs ride
+    one wide aggregate over one scan; price/quantity correlate by
+    construction, discount/tax do not."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 4).alias(f"__c_{a}_{b}"))
+            pairs.append((a, b))
+    wide = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"__c_{a}_{b}").alias("pearson"),
+        )
+        for a, b in pairs
+    ]
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("c"))
+        .select("c.*")
+        .orderBy("col_a", "col_b")
+    )
+
+
+@query(
+    "join_cardinality_estimate",
+    """
+    WITH s AS (
+      SELECT (SELECT count(*) FROM orders) AS n_o,
+             (SELECT count(*) FROM lineitem) AS n_l,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS d_o,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS d_l,
+             (SELECT count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS actual)
+    SELECT CAST(n_o AS BIGINT) AS n_orders, CAST(n_l AS BIGINT) AS n_lineitem,
+           CAST(d_o AS BIGINT) AS d_orders, CAST(d_l AS BIGINT) AS d_lineitem,
+           CAST(n_o * n_l / greatest(d_o, d_l) AS BIGINT) AS estimated_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           round(CAST(n_o * n_l / greatest(d_o, d_l) AS DOUBLE) / actual, 4) AS est_over_actual
+    FROM s
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics validation: the textbook equi-join
+    cardinality estimate |R|·|S| / max(d_R, d_S) next to the ACTUAL
+    join count for orders ⋈ lineitem — the accuracy report a catalog
+    publishes with its table stats (reference profile family feeds
+    exactly these estimators). All inputs are single-pass aggregates;
+    the actual count is the real key-partitioned join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    stats = (
+        o.agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct("o_orderkey").alias("d_orders"),
+        )
+        .crossJoin(
+            F.broadcast(
+                li.agg(
+                    F.count("*").alias("n_lineitem"),
+                    F.count_distinct("l_orderkey").alias("d_lineitem"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                o.join(li, o["o_orderkey"] == li["l_orderkey"]).agg(
+                    F.count("*").alias("actual_rows")
+                )
+            )
+        )
+    )
+    est = (
+        F.col("n_orders") * F.col("n_lineitem")
+        / F.greatest(F.col("d_orders"), F.col("d_lineitem"))
+    )
+    return stats.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_lineitem").cast("long").alias("n_lineitem"),
+        F.col("d_orders").cast("long").alias("d_orders"),
+        F.col("d_lineitem").cast("long").alias("d_lineitem"),
+        est.cast("long").alias("estimated_rows"),
+        F.col("actual_rows").cast("long").alias("actual_rows"),
+        F.round(est.cast("double") / F.col("actual_rows"), 4).alias("est_over_actual"),
+    )

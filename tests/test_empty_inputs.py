@@ -160,3 +160,14 @@ def test_wave8_on_empty(spark, empty_vecs):
     )
     assert seasonality_residuals(empty_ev).count() == 0
     assert label_centroid_similarity(empty_vecs).count() == 0
+
+
+def test_dependency_ops_on_empty(spark):
+    from meteor_spark.operators.profile import functional_dependencies, inclusion_dependency
+
+    empty = spark.createDataFrame([], "a int, b int")
+    fds = functional_dependencies(empty, ["a", "b"]).collect()
+    # zero rows: every FD vacuously holds with 0 == 0
+    assert all(r["holds"] for r in fds) and len(fds) == 2
+    row = inclusion_dependency(empty, "a", empty, "b").collect()[0]
+    assert row["n_child_values"] == 0 and row["violations"] == 0 and row["holds"]

@@ -93,3 +93,32 @@ def test_weighted_median_unit_weights_equal_plain_median(spark, sf_dir):
         vs = r["vs"]; n = len(vs)
         lower = vs[(n - 1) // 2] if n % 2 else vs[n // 2 - 1]
         assert abs(wm[r["event_type"]] - round(lower, 2)) < 1e-9
+
+
+def test_functional_dependencies_detects_key_and_rejects_nonkey(spark):
+    from meteor_spark.operators.profile import functional_dependencies
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "c", 20)],
+        "k int, name string, grp int",
+    )
+    fds = {
+        (r["det"], r["dep"]): r["holds"]
+        for r in functional_dependencies(df, ["k", "name", "grp"]).collect()
+    }
+    assert fds[("k", "name")] and fds[("k", "grp")]          # k is a key
+    assert fds[("name", "grp")]                               # name -> grp holds here
+    assert not fds[("grp", "name")]                           # grp 20 -> c only, 10 -> a,b
+    assert not fds[("name", "k")] is True or True             # name 'c' maps to 3,4
+    assert fds[("name", "k")] is False
+
+
+def test_inclusion_dependency_counts_violations(spark):
+    from meteor_spark.operators.profile import inclusion_dependency
+
+    child = spark.createDataFrame([(1,), (2,), (2,), (9,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = inclusion_dependency(child, "fk", parent, "pk").collect()[0]
+    assert row["n_child_values"] == 3      # 1, 2, 9 (null ignored)
+    assert row["violations"] == 1          # 9
+    assert row["holds"] is False
