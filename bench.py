@@ -179,6 +179,8 @@ def main() -> None:
         "referential_integrity_report",
         "lineitem_numeric_correlations",
         "join_cardinality_estimate",
+        "user_path_trigrams",
+        "vocab_coverage_curve",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -5425,3 +5425,105 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual_rows").cast("long").alias("actual_rows"),
         F.round(est.cast("double") / F.col("actual_rows"), 4).alias("est_over_actual"),
     )
+
+
+@query(
+    "user_path_trigrams",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+      FROM events),
+    p AS (
+      SELECT event_type || '>' || n1 || '>' || n2 AS path, count(*) AS n
+      FROM s WHERE n1 IS NOT NULL AND n2 IS NOT NULL GROUP BY 1)
+    SELECT path, CAST(n AS BIGINT) AS n FROM p
+    ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining: the top 3-step behavioral paths across
+    per-user event sequences — the higher-order extension of
+    event_transition_matrix (funnel DISCOVERY, where the funnel gates
+    test a known path). Two lead() offsets on the one shared user-keyed
+    window partitioning; top-k is TakeOrdered."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("n1"),
+        F.lead("event_type", 2).over(w).alias("n2"),
+    ).filter(F.col("n1").isNotNull() & F.col("n2").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "event_type", "n1", "n2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
+
+
+_VC_KS = (5, 10, 20, 50)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents),
+    c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+                 sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS total
+          FROM c),
+    k AS (SELECT unnest([{", ".join(str(k) for k in _VC_KS)}]) AS top_k)
+    SELECT CAST(top_k AS INTEGER) AS top_k,
+           CAST(max(CASE WHEN rk <= top_k THEN cum END) AS BIGINT) AS tokens_covered,
+           round(max(CASE WHEN rk <= top_k THEN cum END) / CAST(max(total) AS DOUBLE), 4) AS coverage
+    FROM r, k GROUP BY top_k ORDER BY top_k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget planning: share of corpus tokens covered by
+    the top-k most frequent words, at several k — the coverage curve a
+    tokenizer-size decision reads (pairs with corpus_zipf_fit, which
+    fits the law this curve integrates). Rank+cumsum windows run over
+    the VOCABULARY (post-aggregation), never the corpus; the k fan-out
+    is a constant-width cross of the tiny k dim."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(text.words(text.normalize_text(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "w")
+    ranked = counts.select(
+        F.row_number().over(wr).alias("rk"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    ks = ranked.select(
+        "rk", "cum", "total",
+        F.explode(F.array(*[F.lit(k) for k in _VC_KS])).alias("top_k"),
+    )
+    return (
+        ks.groupBy("top_k")
+        .agg(
+            F.max(F.when(F.col("rk") <= F.col("top_k"), F.col("cum")))
+            .cast("long")
+            .alias("tokens_covered"),
+            F.round(
+                F.max(F.when(F.col("rk") <= F.col("top_k"), F.col("cum")))
+                / F.max("total").cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("top_k")
+    )
