@@ -25,8 +25,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  exact-gated ANN recall evaluation, functional- and
                  inclusion-dependency discovery, column correlations,
                  join-cardinality estimate validation, behavioral path
-                 mining, vocabulary coverage curves) —
-                 152 entries, 144 with exact DuckDB oracles.
+                 mining, vocabulary coverage curves, weighted
+                 percentile bands, hourly autocorrelation, token-mass
+                 Gini) — 155 entries, 147 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -181,6 +181,9 @@ def main() -> None:
         "join_cardinality_estimate",
         "user_path_trigrams",
         "vocab_coverage_curve",
+        "lineitem_weighted_percentiles",
+        "event_hourly_autocorr",
+        "source_token_gini",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -161,3 +161,36 @@ def seasonality_residuals(
             round_to,
         ).alias("resid_z"),
     )
+
+
+def hourly_autocorrelation(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 4,
+) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly count series per key:
+    (event_type, n_hours, lag1_autocorr). High positive values mean
+    load momentum (bursty traffic), near-zero means memoryless arrivals
+    — the temporal-structure probe beside seasonality_residuals' level
+    anomalies. One hourly rollup (map-side combined), a lag window over
+    the per-type hour series (bounded by hours, not events), and a
+    corr aggregate."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col).cast("timestamp")).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.withColumn("prev", F.lag("n").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.corr("n", "prev"), round_to).alias("lag1_autocorr"),
+    )

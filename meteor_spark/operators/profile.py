@@ -322,3 +322,39 @@ def inclusion_dependency(
             (F.col("violations") == 0).alias("holds"),
         )
     )
+
+
+def weighted_percentiles(
+    df,
+    value_col: str,
+    weight_col: str,
+    keys: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    round_to: int = 2,
+):
+    """Exact weighted percentiles per key group: for each q, the
+    smallest value whose cumulative weight reaches q·total —
+    (keys..., n_rows, total_weight, wp25, wp50, ...). The multi-q
+    generalization of weighted_median: ONE cumulative-weight window
+    feeds every quantile read-off, so adding quantiles is free."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    cum = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum(weight_col).over(w).alias("__cw"),
+        F.sum(weight_col).over(Window.partitionBy(*keys)).alias("__tw"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(F.max("__tw"), round_to).alias("total_weight"),
+    ]
+    for q in quantiles:
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("__cw") >= q * F.col("__tw"), F.col("__v"))),
+                round_to,
+            ).alias(f"wp{int(q * 100)}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

@@ -888,3 +888,38 @@ def zipf_fit(
         F.round(slope, round_to).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, round_to).alias("zipf_intercept"),
     )
+
+
+def token_gini_by_group(
+    df: DataFrame, group_col: str = "source", text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Gini coefficient of per-document token counts within each group:
+    (group, n_docs, n_tokens, gini). 0 = every doc the same length,
+    →1 = a few giant docs hold all the tokens — the inequality summary
+    a corpus-balance report pairs with the diversity ratios (a source
+    can have healthy TTR yet carry 95% of its mass in three documents).
+
+    Rank formula over ascending counts: G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n.
+    Ties take distinct consecutive ranks (id tiebreak); the assignment
+    among equal x values can't change Σ i·x_i, so the result is
+    engine-deterministic. The rank window is per-group (bounded by the
+    largest group), never global.
+    """
+    from pyspark.sql import Window
+
+    tk = df.select(
+        F.col(group_col),
+        token_count(normalize_text(F.col(text_col))).cast("double").alias("x"),
+        F.col("doc_id") if "doc_id" in df.columns else F.monotonically_increasing_id().alias("doc_id"),
+    )
+    w = Window.partitionBy(group_col).orderBy("x", "doc_id")
+    ranked = tk.withColumn("i", F.row_number().over(w))
+    return ranked.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("n_tokens"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1) / F.count("*").cast("double"),
+            round_to,
+        ).alias("gini"),
+    )

@@ -5527,3 +5527,87 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_k")
     )
+
+
+@query(
+    "lineitem_weighted_percentiles",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(tw), 2) AS total_weight,
+           round(min(CASE WHEN cw >= 0.25 * tw THEN v END), 2) AS wp25,
+           round(min(CASE WHEN cw >= 0.5 * tw THEN v END), 2) AS wp50,
+           round(min(CASE WHEN cw >= 0.75 * tw THEN v END), 2) AS wp75,
+           round(min(CASE WHEN cw >= 0.95 * tw THEN v END), 2) AS wp95
+    FROM b GROUP BY flag ORDER BY flag
+    """,
+)
+def lineitem_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted percentile band per return flag
+    (profile.weighted_percentiles): one cumulative-weight window feeds
+    every quantile read-off — the multi-q generalization of the
+    weighted-median gate."""
+    from meteor_spark.operators.profile import weighted_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_extendedprice", "l_quantity"
+    )
+    return weighted_percentiles(
+        li, "l_extendedprice", "l_quantity", ["flag"]
+    ).orderBy("flag")
+
+
+@query(
+    "event_hourly_autocorr",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+      FROM h)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(n, prev), 4) AS lag1_autocorr
+    FROM l WHERE prev IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal structure probe (drift.hourly_autocorrelation): lag-1
+    autocorrelation of each type's hourly count series — burstiness vs
+    memoryless arrivals, beside seasonality_residuals' level
+    anomalies. The lag window runs over hours, not events."""
+    ev = _t(spark, sf_dir, "events")
+    return drift.hourly_autocorrelation(ev).orderBy("event_type")
+
+
+@query(
+    "source_token_gini",
+    f"""
+    WITH tk AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS DOUBLE) AS x
+      FROM documents),
+    r AS (
+      SELECT source, x,
+             row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+      FROM tk)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(x) AS BIGINT) AS n_tokens,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 4) AS gini
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass inequality per source (text.token_gini_by_group):
+    Gini over per-doc token counts — a source can show healthy
+    diversity ratios while three giant documents carry its mass; this
+    is the report that catches it. Per-group rank windows only."""
+    docs = _docs(spark, sf_dir)
+    return text.token_gini_by_group(docs, "source").orderBy("source")

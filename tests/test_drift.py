@@ -106,3 +106,26 @@ def test_seasonality_residuals_constant_load_is_zero(spark):
     )
     for r in seasonality_residuals(df).collect():
         assert r["resid_z"] == 0.0 and r["n"] == 3
+
+
+def test_hourly_autocorr_alternating_vs_trending(spark):
+    import datetime as dt
+
+    from meteor_spark.operators.drift import hourly_autocorrelation
+
+    rows = []
+    eid = 0
+    for h in range(24):
+        # 'alt': alternating 2/8 counts -> strong negative lag-1 autocorr
+        for _ in range(8 if h % 2 else 2):
+            rows.append((eid, dt.datetime(2024, 5, 1, h), 1, "alt", 0.0)); eid += 1
+        # 'ramp': monotonically rising counts -> strong positive autocorr
+        for _ in range(h + 1):
+            rows.append((eid, dt.datetime(2024, 5, 1, h), 1, "ramp", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in hourly_autocorrelation(df).collect()}
+    assert out["alt"]["lag1_autocorr"] < -0.9
+    assert out["ramp"]["lag1_autocorr"] > 0.9
+    assert out["alt"]["n_hours"] == 23

@@ -122,3 +122,16 @@ def test_inclusion_dependency_counts_violations(spark):
     assert row["n_child_values"] == 3      # 1, 2, 9 (null ignored)
     assert row["violations"] == 1          # 9
     assert row["holds"] is False
+
+
+def test_weighted_percentiles_monotone_and_match_median(spark):
+    from meteor_spark.operators.profile import weighted_median, weighted_percentiles
+
+    df = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in range(1, 101)], "k string, v double, w double"
+    )
+    row = weighted_percentiles(df, "v", "w", ["k"]).collect()[0]
+    assert row["wp25"] <= row["wp50"] <= row["wp75"] <= row["wp95"]
+    assert row["wp25"] == 25.0 and row["wp50"] == 50.0 and row["wp95"] == 95.0
+    med = weighted_median(df, "v", "w", ["k"]).collect()[0]["weighted_median"]
+    assert row["wp50"] == med

@@ -332,3 +332,17 @@ def test_zipf_fit_exact_power_law(spark):
     # just sanity-check the slope is steeply negative and intercept ~ y(1)
     assert row["zipf_slope"] < -0.9
     assert abs(row["zipf_intercept"] - 4.0) < 0.5
+
+
+def test_token_gini_equal_vs_skewed(spark):
+    from meteor_spark.operators.text import token_gini_by_group
+
+    rows = [(i, "one two three four", "eq") for i in range(4)]
+    rows += [(10, "a", "skew"), (11, "b", "skew"), (12, "c", "skew"),
+             (13, " ".join(["tok"] * 97), "skew")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in token_gini_by_group(df).collect()}
+    assert out["eq"]["gini"] == 0.0
+    # 97 of 100 tokens in one of four docs -> Gini near the 3/4 ceiling
+    assert out["skew"]["gini"] > 0.65
+    assert out["skew"]["n_tokens"] == 100
