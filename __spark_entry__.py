@@ -27,7 +27,8 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  join-cardinality estimate validation, behavioral path
                  mining, vocabulary coverage curves, weighted
                  percentile bands, hourly autocorrelation, token-mass
-                 Gini) — 155 entries, 147 with exact DuckDB oracles.
+                 Gini, exact-gated LSH recall/precision evaluation) —
+                 156 entries, 148 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

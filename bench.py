@@ -184,6 +184,7 @@ def main() -> None:
         "lineitem_weighted_percentiles",
         "event_hourly_autocorr",
         "source_token_gini",
+        "minhash_eval_report",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

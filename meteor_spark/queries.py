@@ -5611,3 +5611,52 @@ def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the report that catches it. Per-group rank windows only."""
     docs = _docs(spark, sf_dir)
     return text.token_gini_by_group(docs, "source").orderBy("source")
+
+
+# LSH quality evaluation: ground truth = the lossless prefix-filter
+# pairs (exact all Jaccard >= 0.5), detected = the banded minhash pairs
+# at the same threshold/shingles. Verification makes precision 1.0 by
+# construction; recall < 1 exactly when the banding missed a true pair
+# — which is the number an LSH deployment tunes bands/hashes against.
+_LSH_EVAL_ORACLE = f"""
+WITH truth AS ({ORACLES["prefix_filter_jaccard_pairs"]}),
+det AS ({ORACLES["minhash_near_duplicates"]})
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM det) AS BIGINT) AS n_detected,
+       CAST((SELECT count(*) FROM truth t SEMI JOIN det d ON t.a = d.a AND t.b = d.b) AS BIGINT) AS n_hit,
+       round((SELECT count(*) FROM truth t SEMI JOIN det d ON t.a = d.a AND t.b = d.b)
+             / CAST(greatest((SELECT count(*) FROM truth), 1) AS DOUBLE), 4) AS recall,
+       round((SELECT count(*) FROM truth t SEMI JOIN det d ON t.a = d.a AND t.b = d.b)
+             / CAST(greatest((SELECT count(*) FROM det), 1) AS DOUBLE), 4) AS precision
+"""
+
+
+@query("minhash_eval_report", _LSH_EVAL_ORACLE)
+def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation as a first-class exact-gated query (the
+    dedup twin of ann_recall_report): banded-minhash detections scored
+    against the lossless prefix-filter ground truth at the same
+    threshold and shingles. Exact-Jaccard verification pins precision
+    at 1.0; recall is the band/hash tuning signal. Both inputs already
+    carry their own oracles, so this gate composes them — evaluation
+    itself is value-checked."""
+    docs = _docs(spark, sf_dir)
+    truth = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    det = _minhash_pairs(spark, sf_dir).select("a", "b")
+    hit = truth.join(det, ["a", "b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(F.broadcast(det.agg(F.count("*").alias("n_detected"))))
+        .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hit"))))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_detected").cast("long").alias("n_detected"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)).cast("double"), 4
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_detected"), F.lit(1)).cast("double"), 4
+            ).alias("precision"),
+        )
+    )
