@@ -41,3 +41,24 @@ class ProjectProcessor(Processor):
     def process(self, df: DataFrame) -> DataFrame:
         cols = [c.strip() for c in self.config["columns"].split(",") if c.strip()]
         return df.select(*cols)
+
+
+@register_processor(
+    "fd_profile",
+    "Functional-dependency discovery over the listed columns",
+    sample_config="columns: n_nationkey,n_name,n_regionkey",
+)
+class FdProfileProcessor(Processor):
+    """Turns a row-level table into its dependency profile
+    (operators.profile.functional_dependencies): one row per ordered
+    column pair with (n_det, n_pairs, holds). The recipe surface for
+    the catalog's metadata-inference layer — source any table, sink
+    the report."""
+
+    CONFIG = {"columns": Field(required=True, type=str)}
+
+    def process(self, df: DataFrame) -> DataFrame:
+        from meteor_spark.operators.profile import functional_dependencies
+
+        cols = [c.strip() for c in self.config["columns"].split(",") if c.strip()]
+        return functional_dependencies(df, cols)

@@ -103,3 +103,16 @@ def test_pack_example_runs_end_to_end(tmp_path, capsys, monkeypatch, spark):
     assert rows and {"doc_id", "bin_id", "bin_offset", "n_tokens"} <= set(out.columns)
     # bins respect capacity for every doc that fits at all
     assert all(r.bin_offset + r.n_tokens <= 512 for r in rows if r.n_tokens <= 512)
+
+
+def test_dependency_profile_example(capsys, monkeypatch, spark):
+    from meteor_spark.cli import main
+
+    monkeypatch.setenv("METEOR_TABLE_PATH", "/root/testdata/sf0.001/nation.parquet")
+    monkeypatch.setenv("METEOR_COLUMNS", "n_nationkey,n_name,n_regionkey")
+    rc = main(["run", str(EXAMPLES / "dependency_profile.yaml")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the key column determines everything; the group column does not
+    assert '"det":"n_nationkey"' in out and '"holds":true' in out
+    assert '"holds":false' in out
