@@ -185,6 +185,8 @@ def main() -> None:
         "event_hourly_autocorr",
         "source_token_gini",
         "minhash_eval_report",
+        "split_leakage_report",
+        "event_value_winsorized_stats",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

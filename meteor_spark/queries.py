@@ -5660,3 +5660,98 @@ def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+_SPLIT_SQL = """
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+_LEAK_ORACLE = f"""
+WITH pairs AS ({ORACLES["minhash_near_duplicates"]}),
+sp AS ({_SPLIT_SQL})
+SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.a
+JOIN sp sb ON sb.doc_id = p.b
+WHERE sa.split <> sb.split
+ORDER BY p.a, p.b
+"""
+
+
+@query("split_leakage_report", _LEAK_ORACLE)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-duplicate pairs that CROSS the
+    holdout boundary — a doc in train with its near-copy in val/test
+    silently inflates eval scores even after within-split dedup. The
+    production decontamination check composes two already-gated
+    pipelines (banded minhash pairs + the deterministic md5 holdout),
+    and the oracle nests both of their oracle SQLs, so the audit itself
+    is value-checked. The split frame is a pure per-row expression, so
+    the only real cost is the pair pipeline it reuses from the shared
+    session state."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.holdout_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    pairs = _minhash_pairs(spark, sf_dir)
+    return (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")), "a"
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")), "b"
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "event_value_winsorized_stats",
+    """
+    WITH q AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(greatest(least(e.value, q.hi), q.lo)), 4) AS mean_winsorized,
+           CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def event_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per key: means before/after clipping
+    to the exact [p5, p95] band — the standard heavy-tail treatment
+    before a value column feeds drift thresholds or reward models
+    (complements the median/MAD outlier gate). Exact interpolated
+    percentiles (Spark F.percentile == SQL percentile_cont) broadcast
+    back over one more scan."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("long")
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
