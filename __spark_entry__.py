@@ -28,8 +28,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  mining, vocabulary coverage curves, weighted
                  percentile bands, hourly autocorrelation, token-mass
                  Gini, exact-gated LSH recall/precision evaluation,
-                 cross-split leakage audit, winsorized statistics) —
-                 158 entries, 150 with exact DuckDB oracles.
+                 cross-split leakage audit, winsorized statistics,
+                 per-source dedup-rate report, retrieval rank
+                 agreement) — 160 entries, 152 with exact DuckDB
+                 oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -187,6 +187,8 @@ def main() -> None:
         "minhash_eval_report",
         "split_leakage_report",
         "event_value_winsorized_stats",
+        "dedup_rate_by_source",
+        "retrieval_rank_agreement",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

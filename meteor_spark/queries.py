@@ -5755,3 +5755,98 @@ def event_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_DEDUP_RATE_ORACLE = f"""
+WITH surv AS ({_CLUSTER_SURVIVOR_ORACLE})
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(s.doc_id) AS BIGINT) AS n_survivors,
+       round(1 - count(s.doc_id) / CAST(count(*) AS DOUBLE), 4) AS dedup_rate
+FROM documents d LEFT JOIN surv s ON s.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("dedup_rate_by_source", _DEDUP_RATE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source removal rate of the full fuzzy
+    pipeline (LSH pairs → connected components → min-id survivors) —
+    the per-domain duplication report a crawl-quality dashboard leads
+    with; a source shedding 30% near-dups needs upstream attention, not
+    more filtering. Composes the already-gated survivor pipeline (its
+    shared session state makes the reuse a cache read) with one
+    source-keyed left join; the oracle nests the survivors oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    surv = near_dup_cluster_survivors(spark, sf_dir)
+    return (
+        docs.select("source", "doc_id")
+        .join(surv.withColumn("__s", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("__s").cast("long").alias("n_survivors"),
+            F.round(1 - F.count("__s") / F.count("*").cast("double"), 4).alias("dedup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_AGREE_ORACLE = f"""
+WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM nd),
+tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+       WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, dl, w),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM nd),
+dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY w),
+bm AS (SELECT tf.doc_id,
+              round(sum(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+       FROM tf JOIN dfq USING (w) CROSS JOIN stats GROUP BY tf.doc_id),
+lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm
+        QUALIFY r_lex <= {_RRF_L}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (SELECT vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv))
+                                   * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                          vec_id) AS r_vec
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+              WHERE vec_id <> 0) CROSS JOIN q
+        QUALIFY r_vec <= {_RRF_L})
+SELECT CAST(count(*) AS BIGINT) AS n_shared,
+       round(corr(r_lex, r_vec), 4) AS rank_corr
+FROM lex JOIN vec USING (doc_id)
+"""
+
+
+@query("retrieval_rank_agreement", _AGREE_ORACLE)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the lexical and vector rankers agree? Spearman-style rank
+    correlation over the docs BOTH place in their top-L — the
+    diagnostic read before trusting RRF fusion (near-zero agreement
+    means the rankers see different relevance; fusion is then union,
+    not consensus). Reuses the two ranking arms of hybrid_search_rrf
+    (same BM25 parameters and query vector) and correlates the
+    integer ranks of the intersection."""
+    from pyspark.sql import Window
+
+    from meteor_spark.operators.retrieval import bm25_topk
+    from meteor_spark.operators.similarity import brute_force_topk
+
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, _BM25_TERMS, k=_RRF_L).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("r_lex"),
+    )
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_L).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    return lex.join(vec, "doc_id").agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.round(F.corr("r_lex", "r_vec"), 4).alias("rank_corr"),
+    )
