@@ -189,6 +189,7 @@ def main() -> None:
         "event_value_winsorized_stats",
         "dedup_rate_by_source",
         "retrieval_rank_agreement",
+        "lineitem_footer_stats",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -358,3 +358,45 @@ def weighted_percentiles(
             ).alias(f"wp{int(q * 100)}")
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def footer_stats(spark, path: str, columns: list[str]):
+    """Scan-free column statistics from parquet FOOTER metadata:
+    (column, n_rows, min_value, max_value, null_count) without reading
+    a single data page — the at-scale profiling shortcut (row-group
+    stats are how engines prune; a catalog can publish min/max/null
+    profiles for a 100 TB table by touching only footers).
+
+    Footers are enumerated and decoded per file; this fixture is one
+    file, and at scale the same loop runs as a parallel mapPartitions
+    over the file list (each footer is a few KB regardless of data
+    size). Values are surfaced as DOUBLE for numeric columns so the
+    frame has a stable schema.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    agg: dict[str, list] = {c: [0, None, None, 0] for c in columns}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in agg:
+                continue
+            a = agg[name]
+            a[0] += g.num_rows
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                mn, mx = float(st.min), float(st.max)
+                a[1] = mn if a[1] is None else min(a[1], mn)
+                a[2] = mx if a[2] is None else max(a[2], mx)
+            if st is not None and st.null_count is not None:
+                a[3] += st.null_count
+    rows = [
+        (c, int(a[0]), a[1], a[2], int(a[3])) for c, a in agg.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, min_value double, max_value double, null_count long",
+    )

@@ -5850,3 +5850,33 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_shared"),
         F.round(F.corr("r_lex", "r_vec"), 4).alias("rank_corr"),
     )
+
+
+_FOOTER_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _footer_oracle() -> str:
+    rows = []
+    for c in _FOOTER_COLS:
+        rows.append(f"""
+    SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min({c}) AS DOUBLE) AS min_value, CAST(max({c}) AS DOUBLE) AS max_value,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
+    FROM lineitem""")
+    return " UNION ALL ".join(rows) + ' ORDER BY "column"'
+
+
+@query("lineitem_footer_stats", _footer_oracle())
+def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-free profiling (profile.footer_stats): min/max/null-count
+    per measure column read from parquet FOOTER statistics only — zero
+    data pages touched. The gate proves footer stats equal the real
+    data (the oracle computes the same numbers by actually scanning),
+    which is exactly the trust a catalog needs before publishing
+    footer-derived profiles or relying on row-group pruning at
+    100 TB."""
+    from meteor_spark.operators.profile import footer_stats
+
+    return footer_stats(
+        spark, f"{sf_dir}/lineitem.parquet", _FOOTER_COLS
+    ).orderBy("column")

@@ -135,3 +135,20 @@ def test_weighted_percentiles_monotone_and_match_median(spark):
     assert row["wp25"] == 25.0 and row["wp50"] == 50.0 and row["wp95"] == 95.0
     med = weighted_median(df, "v", "w", ["k"]).collect()[0]["weighted_median"]
     assert row["wp50"] == med
+
+
+def test_footer_stats_match_scanned_data(spark, sf_dir, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meteor_spark.operators.profile import footer_stats
+
+    # multi-row-group file with nulls: footer aggregation must merge
+    # row-group stats and count nulls across groups
+    t = pa.table({"x": pa.array([1.0, None, 3.0, -2.0, 8.0, None], pa.float64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, row_group_size=2)
+    assert pq.read_metadata(p).num_row_groups == 3
+    row = footer_stats(spark, p, ["x"]).collect()[0]
+    assert row["n_rows"] == 6 and row["null_count"] == 2
+    assert row["min_value"] == -2.0 and row["max_value"] == 8.0
