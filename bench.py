@@ -190,6 +190,7 @@ def main() -> None:
         "dedup_rate_by_source",
         "retrieval_rank_agreement",
         "lineitem_footer_stats",
+        "video_scene_segments",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -345,3 +345,53 @@ def silence_segments(energies: DataFrame, threshold: float) -> DataFrame:
         F.max("frame").alias("seg_end"),
         F.count("*").alias("n_frames"),
     ).drop("g")
+
+
+LUMA_SCHEMA = "doc_id long, frame long, luma double"
+
+
+def frame_lumas(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame mean byte value ("luma proxy") over binary video
+    content — the decode stage of a scene-cut pipeline. Same stubbed
+    codec contract as frame_energies (a real build swaps pyav into the
+    same per-batch loop): Arrow-batched mapInPandas, full frames only.
+    Lumas are integer sums over a power-of-two frame, exact in double,
+    so the boundary comparisons downstream are engine-portable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, lumas = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                s = np.frombuffer(bytes(content), dtype=np.uint8).astype(np.float64)
+                n = len(s) // frame_len
+                if n == 0:
+                    continue
+                m = s[: n * frame_len].reshape(n, frame_len).mean(axis=1)
+                ids.extend([doc_id] * n)
+                frames.extend(range(n))
+                lumas.extend(m)
+            yield pd.DataFrame({"doc_id": ids, "frame": frames, "luma": lumas})
+
+    return media.mapInPandas(run, schema=LUMA_SCHEMA)
+
+
+def scene_segments(lumas: DataFrame, threshold: float) -> DataFrame:
+    """Scene-cut segmentation: a boundary wherever the frame-to-frame
+    luma jump exceeds `threshold`; consecutive frames between
+    boundaries form one scene. Relational after the decode: one lag +
+    one running-sum window per doc (scene_no = cumulative boundary
+    count), then a groupBy. Returns
+    (doc_id, scene_no, start_frame, end_frame, n_frames)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    cut = F.when(
+        F.abs(F.col("luma") - F.lag("luma").over(w)) > threshold, 1
+    ).otherwise(0)
+    scened = lumas.withColumn("scene_no", F.sum(cut).over(w).cast("long"))
+    return scened.groupBy("doc_id", "scene_no").agg(
+        F.min("frame").alias("start_frame"),
+        F.max("frame").alias("end_frame"),
+        F.count("*").cast("long").alias("n_frames"),
+    )

@@ -5880,3 +5880,49 @@ def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footer_stats(
         spark, f"{sf_dir}/lineitem.parquet", _FOOTER_COLS
     ).orderBy("column")
+
+
+_SCENE_TAU = 2.0
+
+
+@query(
+    "video_scene_segments",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+    fr AS (
+      SELECT doc_id, unnest(range(0, length(text) // 64)) AS f, text FROM d),
+    lu AS (
+      SELECT doc_id, f,
+             list_avg(list_transform(range(1, 65),
+               i -> CAST(ascii(substr(text, CAST(f * 64 + i AS INT), 1)) AS DOUBLE))) AS luma
+      FROM fr),
+    cuts AS (
+      SELECT doc_id, f,
+             CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY f)) > {_SCENE_TAU}
+                  THEN 1 ELSE 0 END AS cut
+      FROM lu),
+    sc AS (
+      SELECT doc_id, f,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene_no
+      FROM cuts)
+    SELECT doc_id, CAST(scene_no AS BIGINT) AS scene_no,
+           min(f) AS start_frame, max(f) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM sc GROUP BY doc_id, scene_no
+    """,
+)
+def video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut segmentation (multimodal.frame_lumas +
+    scene_segments): binary blobs -> per-frame mean-byte luma proxy via
+    Arrow-batched mapInPandas (stubbed codec, same contract as the
+    audio decode), boundaries where the frame-to-frame jump exceeds τ,
+    cumulative-count scene ids, gap-free segments. Lumas are exact
+    64ths in double, so the oracle replays framing, boundaries, and
+    scene numbering over the same bytes digit-for-digit."""
+    from meteor_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_binary(docs)
+    lumas = multimodal.frame_lumas(media, frame_len=64)
+    return multimodal.scene_segments(lumas, threshold=_SCENE_TAU)

@@ -166,3 +166,34 @@ def test_frame_energies_match_numpy_reference(spark):
         b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.float64) - 128
         for f in range(len(b) // 64):
             assert got[(i, f)] == np.mean(b[f * 64 : (f + 1) * 64] ** 2)
+
+
+def test_scene_segments_cut_on_luma_jump(spark):
+    from meteor_spark.operators.multimodal import frame_lumas, scene_segments
+
+    # 3 frames of 'a' (luma 97), then 3 frames of 'z' (luma 122): one
+    # cut at frame 3 -> two scenes
+    content = b"a" * 192 + b"z" * 192
+    df = spark.createDataFrame(
+        [(1, bytearray(content), ("video/fake", "t"))],
+        "doc_id long, content binary, media_meta struct<mime:string,source:string>",
+    )
+    lumas = frame_lumas(df, frame_len=64)
+    got = {r["frame"]: r["luma"] for r in lumas.collect()}
+    assert got == {0: 97.0, 1: 97.0, 2: 97.0, 3: 122.0, 4: 122.0, 5: 122.0}
+    scenes = sorted(
+        (r["scene_no"], r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in scene_segments(lumas, threshold=2.0).collect()
+    )
+    assert scenes == [(0, 0, 2, 3), (1, 3, 5, 3)]
+
+
+def test_scene_segments_no_cuts_single_scene(spark):
+    from meteor_spark.operators.multimodal import frame_lumas, scene_segments
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"m" * 256), ("video/fake", "t"))],
+        "doc_id long, content binary, media_meta struct<mime:string,source:string>",
+    )
+    scenes = scene_segments(frame_lumas(df), threshold=2.0).collect()
+    assert len(scenes) == 1 and scenes[0]["n_frames"] == 4
