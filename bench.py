@@ -191,6 +191,8 @@ def main() -> None:
         "retrieval_rank_agreement",
         "lineitem_footer_stats",
         "video_scene_segments",
+        "image_ahash_pairs",
+        "split_balance_chi2",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

