@@ -193,6 +193,7 @@ def main() -> None:
         "video_scene_segments",
         "image_ahash_pairs",
         "split_balance_chi2",
+        "event_type_lift_matrix",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

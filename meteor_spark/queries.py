@@ -6031,3 +6031,70 @@ def split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "event_type_lift_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+    m AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT co.type_a, co.type_b, CAST(co.n_both AS BIGINT) AS n_both,
+           round(co.n_both / n.n_users, 4) AS support,
+           round((co.n_both / n.n_users) /
+                 ((ma.n_t / n.n_users) * (mb.n_t / n.n_users)), 4) AS lift
+    FROM co
+    JOIN m ma ON ma.event_type = co.type_a
+    JOIN m mb ON mb.event_type = co.type_b, n
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule statistics over the per-user event-type sets:
+    support and lift for every type pair — lift > 1 means the pair
+    co-occurs in the same users more than independence predicts (the
+    market-basket view of the same co-usage mining that feeds the
+    pagerank/triangle graph, reference stats.go). One distinct
+    projection feeds the pair join, the per-type margins, and the user
+    count; margins broadcast back over the |types|² matrix."""
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    n_users = ut.groupBy().agg(
+        F.count_distinct("user_id").cast("double").alias("n_users")
+    )
+    m = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    a, b = ut.alias("a"), ut.alias("b")
+    co = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        co.join(
+            F.broadcast(m.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(m.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / F.col("n_users"), 4).alias("support"),
+            F.round(
+                (F.col("n_both") / F.col("n_users"))
+                / ((F.col("na") / F.col("n_users")) * (F.col("nb") / F.col("n_users"))),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
