@@ -5935,11 +5935,11 @@ _AHASH_HAM_T = 2
     "image_ahash_pairs",
     f"""
     WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 128),
-    tiles AS (SELECT doc_id, unnest(range(0, 16)) AS t, text FROM d),
+    tiles AS (SELECT doc_id, unnest(range(0, 32)) AS t, text FROM d),
     tm AS (
       SELECT doc_id, t,
-             list_avg(list_transform(range(1, 9),
-               i -> CAST(ascii(substr(text, CAST(t * 8 + i AS INT), 1)) AS DOUBLE))) AS m
+             list_avg(list_transform(range(1, 5),
+               i -> CAST(ascii(substr(text, CAST(t * 4 + i AS INT), 1)) AS DOUBLE))) AS m
       FROM tiles),
     gm AS (SELECT doc_id, avg(m) AS g FROM tm GROUP BY doc_id),
     ah AS (
@@ -5957,17 +5957,23 @@ def image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash near-dup pairs (multimodal.image_ahash +
     the simhash pigeonhole machinery): 16-tile average-hash over the
     stubbed pixel grid, then EXACT Hamming <= {t} pairs via disjoint
-    chunk blocking (dedup.simhash_hamming_pairs reused on the 16-bit
+    chunk blocking (dedup.simhash_hamming_pairs reused on the 32-bit
     sketch) — completing the modality dedup set (text shingles, audio
-    silence, video scenes, image phash). Tile means are exact eighths,
-    so the oracle rebuilds the identical hashes and pair set."""
+    silence, video scenes, image phash). Tile means are exact quarters,
+    so the oracle rebuilds the identical hashes and pair set. 32 bits,
+    not 16: Hamming-ball collisions in a w-bit space grow ~N²·|ball|/2^w,
+    so hash width must scale with corpus size (a 16-bit variant measured
+    57x at a 10x scale-up purely from birthday collisions; a production
+    image pipeline uses 64 bits over an 8x8 resized grid)."""
     from meteor_spark.operators import multimodal
 
     docs = _docs(spark, sf_dir)
     media = multimodal.attach_binary(docs)
-    ah = multimodal.image_ahash(media).withColumnRenamed("ahash", "simhash")
+    ah = multimodal.image_ahash(media, tile_len=4, n_tiles=32).withColumnRenamed(
+        "ahash", "simhash"
+    )
     return dedup.simhash_hamming_pairs(
-        ah, threshold=_AHASH_HAM_T, bits=16
+        ah, threshold=_AHASH_HAM_T, bits=32
     ).orderBy("a", "b")
 
 
