@@ -32,8 +32,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  per-source dedup-rate report, retrieval rank
                  agreement, scan-free footer-stats profiling, video
                  scene-cut segmentation, image perceptual-hash dedup,
-                 chi-square split balance, association lift matrix) —
-                 165 entries, 157 with exact DuckDB oracles.
+                 chi-square split balance, association lift matrix,
+                 conditional transition entropy) —
+                 166 entries, 158 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

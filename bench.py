@@ -194,6 +194,7 @@ def main() -> None:
         "image_ahash_pairs",
         "split_balance_chi2",
         "event_type_lift_matrix",
+        "event_transition_entropy",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

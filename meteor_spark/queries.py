@@ -6104,3 +6104,52 @@ def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "event_transition_entropy",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    p AS (SELECT event_type AS src_type, nxt AS dst_type, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT src_type,
+           CAST(sum(n) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_destinations,
+           round(log2(CAST(sum(n) AS DOUBLE))
+                 - sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE),
+                 4) AS next_entropy_bits
+    FROM p GROUP BY src_type ORDER BY src_type
+    """,
+)
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: conditional entropy H(next | current)
+    per event type, read off the same transition counts the matrix gate
+    builds (one lead() window) — 0 bits means the next action is fully
+    determined, log2(|types|) means anything goes. Same one-groupBy
+    entropy identity as char_entropy_quality: H = log2(n) − Σc·log2(c)/n
+    over the per-destination counts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("__next", F.lead("event_type").over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col("event_type").alias("src_type"), F.col("__next").alias("dst_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").cast("double")
+    return (
+        pairs.groupBy("src_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.count("*").cast("long").alias("n_destinations"),
+            F.round(
+                F.log2(tot) - F.sum(F.col("n") * F.log2("n")) / tot, 4
+            ).alias("next_entropy_bits"),
+        )
+        .orderBy("src_type")
+    )
