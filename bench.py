@@ -195,6 +195,7 @@ def main() -> None:
         "split_balance_chi2",
         "event_type_lift_matrix",
         "event_transition_entropy",
+        "user_activity_gini",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

@@ -106,3 +106,50 @@ def event_transition_matrix(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
     )
+
+
+def activity_gini(
+    events: DataFrame, user_col: str = "user_id", round_to: int = 4
+) -> DataFrame:
+    """Engagement inequality: Gini coefficient over per-user event
+    counts — one row (n_users, n_events, gini). 0 = uniform activity,
+    →1 = a few power users generate everything (the audience-health
+    number an activity dashboard leads with).
+
+    The rank formula needs a GLOBAL ordering of users by count — and
+    the count value itself is the range-partition key: rank(user) =
+    prefix-sum offset of all smaller counts + row_number within the
+    user's count group (id tiebreak). The only global window runs over
+    the DISTINCT-count dim (bounded by max activity, not user count),
+    so the corpus-wide order statistic costs two small shuffles and no
+    single-reducer sort — the same computed-rank discipline as
+    sorted-neighborhood blocking and training-order interleave.
+    """
+    from pyspark.sql import Window
+
+    counts = events.groupBy(user_col).agg(F.count("*").alias("c"))
+    sizes = counts.groupBy("c").agg(F.count("*").alias("n_c"))
+    offsets = sizes.select(
+        "c",
+        F.coalesce(
+            F.sum("n_c").over(
+                Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    in_group = Window.partitionBy("c").orderBy(user_col)
+    ranked = (
+        counts.withColumn("rg", F.row_number().over(in_group))
+        .join(F.broadcast(offsets), "c")
+        .select("c", (F.col("off") + F.col("rg")).alias("i"))
+    )
+    n = F.count("*").cast("double")
+    tot = F.sum("c").cast("double")
+    return ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c")) / (n * tot) - (n + 1) / n, round_to
+        ).alias("gini"),
+    )

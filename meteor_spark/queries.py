@@ -6153,3 +6153,27 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_type")
     )
+
+
+@query(
+    "user_activity_gini",
+    """
+    WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           round(2.0 * sum(i * c) / (count(*) * sum(c))
+                 - (count(*) + 1) / CAST(count(*) AS DOUBLE), 4) AS gini
+    FROM r
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement inequality (usage.activity_gini): Gini over per-user
+    event counts with the global rank COMPUTED — the count value is its
+    own range-partition key, so rank = prefix-sum offset of smaller
+    counts + in-group row_number, and the only global window runs over
+    the distinct-count dim. The oracle uses the naive global
+    row_number; both orderings agree because ties contribute
+    identically to Σ i·c."""
+    ev = _t(spark, sf_dir, "events")
+    return usage.activity_gini(ev)

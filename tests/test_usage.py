@@ -98,3 +98,47 @@ def test_event_transition_matrix_counts_and_probs(spark):
     assert out[("a", "b")] == (2, 1.0)
     assert out[("b", "a")] == (1, 1.0)
     assert ("b", "b") not in out
+
+
+def test_activity_gini_uniform_vs_concentrated(spark):
+    from meteor_spark.operators.usage import activity_gini
+
+    uniform = spark.createDataFrame(
+        [(i, i % 4, "e") for i in range(40)], "event_id long, user_id long, event_type string"
+    )
+    row = activity_gini(uniform).collect()[0]
+    assert row["gini"] == 0.0 and row["n_users"] == 4 and row["n_events"] == 40
+
+    # one power user with 37 events, three with 1 each
+    skewed = spark.createDataFrame(
+        [(i, 0 if i < 37 else i, "e") for i in range(40)],
+        "event_id long, user_id long, event_type string",
+    )
+    g = activity_gini(skewed).collect()[0]["gini"]
+    assert g > 0.6
+
+
+def test_activity_gini_partitioning_invariant_matches_naive(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.usage import activity_gini
+
+    rng = random.Random(9)
+    rows = [(i, rng.randint(0, 60), "e") for i in range(800)]
+    base = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    got = [activity_gini(base.repartition(p)).collect()[0]["gini"] for p in (1, 6)]
+    # naive single-window global rank (the oracle's formulation)
+    c = base.groupBy("user_id").agg(F.count("*").alias("c"))
+    r = c.withColumn("i", F.row_number().over(Window.orderBy("c", "user_id")))
+    agg = r.groupBy().agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("c"))
+            / (F.count("*") * F.sum("c").cast("double"))
+            - (F.count("*") + 1) / F.count("*").cast("double"),
+            4,
+        ).alias("g")
+    ).collect()[0]["g"]
+    assert got[0] == got[1] == agg
