@@ -15,6 +15,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+
+def compact_line(timings, headline, failed, total, sf, limit: int = 1800) -> str:
+    """The ONE stdout JSON line the driver parses. Must stay under the
+    driver's ~2KB tail window no matter how many queries exist: degrade
+    by dropping headline entries from the END (newest additions still
+    ride in BENCH_FULL.json), then by truncating the failed list —
+    never by emitting an overlong or empty-on-success line."""
+    line = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        # failed queries are listed by name, not as -1.0 "timings"
+        "queries": {k: timings[k] for k in headline if k in timings and timings[k] >= 0},
+        "failed": failed,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full_timings": "BENCH_FULL.json",
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    while len(out) > limit and line["queries"]:
+        line["queries"].popitem()
+        out = json.dumps(line, separators=(",", ":"))
+    if len(out) > limit:
+        line["failed"] = failed[:10] + (["..."] if len(failed) > 10 else [])
+        out = json.dumps(line, separators=(",", ":"))
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
@@ -199,28 +227,7 @@ def main() -> None:
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]
-    line = {
-        "metric": "total_query_seconds",
-        "value": total,
-        "unit": "sec",
-        # failed queries are listed by name, not as -1.0 "timings"
-        "queries": {k: timings[k] for k in headline if k in timings and timings[k] >= 0},
-        "failed": failed,
-        "sf": sf,
-        "n_queries": len(timings),
-        "full_timings": "BENCH_FULL.json",
-    }
-    out = json.dumps(line, separators=(",", ":"))
-    # hard guard: never exceed the driver's tail window. Degrade by
-    # dropping headline entries from the END (the newest additions ride
-    # in BENCH_FULL.json either way) rather than blanking the map.
-    while len(out) > 1800 and line["queries"]:
-        line["queries"].popitem()
-        out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1800:
-        line["failed"] = failed[:10] + (["..."] if len(failed) > 10 else [])
-        out = json.dumps(line, separators=(",", ":"))
-    print(out)
+    print(compact_line(timings, headline, failed, total, sf))
     spark.stop()
 
 

@@ -1,0 +1,47 @@
+"""The bench stdout line is the driver's ONLY timing channel — a
+malformed or overlong line nulls the whole round's BENCH record, so the
+compaction logic gets its own tests."""
+
+from __future__ import annotations
+
+import json
+
+from bench import compact_line
+
+
+def _fake(n):
+    return {f"query_{i:03d}": round(0.1 * i, 3) for i in range(n)}
+
+
+def test_line_is_valid_json_and_under_limit_even_with_many_queries():
+    timings = _fake(300)
+    headline = sorted(timings)
+    out = compact_line(timings, headline, [], 123.4, 0.1)
+    assert len(out) <= 1800
+    d = json.loads(out)
+    assert d["value"] == 123.4 and d["n_queries"] == 300
+    # degraded by dropping entries, NOT by blanking: a meaningful prefix
+    # of the headline survives
+    assert len(d["queries"]) > 20
+    assert "query_000" in d["queries"]
+
+
+def test_failed_names_listed_not_negative_timings():
+    timings = {"a": 1.0, "b": -1.0}
+    out = json.loads(compact_line(timings, ["a", "b"], ["b"], 1.0, 0.01))
+    assert out["failed"] == ["b"]
+    assert "b" not in out["queries"] and out["queries"]["a"] == 1.0
+
+
+def test_short_line_keeps_every_headline_entry():
+    timings = _fake(10)
+    out = json.loads(compact_line(timings, sorted(timings), [], 4.5, 0.001))
+    assert len(out["queries"]) == 10
+
+
+def test_pathological_failed_list_is_truncated():
+    failed = [f"very_long_failed_query_name_number_{i}" for i in range(100)]
+    out = compact_line({}, [], failed, 0.0, 0.1)
+    assert len(out) <= 1800
+    d = json.loads(out)
+    assert d["failed"][-1] == "..." and len(d["failed"]) == 11
