@@ -33,8 +33,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  agreement, scan-free footer-stats profiling, video
                  scene-cut segmentation, image perceptual-hash dedup,
                  chi-square split balance, association lift matrix,
-                 conditional transition entropy, user-activity Gini) —
-                 167 entries, 159 with exact DuckDB oracles.
+                 conditional transition entropy, user-activity Gini,
+                 language-ID confidence margins) —
+                 168 entries, 160 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

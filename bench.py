@@ -224,6 +224,7 @@ def main() -> None:
         "event_type_lift_matrix",
         "event_transition_entropy",
         "user_activity_gini",
+        "language_confidence_report",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

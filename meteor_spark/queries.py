@@ -6177,3 +6177,55 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically to Σ i·c."""
     ev = _t(spark, sf_dir, "events")
     return usage.activity_gini(ev)
+
+
+@query(
+    "language_confidence_report",
+    f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+      FROM documents),
+    sc AS (
+      SELECT doc_id,
+             len(list_filter(lws, w -> list_contains({_SW_SQL['en']}, w))) AS s_en,
+             len(list_filter(lws, w -> list_contains({_SW_SQL['de']}, w))) AS s_de,
+             len(list_filter(lws, w -> list_contains({_SW_SQL['fr']}, w))) AS s_fr,
+             len(list_filter(lws, w -> list_contains({_SW_SQL['es']}, w))) AS s_es
+      FROM base),
+    r AS (
+      SELECT doc_id, s_en, s_de, s_fr, s_es,
+             list_sort([s_en, s_de, s_fr, s_es]) AS srt
+      FROM sc)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_guess,
+           CAST(srt[4] AS BIGINT) AS top_score,
+           CAST(srt[3] AS BIGINT) AS second_score,
+           CAST(srt[4] - srt[3] AS BIGINT) AS margin,
+           srt[4] > 0 AND srt[4] - srt[3] >= 2 AS confident
+    FROM r ORDER BY doc_id
+    """,
+)
+def language_confidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID with a CONFIDENCE margin: top and runner-up stopword
+    scores per document, their gap, and a confident flag (top > 0 and
+    margin >= 2) — the routing signal a production pipeline uses to
+    send ambiguous docs to a heavier classifier instead of trusting the
+    cheap n-gram vote. Same single-scan stopword scoring as lang_id;
+    the margin is exact integer arithmetic on the sorted score
+    array."""
+    docs = _docs(spark, sf_dir)
+    scores = text.lang_scores(text.normalize_text(F.col("text")))
+    arr = F.array_sort(F.array(*scores.values()))
+    top, second = F.element_at(arr, -1), F.element_at(arr, -2)
+    return docs.select(
+        "doc_id",
+        text.lang_id(F.col("text")).alias("lang_guess"),
+        top.cast("long").alias("top_score"),
+        second.cast("long").alias("second_score"),
+        (top - second).cast("long").alias("margin"),
+        ((top > 0) & ((top - second) >= 2)).alias("confident"),
+    ).orderBy("doc_id")
