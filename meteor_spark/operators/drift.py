@@ -85,6 +85,15 @@ def psi_drift(
     everything in bin 0. Zero-count bins are floored at `eps` so the log
     is finite; bins empty on both sides contribute exactly 0.
 
+    Bit-stability: the published psi must hash-match a DuckDB oracle,
+    but ln() differs by ulps across JVM/libm and float sums are
+    order-dependent, so round(sum(term), 4) can land on either side of
+    a half-up boundary per engine. Each per-bin term is therefore
+    quantized to fixed-point int64 (round(term * 1e8)) and summed as
+    integers — exact and order-independent — then divided back and
+    rounded. Identical integers -> identical IEEE division -> identical
+    half-up rounding on both engines.
+
     Returns (group, n_expected, n_actual, psi).
     """
     v = F.col(value_col).cast("double")
@@ -112,12 +121,12 @@ def psi_drift(
         F.greatest(F.col("cnt_e") / F.sum("cnt_e").over(w), F.lit(eps)).alias("__pe"),
         F.greatest(F.col("cnt_a") / F.sum("cnt_a").over(w), F.lit(eps)).alias("__pa"),
     )
+    term = (F.col("__pa") - F.col("__pe")) * F.log(F.col("__pa") / F.col("__pe"))
+    term_fixed = F.round(term * F.lit(1e8)).cast("long")
     return p.groupBy(group_col).agg(
         F.sum("cnt_e").alias("n_expected"),
         F.sum("cnt_a").alias("n_actual"),
-        F.round(F.sum((F.col("__pa") - F.col("__pe")) * F.log(F.col("__pa") / F.col("__pe"))), round_to).alias(
-            "psi"
-        ),
+        F.round(F.sum(term_fixed) / F.lit(1e8), round_to).alias("psi"),
     )
 
 

@@ -264,6 +264,15 @@ def functional_dependencies(df, cols: list[str]):
     one b-value — checked as count_distinct(a) == count_distinct(a, b).
     Output: (det, dep, n_det, n_pairs, holds) per candidate pair.
 
+    NULL semantics (explicit): rows whose DETERMINANT is NULL are
+    excluded from the check (a NULL determinant determines nothing);
+    a NULL DEPENDENT counts as a distinct mapped value, so a -> b with
+    b in {'x', NULL} for one a-value correctly reports holds=false.
+    The naive count_distinct(a, b) silently drops b-IS-NULL rows and
+    reports such a pair as holding — the pair count therefore uses a
+    null-safe composite: count_distinct(struct(a, b)) restricted to
+    a IS NOT NULL (struct(...) is non-null even when b is NULL).
+
     Classic single-table metadata profiling (the dependency layer a
     catalog infers on top of per-column stats; see the reference's
     profile family). All |cols|·(|cols|-1) checks ride ONE wide
@@ -278,7 +287,11 @@ def functional_dependencies(df, cols: list[str]):
         for b in cols:
             if a != b:
                 aggs.append(
-                    F.count_distinct(F.col(a), F.col(b)).alias(f"__p_{a}_{b}")
+                    F.count_distinct(
+                        F.when(
+                            F.col(a).isNotNull(), F.struct(F.col(a), F.col(b))
+                        )
+                    ).alias(f"__p_{a}_{b}")
                 )
     wide = df.agg(*aggs)
     pairs = []

@@ -210,6 +210,111 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_pivot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN with a hash-pivot coarse quantizer — the exactly-checkable
+    sibling of ivf_topk.
+
+    Cells are the n_cells corpus vectors with the smallest
+    md5(CAST(id AS VARCHAR)) — deterministic "random" pivots, no
+    iterative fit — so a SQL oracle rebuilds pivots, cell assignment,
+    query probes, and final ranks value-for-value (Spark ML KMeans'
+    seeded init is engine-internal and NOT SQL-reproducible, which is
+    why ivf_topk can only be rows-only gated). Pivot-sampled IVF is a
+    legitimate quantizer in its own right (random-pivot coarse
+    quantizers trade a little cell balance for zero training).
+
+    Scale shape: the pivot set is a bounded driver-side collect
+    (n_cells · dim doubles) inlined as a literal array; cell assignment
+    is a SHUFFLE-FREE fold over that array per corpus row (argmax
+    cosine, first-in-hash-order wins exact ties) — the corpus is never
+    shuffled for assignment, unlike a window-based argmax which would
+    move 8N rows. Search = multi-probe (each query ranks pivots, keeps
+    n_probe cells) + exact cosine re-rank within probed cells, the same
+    bucket equi-join shape as ivf_topk.
+    """
+    pivot_rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("pv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centers_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["pv"]]).alias("pv"),
+            )
+            for r in pivot_rows
+        ]
+    )
+
+    def best_cell(vc: Column) -> Column:
+        init = F.struct(
+            F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("long").alias("cell")
+        )
+
+        def fold(acc: Column, c: Column) -> Column:
+            cc = cosine(vc, c["pv"])
+            take = cc > acc["cos"]
+            return F.struct(
+                F.when(take, cc).otherwise(acc["cos"]).alias("cos"),
+                F.when(take, c["cell"]).otherwise(acc["cell"]).alias("cell"),
+            )
+
+        return F.aggregate(centers_arr, init, fold)["cell"]
+
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .withColumn("cell", best_cell(F.col("cv")))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probes = (
+        q.select("query_id", "qv", F.explode(centers_arr).alias("c"))
+        .withColumn("c_cos", cosine(F.col("qv"), F.col("c.pv")))
+        .withColumn(
+            "p_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("c.cell"))
+            ),
+        )
+        .filter(F.col("p_rank") <= n_probe)
+        .select("query_id", "qv", F.col("c.cell").alias("cell"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -217,9 +217,18 @@ def char_entropy_profile(
     groupBys. At 100 TB the per-(doc, char) partial aggregation keeps
     the shuffle at ≤ |alphabet| rows per document, not one per
     character.
+
+    Empty/whitespace-only documents (normalized length 0) emit NO row
+    — the caller decides their fate explicitly. This must be filtered
+    BEFORE the explode: Spark's sequence(1, 0) defaults to step -1 and
+    yields [1, 0] (two phantom "characters"), where DuckDB's
+    range(1, 1) yields nothing; a CurateProcessor min_char_entropy
+    gate therefore treats absent-row docs as failing the gate rather
+    than scoring phantom entropy 0.0.
     """
     chars = (
         df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
+        .filter(F.length("__t") > 0)
         .select(id_col, "__t", F.explode(F.sequence(F.lit(1), F.length("__t"))).alias("__i"))
         .select(id_col, F.substring(F.col("__t"), F.col("__i"), 1).alias("ch"))
     )

@@ -18,10 +18,12 @@ spark-protobuf package is on the classpath). The payload builder
 the spark-sql-kafka connector jar, absent in this container, so sink()
 raises a clear error without it.
 
-Wire format: JSON by design — the reference publishes the compiled
-protobuf message instead; see docs/ADR-0001-kafka-wire-format.md for
-why, what differs on the wire (value encoding only; the record key and
-partition routing are identical), and the to_protobuf migration path.
+Wire format: JSON by default, protobuf opt-in (value_format config) —
+the protobuf path encodes the reference's exact message shape via the
+pure-Python wire encoder (functions/protowire.py, field numbers pinned
+from the reference generated code) in ONE Arrow-batched mapInPandas
+pass; see docs/ADR-0001-kafka-wire-format.md (v2) for the interop
+matrix and the map-field byte-ordering caveat.
 """
 
 from __future__ import annotations
@@ -33,12 +35,64 @@ from meteor_spark.plugins_base import Field, Sink
 from meteor_spark.registry import register_sink
 
 
-def kafka_rows(df: DataFrame, key_path: str | None = None) -> DataFrame:
+def _key_message(key_path: str, key: str, asset_type: str) -> bytes:
+    """Protobuf record key per reference kafka/sink.go:121-150: a message
+    of the SAME descriptor with only the key field populated, marshaled.
+    The reference supports only top-level string fields (`.Urn`); this
+    model's key fields live one level down (e.g. resource.urn), so the
+    dynamic message nests the path — the natural generalization."""
+    from meteor_spark.functions import protowire
+
+    parts = key_path.split(".")
+    shell: dict = {parts[-1]: key}
+    for p in reversed(parts[:-1]):
+        shell = {p: shell}
+    return protowire.encode_asset(shell, asset_type=asset_type)
+
+
+def kafka_rows(
+    df: DataFrame, key_path: str | None = None, value_format: str = "json"
+) -> DataFrame:
     """(key, value) frame ready for the kafka writer.
 
     key_path mirrors the reference's `.Urn`-style 1-level path
     (kafka/sink.go:121-188); here it is a column path into the asset
-    struct, e.g. 'resource.urn'."""
+    struct, e.g. 'resource.urn'.
+
+    value_format="json": to_json(struct(*)) value, string key — pure
+    JVM. value_format="protobuf": the reference wire format
+    (kafka/sink.go:112-118) — value is the marshaled asset message,
+    key is the same-descriptor message carrying only the key field
+    (sink.go:121-150); encoded in one Arrow-batched mapInPandas pass
+    (binary output has no JVM builtin), catalog-sized frames only.
+    """
+    if value_format == "protobuf":
+        from meteor_spark.functions import protowire
+
+        cols = df.columns
+
+        def encode(batches):
+            for pdf in batches:
+                import pandas as pd
+
+                keys, values = [], []
+                for rec in pdf.to_dict("records"):
+                    at = rec.get("asset_type") or "Table"
+                    values.append(protowire.encode_asset(rec, asset_type=at))
+                    if key_path:
+                        k = rec
+                        for part in key_path.split("."):
+                            k = k.get(part) if isinstance(k, dict) else None
+                            if k is None:
+                                break
+                        keys.append(
+                            _key_message(key_path, str(k), at) if k is not None else None
+                        )
+                    else:
+                        keys.append(None)
+                yield pd.DataFrame({"key": keys, "value": values})
+
+        return df.select(*cols).mapInPandas(encode, "key binary, value binary")
     value = F.to_json(F.struct(*df.columns)).alias("value")
     if key_path:
         return df.select(F.col(key_path).cast("string").alias("key"), value)
@@ -51,10 +105,11 @@ class KafkaSink(Sink):
         "brokers": Field(required=True, type=str),
         "topic": Field(required=True, type=str),
         "key_path": Field(default=None, type=str),  # e.g. resource.urn
+        "value_format": Field(default="json", type=str, oneof=("json", "protobuf")),
     }
 
     def sink(self, df: DataFrame) -> int:
-        out = kafka_rows(df, self.config["key_path"])
+        out = kafka_rows(df, self.config["key_path"], self.config["value_format"])
         try:
             (
                 out.write.format("kafka")

@@ -113,6 +113,29 @@ def test_functional_dependencies_detects_key_and_rejects_nonkey(spark):
     assert fds[("name", "k")] is False
 
 
+def test_functional_dependencies_null_dependent_breaks_fd(spark):
+    # a=1 maps to both 'x' and NULL: the FD must NOT hold. The naive
+    # count_distinct(a, b) drops b-IS-NULL rows and reports it holding;
+    # the null-safe struct composite counts NULL as a distinct mapping.
+    from meteor_spark.operators.profile import functional_dependencies
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, "y"), (None, "z")],
+        "a int, b string",
+    )
+    fds = {
+        (r["det"], r["dep"]): r
+        for r in functional_dependencies(df, ["a", "b"]).collect()
+    }
+    r = fds[("a", "b")]
+    assert r["n_det"] == 2            # NULL determinant excluded
+    assert r["n_pairs"] == 3          # (1,'x'), (1,NULL), (2,'y')
+    assert r["holds"] is False
+    # b -> a: 'x'->1, NULL-det row excluded, 'y'->2, 'z'->NULL distinct
+    r2 = fds[("b", "a")]
+    assert r2["n_det"] == 3 and r2["n_pairs"] == 3 and r2["holds"] is True
+
+
 def test_inclusion_dependency_counts_violations(spark):
     from meteor_spark.operators.profile import inclusion_dependency
 

@@ -1,0 +1,246 @@
+"""Golden-bytes tests for the pure-Python protobuf wire encoder.
+
+Expected byte strings are hand-derived from the public protobuf wire
+spec (NOT produced by the encoder under test): tag = (field_no << 3) |
+wire_type as varint; wire types 0=varint, 1=64-bit LE, 2=len-delimited.
+Field numbers mirror the reference generated code (see
+meteor_spark/functions/protowire.py module docstring for file:line).
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timezone
+
+from meteor_spark.functions import protowire as pw
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def test_varint_golden():
+    assert pw.varint(0) == b"\x00"
+    assert pw.varint(1) == b"\x01"
+    assert pw.varint(127) == b"\x7f"
+    assert pw.varint(128) == b"\x80\x01"
+    assert pw.varint(150) == b"\x96\x01"  # the protobuf docs' example
+    assert pw.varint(300) == b"\xac\x02"
+    # negative int64: two's complement, always 10 bytes
+    assert pw.varint(-1) == b"\xff" * 9 + b"\x01"
+
+
+def test_tag_golden():
+    assert pw.tag(1, 2) == b"\x0a"   # field 1 LEN
+    assert pw.tag(2, 0) == b"\x10"   # field 2 VARINT
+    assert pw.tag(21, 2) == b"\xaa\x01"  # field 21 LEN (two-byte tag)
+    assert pw.tag(100, 2) == b"\xa2\x06"  # field 100 LEN
+
+
+def test_scalar_fields_golden():
+    assert pw.enc_string_field(1, "urn:a") == b"\x0a\x05urn:a"
+    assert pw.enc_varint_field(2, 150) == b"\x10\x96\x01"
+    assert pw.enc_double_field(3, 1.5) == b"\x19" + struct.pack("<d", 1.5)
+    assert struct.pack("<d", 1.5) == b"\x00\x00\x00\x00\x00\x00\xf8\x3f"
+
+
+# ---------------------------------------------------------------------------
+# well-known types
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_golden():
+    dt = datetime(2024, 1, 2, 3, 4, 5, tzinfo=timezone.utc)
+    secs = int(dt.timestamp())
+    assert pw.enc_timestamp(dt) == b"\x08" + pw.varint(secs)
+    # naive datetimes are UTC by convention
+    assert pw.enc_timestamp(datetime(2024, 1, 2, 3, 4, 5)) == b"\x08" + pw.varint(secs)
+    # epoch encodes as empty message (proto3 zero omission)
+    assert pw.enc_timestamp(datetime(1970, 1, 1, tzinfo=timezone.utc)) == b""
+
+
+def test_value_golden():
+    assert pw.enc_value(None) == b"\x08\x00"            # null_value=1 enum 0
+    assert pw.enc_value(True) == b"\x20\x01"            # bool_value=4
+    assert pw.enc_value(False) == b"\x20\x00"           # proto3 oneof: explicit
+    assert pw.enc_value("x") == b"\x1a\x01x"            # string_value=3
+    assert pw.enc_value(1.5) == b"\x11" + struct.pack("<d", 1.5)  # number=2
+    # ints are JSON numbers -> number_value double
+    assert pw.enc_value(2) == b"\x11" + struct.pack("<d", 2.0)
+
+
+def test_struct_golden_sorted_keys():
+    # {"b": "x", "a": 1.5} -> entries sorted a, b
+    val_a = b"\x11" + struct.pack("<d", 1.5)
+    entry_a = b"\x0a\x01a" + b"\x12" + bytes([len(val_a)]) + val_a
+    val_b = b"\x1a\x01x"
+    entry_b = b"\x0a\x01b" + b"\x12" + bytes([len(val_b)]) + val_b
+    want = (
+        b"\x0a" + bytes([len(entry_a)]) + entry_a
+        + b"\x0a" + bytes([len(entry_b)]) + entry_b
+    )
+    assert pw.enc_struct({"b": "x", "a": 1.5}) == want
+    assert pw.enc_struct_json('{"b": "x", "a": 1.5}') == want
+
+
+def test_list_value_golden():
+    # ["x", 2] -> values=1 repeated
+    want = b"\x0a\x03\x1a\x01x" + b"\x0a\x09\x11" + struct.pack("<d", 2.0)
+    assert pw.enc_list_value(["x", 2]) == want
+
+
+# ---------------------------------------------------------------------------
+# messages
+# ---------------------------------------------------------------------------
+
+
+def test_resource_golden():
+    got = pw.enc_message(pw.RESOURCE_DESC, {"urn": "urn:a", "name": "t"})
+    assert got == b"\x0a\x05urn:a\x12\x01t"
+
+
+def test_proto3_zero_omission():
+    got = pw.enc_message(
+        pw.COLUMN_DESC,
+        {"name": "c", "description": "", "is_nullable": False, "length": 0},
+    )
+    assert got == b"\x0a\x01c"  # only the non-zero field
+
+
+def test_table_asset_golden():
+    # Table{resource{urn:"urn:a", name:"t"}, profile{total_rows:150}}
+    resource = b"\x0a\x05urn:a\x12\x01t"
+    profile = b"\x08\x96\x01"  # total_rows=1 varint 150
+    want = (
+        b"\x0a" + bytes([len(resource)]) + resource
+        + b"\xaa\x01" + bytes([len(profile)]) + profile  # field 21
+    )
+    got = pw.encode_asset(
+        {
+            "asset_type": "Table",
+            "resource": {"urn": "urn:a", "name": "t"},
+            "profile": {"total_rows": 150},
+        }
+    )
+    assert got == want
+
+
+def test_table_schema_wrapper_and_properties():
+    # schema -> Columns{columns=1 repeated}; column at field 1
+    col = b"\x0a\x02c1" + b"\x1a\x03int" + b"\x20\x01"  # name, data_type, is_nullable
+    columns_msg = b"\x0a" + bytes([len(col)]) + col
+    # properties -> Properties{tags=1 rep, labels=2 map sorted}
+    lbl_a = b"\x0a\x01a\x12\x011"
+    lbl_b = b"\x0a\x01b\x12\x012"
+    props = (
+        b"\x0a\x02t1"
+        + b"\x12" + bytes([len(lbl_a)]) + lbl_a
+        + b"\x12" + bytes([len(lbl_b)]) + lbl_b
+    )
+    want = (
+        b"\xb2\x01" + bytes([len(columns_msg)]) + columns_msg  # field 22
+        + b"\x8a\x02" + bytes([len(props)]) + props            # field 33
+    )
+    got = pw.encode_asset(
+        {
+            "asset_type": "Table",
+            "schema": [{"name": "c1", "data_type": "int", "is_nullable": True}],
+            "properties": {"tags": ["t1"], "labels": {"b": "2", "a": "1"}},
+        }
+    )
+    assert got == want
+
+
+def test_topic_asset_field_numbers():
+    # Topic puts profile at 21, schema facet at 31, properties at 34
+    got = pw.encode_asset(
+        {
+            "asset_type": "Topic",
+            "resource": {"urn": "u"},
+            "topic_profile": {"number_of_partitions": 3},
+            "topic_schema": {"format": "avro"},
+        }
+    )
+    want = (
+        b"\x0a\x03\x0a\x01u"            # field 1: Resource{urn=1: "u"}
+        + b"\xaa\x01\x02\x10\x03"       # field 21: {number_of_partitions=2: 3}
+        + b"\xfa\x01\x06\x12\x04avro"   # field 31: {format=2: "avro"}
+    )
+    assert got == want
+
+
+def test_timestamps_and_event_fields():
+    dt = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    ts_payload = b"\x08" + pw.varint(int(dt.timestamp()))
+    inner = b"\x0a" + bytes([len(ts_payload)]) + ts_payload  # create_time=1
+    ev = (
+        b"\x0a" + bytes([len(ts_payload)]) + ts_payload  # timestamp=1
+        + b"\x12\x04sync"                                # action=2
+    )
+    want = (
+        b"\x92\x02" + bytes([len(inner)]) + inner  # field 34 timestamps
+        + b"\xa2\x06" + bytes([len(ev)]) + ev      # field 100 event
+    )
+    got = pw.encode_asset(
+        {
+            "asset_type": "Table",
+            "timestamps": {"create_time": dt},
+            "event": {"timestamp": dt, "action": "sync"},
+        }
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# kafka sink integration (mapInPandas path)
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_rows_protobuf_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    a["resource"] = {
+        "urn": "urn:a", "name": "t", "service": "parquet",
+        "type": "table", "url": None, "description": None,
+    }
+    a["profile"] = {
+        "total_rows": 150, "partition_key": None, "partition_value": None,
+        "usage_count": 0, "joins": None, "filters": None,
+    }
+    df = spark.createDataFrame([a], ASSET_SCHEMA)
+    out = kafka_rows(df, key_path="resource.urn", value_format="protobuf").collect()
+    assert len(out) == 1
+    resource = b"\x0a\x05urn:a\x12\x01t\x1a\x07parquet\x22\x05table"
+    profile = b"\x08\x96\x01"
+    want_value = (
+        b"\x0a" + bytes([len(resource)]) + resource
+        + b"\xaa\x01" + bytes([len(profile)]) + profile
+    )
+    assert bytes(out[0]["value"]) == want_value
+    # key = Table{resource{urn:"urn:a"}} only (reference sink.go:121-150)
+    key_res = b"\x0a\x05urn:a"
+    assert bytes(out[0]["key"]) == b"\x0a" + bytes([len(key_res)]) + key_res
+
+
+def test_kafka_rows_json_default_unchanged(spark):
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    a["resource"] = {
+        "urn": "urn:a", "name": "t", "service": "parquet",
+        "type": "table", "url": None, "description": None,
+    }
+    df = spark.createDataFrame([a], ASSET_SCHEMA)
+    row = kafka_rows(df, key_path="resource.urn").collect()[0]
+    assert row["key"] == "urn:a"
+    assert '"urn":"urn:a"' in row["value"]

@@ -83,6 +83,23 @@ def test_ivf_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_pivot_topk_recall_and_shape(spark, sf_dir):
+    # hash-pivot quantizer: deterministic across runs (no fit), exact
+    # k answers per query, decent recall vs brute force at 8 cells / 3 probes
+    from meteor_spark.operators.similarity import brute_force_topk, ivf_pivot_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    got = ivf_pivot_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    assert len(got) == 50  # 10 queries x k=5, probed cells always hold >= k
+    again = ivf_pivot_topk(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall {recall}"
+
+
 def test_pq_topk_recall_and_determinism(spark, sf_dir):
     from pyspark.sql import functions as F
 

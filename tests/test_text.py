@@ -245,6 +245,21 @@ def test_char_entropy_profile(spark):
     assert got[4]["n_chars_norm"] == 8
 
 
+def test_char_entropy_profile_empty_docs_emit_no_row(spark):
+    # normalized length 0 must be filtered BEFORE the explode: Spark's
+    # sequence(1, 0) defaults to step -1 and yields [1, 0] — two phantom
+    # chars — where the DuckDB oracle's range(1, 1) yields none.
+    from meteor_spark.operators.text import char_entropy_profile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, "ab")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy_profile(df).collect()}
+    assert set(got) == {3}
+    assert got[3]["n_chars_norm"] == 2 and got[3]["char_entropy"] == 1.0
+
+
 def test_lexical_kl_zero_for_identical_distributions(spark):
     from meteor_spark.operators.text import lexical_kl_by_group
 
