@@ -242,3 +242,64 @@ def test_curate_entropy_and_novelty_gates(spark):
     # docs 1 and 3 share most 3-grams -> both fall below the novelty
     # floor; the low-entropy doc 2 is fully self-unique
     assert sorted(r["doc_id"] for r in p2.process(docs).collect()) == [2]
+
+
+def test_cancel_aborts_inflight_run(spark):
+    # reference agent/agent.go:160-164: ctx cancellation closes the
+    # stream and the run reports failure. Here: a genuinely in-flight
+    # Spark action (slow per-row UDF) cancelled from another thread via
+    # Agent.cancel() -> sparkContext.cancelAllJobs(); run() must catch
+    # the job abort and mark the report failed, never hang or succeed.
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    class SlowExtractor(Extractor):
+        CONFIG = {}
+
+        def extract(self, sp):
+            @F.udf(LongType())
+            def crawl(v):
+                _time.sleep(0.5)
+                return v
+
+            # 64 rows x 0.5s across 32 cores ~= 1s+ of wall clock: wide
+            # enough that cancel lands while tasks are genuinely running
+            return sp.range(64).repartition(32).select(crawl("id").alias("v"))
+
+    if not registry.extractors.has("slow"):
+        registry.extractors.register("slow", SlowExtractor)
+
+    agent = Agent(spark)
+    recipe = Recipe(
+        name="cancelme",
+        version="v1beta1",
+        source=PluginRecipe("slow", {}),
+        sinks=[PluginRecipe("collect")],
+    )
+    result: dict = {}
+
+    def go():
+        result["run"] = agent.run(recipe)
+
+    t = threading.Thread(target=go)
+    t.start()
+    # cancelAllJobs only aborts ACTIVE jobs — poll until the count()
+    # action actually has one (UDF/worker spin-up delays submission),
+    # then give its tasks a beat to be genuinely running
+    tracker = spark.sparkContext.statusTracker()
+    deadline = _time.time() + 30
+    while not tracker.getActiveJobsIds() and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert tracker.getActiveJobsIds(), "job never became active"
+    _time.sleep(0.3)
+    agent.cancel()
+    t.join(timeout=60)
+    assert not t.is_alive(), "run did not terminate after cancel"
+    run = result["run"]
+    assert run.success is False
+    assert run.error  # the cancellation surfaced in the report
+    # the session must remain usable for the next run (cancel, not stop)
+    assert spark.range(3).count() == 3
