@@ -35,7 +35,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 169 entries, 161 with exact DuckDB oracles.
+                 170 entries, 162 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 8 approximate/iterative operators are rows-only and
                  have no oracle).

@@ -315,6 +315,192 @@ def ivf_pivot_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def pq_pivot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 8,
+    n_candidates: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Product-quantization ANN with a hash-pivot codebook — the
+    exactly-checkable sibling of pq_topk (whose numpy-kmeans codebook
+    uses pairwise float summation no SQL engine reproduces bitwise).
+
+    Codebook: the n_codes corpus vectors with smallest md5(id),
+    L2-normalized, each split into m subspaces — no training, fully
+    deterministic. Every float op is arranged to be bit-identical on
+    any engine with sequential left-to-right reductions:
+
+    - normalization divides by sqrt(sequential sum of squares);
+    - the per-subspace code is argmin of (||c_j||² - 2·x_j·c_j) — the
+      row-constant ||x_j||² dropped so the comparison is two dots and
+      two flops; strict < keeps the lowest code index on exact ties;
+    - the asymmetric-distance score is the m per-subspace LUT dots
+      summed by a LEFT-ASSOCIATIVE + chain (DuckDB mirrors with
+      list_reduce over the terms ordered by subspace).
+
+    Search: score every corpus code against each query (PQ scans codes
+    by design — the codes are m bytes, the point of PQ at 100 TB), keep
+    the global top n_candidates per query, exact-cosine re-rank the
+    candidates' raw vectors to top k. The scoring join broadcasts the
+    query side; codes, not vectors, flow through the window.
+    """
+    import math
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    d_sub = dim // m
+
+    pivot_rows = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("pv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_codes)
+        .collect()
+    )
+
+    def py_dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    centroids: list[list[float]] = []
+    for r in pivot_rows:
+        n = math.sqrt(py_dot(r["pv"], r["pv"]))
+        centroids.append([float(x) / n for x in r["pv"]])
+    # per (subspace, code): the centroid subvector and its squared norm
+    cent_sub = [
+        [c[j * d_sub : (j + 1) * d_sub] for c in centroids] for j in range(m)
+    ]
+    cent_yy = [[py_dot(s, s) for s in subs] for subs in cent_sub]
+
+    def _normed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        # norm projected once per row, then one element-wise divide
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .withColumn("__n", norm(F.col("__v")))
+            .select(
+                out_id,
+                F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(out_vec),
+            )
+        )
+
+    base = _normed(corpus, "neighbor_id", "nv")
+
+    # The codebook rides a 128-row broadcast frame and every per-row
+    # expression stays small — an earlier formulation inlined all
+    # m x n_codes literal subvectors into one projection and blew janino's
+    # 64 KB generated-method limit (codegen fallback, 2x slower).
+    spark = corpus.sparkSession
+    ct = spark.createDataFrame(
+        [(j, c, cent_sub[j][c], cent_yy[j][c]) for j in range(m) for c in range(n_codes)],
+        "j int, c int, cs array<double>, yy double",
+    )
+
+    def dot_sub(a: Column, b: Column) -> Column:
+        # element-wise expanded dot over d_sub components: codegen'd,
+        # left-associative — the oracle's list_dot_product order
+        acc = F.element_at(a, 1) * F.element_at(b, 1)
+        for t in range(1, d_sub):
+            acc = acc + F.element_at(a, t + 1) * F.element_at(b, t + 1)
+        return acc
+
+    subs = base.select(
+        "neighbor_id",
+        F.posexplode(
+            F.array(*[F.slice(F.col("nv"), j * d_sub + 1, d_sub) for j in range(m)])
+        ).alias("j", "xs"),
+    )
+    # per (vector, subspace): argmin code, ties -> lowest c (min_by on
+    # the (s, c) struct = the oracle's ORDER BY s, c); the winning
+    # centroid subvector rides along for the ADC stage
+    enc = (
+        subs.join(F.broadcast(ct), "j")
+        .select(
+            "neighbor_id",
+            "j",
+            "c",
+            "cs",
+            (F.col("yy") - 2.0 * dot_sub(F.col("xs"), F.col("cs"))).alias("s"),
+        )
+        .groupBy("neighbor_id", "j")
+        .agg(
+            F.min_by(
+                F.struct(F.col("c"), F.col("cs")), F.struct(F.col("s"), F.col("c"))
+            ).alias("best")
+        )
+        .select("neighbor_id", "j", F.col("best.cs").alias("cs"))
+    )
+
+    q = _normed(queries, "query_id", "qnv")
+
+    def dot_sub_at(qv: Column, j: Column, b: Column) -> Column:
+        acc = F.element_at(qv, j * d_sub + 1) * F.element_at(b, 1)
+        for t in range(1, d_sub):
+            acc = acc + F.element_at(qv, j * d_sub + t + 1) * F.element_at(b, t + 1)
+        return acc
+
+    term = enc.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        "j",
+        dot_sub_at(F.col("qnv"), F.col("j"), F.col("cs")).alias("t"),
+    )
+    # ADC = the m subspace terms summed IN SUBSPACE ORDER (array_sort on
+    # (j, t) structs, then a sequential fold) — matches the oracle's
+    # list_reduce(list(t ORDER BY j))
+    adc_df = (
+        term.groupBy("query_id", "neighbor_id")
+        .agg(F.collect_list(F.struct("j", "t")).alias("jt"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform(F.array_sort(F.col("jt")), lambda x: x["t"]),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("adc"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    cand = (
+        adc_df.withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    rescored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -3469,14 +3469,99 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("pq_ann_topk")  # no oracle: approximate (quantized) scoring, rows-only
+# PQ with a hash-pivot codebook is deterministic end-to-end and every
+# float reduction is sequential left-to-right on both engines, so the
+# oracle rebuilds normalization, per-subspace codes, ADC scores, the
+# candidate cut, and the exact re-rank bit-for-bit (the same upgrade
+# ivf_ann_topk/srp_ann_topk got). Parameters: 64-dim -> m=16 subspaces
+# of 4, 8 codes, 64 candidates. Encoding argmin drops the row-constant
+# ||x_j||^2 (s = ||c||^2 - 2 x.c); ADC folds terms via list_reduce to
+# mirror Spark's left-associative + chain.
+_PQ_M = 16
+_PQ_DSUB = 4
+_PQ_CODES = 8
+_PQ_CAND = 64
+_PQ_ORACLE = f"""
+WITH pv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c
+  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_CODES}),
+cent AS (
+  SELECT c, list_transform(v, x -> x / n) AS cv
+  FROM (SELECT c, v, sqrt(list_dot_product(v, v)) AS n FROM pv)),
+csub AS (
+  SELECT c, j.range::INT AS j,
+         list_slice(cv, j.range * {_PQ_DSUB} + 1, j.range * {_PQ_DSUB} + {_PQ_DSUB}) AS cs
+  FROM cent, range({_PQ_M}) j),
+csub2 AS (SELECT c, j, cs, list_dot_product(cs, cs) AS yy FROM csub),
+nrm AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS nv
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS n
+        FROM embeddings)),
+enc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT b.vec_id, s.j, s.c,
+           row_number() OVER (PARTITION BY b.vec_id, s.j ORDER BY
+             s.yy - 2 * list_dot_product(
+               list_slice(b.nv, s.j * {_PQ_DSUB} + 1, s.j * {_PQ_DSUB} + {_PQ_DSUB}), s.cs),
+             s.c) AS rn
+    FROM nrm b, csub2 s) WHERE rn = 1),
+qn AS (SELECT vec_id AS query_id, nv AS qnv FROM nrm WHERE vec_id < {_ANN_NQUERY}),
+term AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.j,
+         list_dot_product(
+           list_slice(q.qnv, e.j * {_PQ_DSUB} + 1, e.j * {_PQ_DSUB} + {_PQ_DSUB}), s.cs) AS t
+  FROM qn q, enc e
+  JOIN csub2 s ON s.j = e.j AND s.c = e.code
+  WHERE e.vec_id <> q.query_id),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(t ORDER BY j), (a, b) -> a + b) AS adc
+  FROM term GROUP BY query_id, neighbor_id),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS crank
+    FROM adc) WHERE crank <= {_PQ_CAND}),
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(q.v, nb.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(nb.v, nb.v))), 4) AS cos
+  FROM cand cd
+  JOIN base q ON q.vec_id = cd.query_id
+  JOIN base nb ON nb.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= {_ANN_K}
+"""
+
+
+@query("pq_ann_topk", _PQ_ORACLE)
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (similarity.pq_topk): the memory-bound
-    scale path — 64 float32 per vector compress to 16 one-byte codes, a
-    vectorized mapInPandas pass scores codes via per-query lookup
-    tables and emits per-batch top-candidates (map-side top-k), exact
-    cosine re-ranks candidates only. Recall vs brute force pinned by
-    tests (>= 0.9 @ k=5)."""
+    """Product-quantization ANN, exactly gated: hash-pivot codebook
+    (n_codes smallest-md5 corpus vectors, normalized, split into m
+    subspaces), per-subspace argmin codes, asymmetric-distance scoring
+    with a bit-stable fold order, candidate cut, exact cosine re-rank
+    (similarity.pq_pivot_topk). The numpy-kmeans codebook variant stays
+    driver-smoked as pq_kmeans_ann_topk (rows-only: numpy's pairwise
+    float summation is not SQL-reproducible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.pq_pivot_topk(
+        emb, q, k=_ANN_K, m=_PQ_M, n_codes=_PQ_CODES, n_candidates=_PQ_CAND
+    )
+
+
+@query("pq_kmeans_ann_topk")  # no oracle: numpy-kmeans codebook, rows-only
+def pq_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with the trained codebook
+    (similarity.pq_topk): the memory-bound scale path — 64 float32 per
+    vector compress to 16 one-byte codes, a vectorized mapInPandas pass
+    scores codes via per-query lookup tables and emits per-batch
+    top-candidates (map-side top-k), exact cosine re-ranks candidates
+    only. Recall vs brute force pinned by tests (>= 0.9 @ k=5)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
     return similarity.pq_topk(emb, q, k=_ANN_K)

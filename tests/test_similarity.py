@@ -100,6 +100,23 @@ def test_ivf_pivot_topk_recall_and_shape(spark, sf_dir):
     assert recall >= 0.4, f"recall {recall}"
 
 
+def test_pq_pivot_topk_recall_and_shape(spark, sf_dir):
+    # hash-pivot codebook PQ: deterministic (no training), k answers per
+    # query, decent recall after the exact re-rank of 64 ADC candidates
+    from meteor_spark.operators.similarity import brute_force_topk, pq_pivot_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    got = pq_pivot_topk(emb, q, k=5).collect()
+    assert len(got) == 50
+    again = pq_pivot_topk(emb, q, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+
+
 def test_pq_topk_recall_and_determinism(spark, sf_dir):
     from pyspark.sql import functions as F
 
