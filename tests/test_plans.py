@@ -284,3 +284,24 @@ def test_gopher_gate_is_single_pruned_scan(spark):
     assert "Join" not in plan
     read_schema = plan.split("ReadSchema")[-1]
     assert "n_chars" not in read_schema and "source" not in read_schema
+
+
+def test_ivf_pivot_assignment_is_shuffle_free_and_probes_broadcast(spark):
+    # cell assignment folds over the literal pivot array per corpus row
+    # (no exchange for the argmax); the probe join broadcasts the tiny
+    # query side so the corpus never shuffles for the candidate cut
+    plan = _plan(spark, "ivf_ann_topk")
+    assert "BroadcastHashJoin" in plan  # assigned JOIN broadcast(probes) on cell
+    assert "SortMergeJoin" not in plan
+    # exactly the shuffles the top-k window needs; none for assignment
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_pivot_codebook_and_queries_broadcast(spark):
+    # the 128-row codebook and the query side must both broadcast; the
+    # corpus side of every join stays streamed
+    plan = _plan(spark, "pq_ann_topk")
+    assert plan.count("BroadcastHashJoin") >= 2  # codes JOIN ct; cand JOIN cv/qv
+    assert "BroadcastNestedLoopJoin" in plan     # enc x queries (inequality cond)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
