@@ -262,12 +262,15 @@ def test_cancel_aborts_inflight_run(spark):
         def extract(self, sp):
             @F.udf(LongType())
             def crawl(v):
-                _time.sleep(0.5)
+                _time.sleep(2.0)
                 return v
 
-            # 64 rows x 0.5s across 32 cores ~= 1s+ of wall clock: wide
-            # enough that cancel lands while tasks are genuinely running
-            return sp.range(64).repartition(32).select(crawl("id").alias("v"))
+            # 128 rows x 2s across <=32 cores = 4+ task waves (~8s of
+            # wall clock): wide enough that cancel lands while tasks
+            # are genuinely running even on a loaded box (0.5s x 1 wave
+            # flaked under a full-suite run — the job finished in the
+            # gap between the active-job poll and the cancel call)
+            return sp.range(128).repartition(32).select(crawl("id").alias("v"))
 
     if not registry.extractors.has("slow"):
         registry.extractors.register("slow", SlowExtractor)
