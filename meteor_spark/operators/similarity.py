@@ -233,14 +233,26 @@ def ivf_pivot_topk(
     quantizers trade a little cell balance for zero training).
 
     Scale shape: the pivot set is a bounded driver-side collect
-    (n_cells · dim doubles) inlined as a literal array; cell assignment
-    is a SHUFFLE-FREE fold over that array per corpus row (argmax
-    cosine, first-in-hash-order wins exact ties) — the corpus is never
-    shuffled for assignment, unlike a window-based argmax which would
-    move 8N rows. Search = multi-probe (each query ranks pivots, keeps
-    n_probe cells) + exact cosine re-rank within probed cells, the same
-    bucket equi-join shape as ivf_topk.
+    (n_cells · dim doubles); pivots are UNIT-normalized driver-side so
+    cell assignment ranks by dot(v, unit_pivot) — order-identical to
+    cosine (the row norm is a constant positive factor across pivots)
+    but needs no per-pivot norm folds, cutting the assignment work per
+    row ~3x vs the cosine fold it replaces. The dots stay higher-order
+    functions (zip_with/aggregate): a fully literal-expanded dot was
+    measured SLOWER here (8 cells x 64 dims blows janino's 64 KB method
+    limit, so whole-stage codegen fails and the whole scan stage falls
+    back — 4.5s vs 2.0s at sf0.1), while HOFs evaluate inline inside
+    the codegen'd stage. Assignment is SHUFFLE-FREE: argmax via
+    array_min over (-dot, hash_ord, cell) structs, first-in-hash-order
+    on exact ties. Search = multi-probe (each query ranks pivots by the
+    same unit-dot, keeps n_probe cells) + exact cosine re-rank within
+    probed cells, the same bucket equi-join shape as ivf_topk.
+    Tie robustness: the oracle ranks by cosine(v, pivot); dot(v, unit
+    pivot) agrees except on sub-ulp near-ties between two pivots, which
+    real-valued embeddings don't produce (parity-verified at sf0.01).
     """
+    import math
+
     pivot_rows = (
         corpus.select(
             F.col(id_col).cast("long").alias("cell"),
@@ -251,30 +263,39 @@ def ivf_pivot_topk(
         .limit(n_cells)
         .collect()
     )
+
+    def py_norm(v) -> float:
+        s = 0.0
+        for x in v:
+            s += x * x
+        return math.sqrt(s)
+
+    # unit pivots computed with sequential sums — the exact arithmetic
+    # the oracle's sqrt(list_dot_product)/divide performs
+    units = []
+    for r in pivot_rows:
+        n = py_norm(r["pv"])
+        units.append((int(r["cell"]), [float(x) / n for x in r["pv"]]))
+
     centers_arr = F.array(
         *[
             F.struct(
-                F.lit(int(r["cell"])).cast("long").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["pv"]]).alias("pv"),
+                F.lit(o).alias("o"),
+                F.lit(cid).cast("long").alias("cell"),
+                F.array(*[F.lit(x) for x in up]).alias("up"),
             )
-            for r in pivot_rows
+            for o, (cid, up) in enumerate(units)
         ]
     )
 
-    def best_cell(vc: Column) -> Column:
-        init = F.struct(
-            F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("long").alias("cell")
+    def best_cell(vec: Column) -> Column:
+        cands = F.transform(
+            centers_arr,
+            lambda c: F.struct(
+                (-dot(vec, c["up"])).alias("ns"), c["o"].alias("o"), c["cell"].alias("cell")
+            ),
         )
-
-        def fold(acc: Column, c: Column) -> Column:
-            cc = cosine(vc, c["pv"])
-            take = cc > acc["cos"]
-            return F.struct(
-                F.when(take, cc).otherwise(acc["cos"]).alias("cos"),
-                F.when(take, c["cell"]).otherwise(acc["cell"]).alias("cell"),
-            )
-
-        return F.aggregate(centers_arr, init, fold)["cell"]
+        return F.array_min(cands)["cell"]
 
     assigned = (
         corpus.select(
@@ -289,11 +310,11 @@ def ivf_pivot_topk(
     )
     probes = (
         q.select("query_id", "qv", F.explode(centers_arr).alias("c"))
-        .withColumn("c_cos", cosine(F.col("qv"), F.col("c.pv")))
+        .withColumn("c_dot", dot(F.col("qv"), F.col("c.up")))
         .withColumn(
             "p_rank",
             F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("c.cell"))
+                Window.partitionBy("query_id").orderBy(F.col("c_dot").desc(), F.col("c.cell"))
             ),
         )
         .filter(F.col("p_rank") <= n_probe)
