@@ -1782,13 +1782,81 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_kmeans_profile")  # rows-only: iterative fit, like ivf/pq
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
+    """Chained-CTE replay of similarity.kmeans_fit: init = the k
+    smallest-vec_id vectors (cluster = order index), then per iteration
+    ASSIGN (argmax of dot(v,c) − |c|²/2, ties to the lowest cluster) and
+    UPDATE (per-component avg ROUNDED to round_to; empty clusters keep
+    the previous centroid), then one final assign + the label-mix
+    readout. The rounding firewall between iterations is what makes the
+    greedy path engine-replayable — the same discipline as the kcenter
+    oracle. One extra assign runs after the last update, mirroring the
+    Spark loop's trailing assign(cents)."""
+    head = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+comps AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM base),
+init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT {k})),
+c0 AS MATERIALIZED (SELECT i.cluster, c.pos, c.x AS m FROM init i JOIN comps c USING (vec_id))"""
+    steps, prev = [], "c0"
+    for it in range(1, iters + 1):
+        steps.append(f""",
+sc{it} AS MATERIALIZED (
+  SELECT c.vec_id, ce.cluster, sum(c.x * ce.m) AS d
+  FROM comps c JOIN {prev} ce USING (pos) GROUP BY 1, 2),
+hs{it} AS MATERIALIZED (SELECT cluster, sum(m * m) / 2.0 AS half FROM {prev} GROUP BY 1),
+a{it} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY s.d - h.half DESC, s.cluster) AS rk
+    FROM sc{it} s JOIN hs{it} h USING (cluster)) WHERE rk = 1),
+u{it} AS MATERIALIZED (
+  SELECT a.cluster, c.pos, round(avg(c.x), {round_to}) AS m
+  FROM a{it} a JOIN comps c USING (vec_id) GROUP BY 1, 2),
+c{it} AS MATERIALIZED (
+  SELECT * FROM u{it}
+  UNION ALL
+  SELECT p.* FROM {prev} p
+  WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM u{it}))""")
+        prev = f"c{it}"
+    fin = iters + 1
+    tail = f""",
+scf AS MATERIALIZED (
+  SELECT c.vec_id, ce.cluster, sum(c.x * ce.m) AS d
+  FROM comps c JOIN {prev} ce USING (pos) GROUP BY 1, 2),
+hsf AS MATERIALIZED (SELECT cluster, sum(m * m) / 2.0 AS half FROM {prev} GROUP BY 1),
+af AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT s.vec_id, s.cluster,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY s.d - h.half DESC, s.cluster) AS rk
+    FROM scf s JOIN hsf h USING (cluster)) WHERE rk = 1),
+lab AS (
+  SELECT a.cluster, b.label, count(*) AS n
+  FROM af a JOIN base b USING (vec_id) GROUP BY 1, 2),
+tot AS (SELECT cluster, sum(n) AS n_vecs FROM lab GROUP BY 1),
+tl AS (
+  SELECT cluster, label, n,
+         row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label DESC) AS rk
+  FROM lab)
+SELECT t.cluster, t.n_vecs, CAST(tl.label AS INTEGER) AS top_label,
+       round(tl.n * 1.0 / t.n_vecs, 4) AS top_label_share
+FROM tot t JOIN tl ON t.cluster = tl.cluster AND tl.rk = 1
+ORDER BY t.cluster"""
+    _ = fin
+    return head + "".join(steps) + tail
+
+
+@query("embedding_kmeans_profile", _kmeans_oracle_sql())
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding table + per-cluster
     label-mix report (operators.similarity.kmeans_fit): each iteration is
     one scan + one k·dim-row partial-agg shuffle; centroids round-tripped
-    as rounded literals so the fit is partitioning-reproducible. The
-    cluster-balanced-mixing readout of embedding curation."""
+    as ROUNDED literals so the fit is partitioning-reproducible — and,
+    as of round 4, engine-replayable: the oracle re-runs init, all
+    assign/update iterations, and the final readout as chained CTEs
+    (upgraded from rows-only the way kcenter/srp/ivf were)."""
     from meteor_spark.operators.similarity import kmeans_cluster_profile
 
     return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"))

@@ -65,6 +65,7 @@ class Agent:
     max_retries: int = retrier.DEFAULT_MAX_RETRIES
     retry_initial_interval_s: float = retrier.DEFAULT_INITIAL_INTERVAL_S
     monitors: list = field(default_factory=list)  # objects with record_run(Run)
+    _cancelled: bool = field(default=False, init=False, repr=False)
 
     def validate(self, recipe: Recipe) -> list[Exception]:
         """Collect every plugin-not-found / invalid-config error
@@ -89,6 +90,10 @@ class Agent:
 
     def run(self, recipe: Recipe) -> Run:
         report = Run(recipe=recipe)
+        if self._cancelled:  # cancelled agent: fail fast, never submit
+            report.error = "cancelled"
+            report.success = False
+            return report
         started = time.monotonic()
         df: DataFrame | None = None
         try:
@@ -138,6 +143,14 @@ class Agent:
             report.error = str(e)
             report.success = False
         finally:
+            # a cancel() that raced this run ALWAYS fails the report,
+            # even when the aborted job was a sink action that the
+            # continue-on-sink-error policy would otherwise swallow —
+            # the reference's ctx.Done() ends the run as failed
+            # regardless of which stage it interrupted (agent.go:160-164)
+            if self._cancelled:
+                report.success = False
+                report.error = report.error or "cancelled"
             if df is not None and df.is_cached:
                 df.unpersist()
             report.duration_ms = int((time.monotonic() - started) * 1000)
@@ -151,7 +164,13 @@ class Agent:
     def cancel(self) -> None:
         """Graceful cancel: abort every in-flight Spark job (the analogue
         of the reference's ctx.Done() closing the stream,
-        agent/agent.go:160-164). Wire to SIGINT/SIGTERM in the CLI."""
+        agent/agent.go:160-164). Wire to SIGINT/SIGTERM in the CLI.
+
+        Like a cancelled Go context, the agent stays cancelled: runs in
+        flight report failed even if their current action completed, and
+        later runs on this instance fail fast — build a fresh Agent (the
+        SparkSession itself remains usable; this never stops it)."""
+        self._cancelled = True
         if self.spark is not None:
             self.spark.sparkContext.cancelAllJobs()
 

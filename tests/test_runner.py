@@ -250,11 +250,21 @@ def test_cancel_aborts_inflight_run(spark):
     # Spark action (slow per-row UDF) cancelled from another thread via
     # Agent.cancel() -> sparkContext.cancelAllJobs(); run() must catch
     # the job abort and mark the report failed, never hang or succeed.
+    import os
+    import tempfile
     import threading
     import time as _time
+    import uuid
 
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    # touched by the FIRST udf invocation (local mode shares the fs):
+    # the test cancels only after this exists, so the job is provably
+    # mid-task — polling getActiveJobsIds alone flaked when a lingering
+    # job from an earlier test in the shared session matched the poll
+    # and cancel fired before this job's tasks ever started
+    marker = os.path.join(tempfile.gettempdir(), f"cancel_marker_{uuid.uuid4().hex}")
 
     class SlowExtractor(Extractor):
         CONFIG = {}
@@ -262,6 +272,7 @@ def test_cancel_aborts_inflight_run(spark):
         def extract(self, sp):
             @F.udf(LongType())
             def crawl(v):
+                open(marker, "a").close()
                 _time.sleep(2.0)
                 return v
 
@@ -289,15 +300,12 @@ def test_cancel_aborts_inflight_run(spark):
 
     t = threading.Thread(target=go)
     t.start()
-    # cancelAllJobs only aborts ACTIVE jobs — poll until the count()
-    # action actually has one (UDF/worker spin-up delays submission),
-    # then give its tasks a beat to be genuinely running
-    tracker = spark.sparkContext.statusTracker()
-    deadline = _time.time() + 30
-    while not tracker.getActiveJobsIds() and _time.time() < deadline:
+    # cancelAllJobs only aborts ACTIVE jobs — wait for the udf's own
+    # started-signal, which can only appear while a task is running
+    deadline = _time.time() + 60
+    while not os.path.exists(marker) and _time.time() < deadline:
         _time.sleep(0.05)
-    assert tracker.getActiveJobsIds(), "job never became active"
-    _time.sleep(0.3)
+    assert os.path.exists(marker), "no task ever started"
     agent.cancel()
     t.join(timeout=60)
     assert not t.is_alive(), "run did not terminate after cancel"
