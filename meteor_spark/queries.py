@@ -3494,8 +3494,64 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_incremental_neardup")  # rows-only: greedy sequential
-# survivor rule over probabilistic LSH collisions — not SQL-practical
+# The streaming near-dup gate IS exactly replayable: the microbatch
+# composition is fixed (batch 0 = novel docs 400-479, batch 1 = the
+# paraphrases), the LSH family is the same md5/Kirsch-Mitzenmacher
+# arithmetic the batch oracles already reproduce, and the per-batch drop
+# rule is relational (any band collision verified >= threshold drops the
+# doc; batch-internal pairs drop the larger id). So the oracle replays
+# the two foreachBatch steps as CTE levels: batch 0 vs the corpus store,
+# batch 1 vs corpus + batch-0 survivors. MATERIALIZED for the same
+# CTE-inlining reason as the kmeans oracle.
+_SND_ORACLE = f"""
+WITH docs_all AS MATERIALIZED (
+  SELECT doc_id, text, 0 AS grp FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id, text, 1 FROM documents WHERE doc_id >= 400 AND doc_id < 480
+  UNION ALL
+  SELECT doc_id + 5000, text || ' addendum', 2 FROM documents WHERE doc_id < 25),
+nd AS (
+  SELECT doc_id, grp, regexp_split_to_array({_NORM_SQL}, ' ') AS nws FROM docs_all),
+shw AS MATERIALIZED (
+  SELECT doc_id, grp, {_shingle_sql(_MINHASH_K)} AS sh FROM nd),
+hsw AS (
+  SELECT doc_id, grp, sh, {_HS_SQL} AS hs FROM shw),
+sigw AS (
+  SELECT doc_id, grp, sh, [{_SIG_SQL}] AS sig FROM hsw),
+bandsw AS MATERIALIZED (
+  SELECT doc_id, grp, sh, {_BAND_SQL} FROM sigw),
+cand AS MATERIALIZED (
+  {" UNION ".join(
+    f'''SELECT a.doc_id AS a, a.grp AS ga, b.doc_id AS b, b.grp AS gb
+        FROM bandsw a JOIN bandsw b ON a.band{b} = b.band{b}
+        WHERE a.grp < b.grp OR (a.grp = b.grp AND a.doc_id < b.doc_id)'''
+    for b in range(_MINHASH_BANDS)
+  )}),
+vp AS MATERIALIZED (
+  SELECT c.a, c.ga, c.b, c.gb
+  FROM (SELECT DISTINCT a, ga, b, gb FROM cand) c
+  JOIN shw x ON x.doc_id = c.a
+  JOIN shw y ON y.doc_id = c.b
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.5),
+drop1 AS (
+  SELECT b AS doc_id FROM vp WHERE ga = 0 AND gb = 1
+  UNION
+  SELECT b AS doc_id FROM vp WHERE ga = 1 AND gb = 1),
+surv1 AS MATERIALIZED (
+  SELECT doc_id FROM shw WHERE grp = 1
+    AND doc_id NOT IN (SELECT doc_id FROM drop1)),
+drop2 AS (
+  SELECT b AS doc_id FROM vp WHERE gb = 2
+    AND (ga = 0 OR (ga = 1 AND a IN (SELECT doc_id FROM surv1)) OR ga = 2)),
+surv2 AS (
+  SELECT doc_id FROM shw WHERE grp = 2
+    AND doc_id NOT IN (SELECT doc_id FROM drop2))
+SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv2
+"""
+
+
+@query("streaming_incremental_neardup", _SND_ORACLE)
 def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup ingestion dedup (streaming.pipeline.
     incremental_neardup_stream): two crawl microbatches checked by
@@ -3503,7 +3559,10 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus. Planted paraphrases (one appended token — high Jaccard, NOT
     exact-equal, so a fingerprint dedup would miss them) of 25 corpus
     docs are dropped at the LSH family's recall (12 hashes / 4 bands:
-    ~98% per pair — e.g. 24-25 of the 25 planted); novel docs survive."""
+    ~98% per pair — e.g. 24-25 of the 25 planted); novel docs survive.
+    Upgraded from rows-only in round 4: the family is deterministic and
+    the batch composition fixed, so _SND_ORACLE replays both microbatch
+    steps (including the store growing by batch-0 survivors) exactly."""
     import glob
     import os
     import shutil
