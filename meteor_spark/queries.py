@@ -1741,13 +1741,70 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_quantile_bins(state, ["event_type"], float(lo), float(hi), bins=_QSK_BINS)
 
 
-@query("bpe_merge_rules")  # rows-only: iterative greedy argmax, like kmeans
+def _bpe_oracle_sql(n_merges: int = 20) -> str:
+    """Chained-CTE replay of bpe.train_bpe: word-type counts, then per
+    merge step (1) weighted adjacent-pair counts + argmax (count desc,
+    pair lexicographic — binary collation equals Python's tuple compare
+    on the ASCII fixture), (2) the greedy left-to-right merge
+    application. The sequential-looking apply step is relational: match
+    positions that are CONSECUTIVE overlap (only possible when
+    left==right), and Python's scan takes every other one — so chosen =
+    odd row_number within each maximal run (pos − rank grouping), the
+    gaps-and-islands trick. Token tuples can never collide across word
+    types (a tuple always concatenates back to its word), so keying
+    state by the original word is lossless. MATERIALIZED per step, same
+    reason as the kmeans oracle."""
+    head = f"""
+WITH wn AS MATERIALIZED (
+  SELECT word AS wid, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS word FROM documents)
+  GROUP BY 1),
+tok0 AS MATERIALIZED (
+  SELECT wid, CAST(unnest(range(len(wid))) + 1 AS INT) AS pos,
+         substr(wid, CAST(unnest(range(len(wid))) + 1 AS INT), 1) AS tok
+  FROM wn)"""
+    steps = []
+    for s in range(n_merges):
+        steps.append(f""",
+prs{s} AS MATERIALIZED (
+  SELECT t1.tok AS a, t2.tok AS b, CAST(sum(w.n) AS BIGINT) AS cnt
+  FROM tok{s} t1 JOIN tok{s} t2 ON t1.wid = t2.wid AND t2.pos = t1.pos + 1
+  JOIN wn w ON w.wid = t1.wid
+  GROUP BY 1, 2),
+best{s} AS MATERIALIZED (SELECT a, b, cnt FROM prs{s} ORDER BY cnt DESC, a, b LIMIT 1),
+m{s} AS MATERIALIZED (
+  SELECT t1.wid, t1.pos
+  FROM tok{s} t1 JOIN tok{s} t2 ON t1.wid = t2.wid AND t2.pos = t1.pos + 1
+  JOIN best{s} x ON t1.tok = x.a AND t2.tok = x.b),
+ch{s} AS MATERIALIZED (
+  SELECT wid, pos FROM (
+    SELECT wid, pos,
+           row_number() OVER (PARTITION BY wid, pos - rn ORDER BY pos) AS k
+    FROM (SELECT wid, pos, row_number() OVER (PARTITION BY wid ORDER BY pos) AS rn FROM m{s}))
+  WHERE k % 2 = 1),
+tok{s + 1} AS MATERIALIZED (
+  SELECT wid, CAST(row_number() OVER (PARTITION BY wid ORDER BY pos) AS INT) AS pos, tok FROM (
+    SELECT c.wid, c.pos, x.a || x.b AS tok FROM ch{s} c CROSS JOIN best{s} x
+    UNION ALL
+    SELECT t.wid, t.pos, t.tok FROM tok{s} t
+    WHERE NOT EXISTS (SELECT 1 FROM ch{s} c
+                      WHERE c.wid = t.wid AND (c.pos = t.pos OR c.pos = t.pos - 1))))""")
+    tail = "\nSELECT * FROM (" + "\nUNION ALL ".join(
+        f'SELECT {s} AS step, a AS "left", b AS "right", a || b AS merged, cnt AS pair_count FROM best{s}'
+        for s in range(n_merges)
+    ) + ") ORDER BY step"
+    return head + "".join(steps) + tail
+
+
+@query("bpe_merge_rules", _bpe_oracle_sql())
 def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the corpus (operators.bpe.train_bpe):
     distributed word-type counting (the only corpus-scale pass), then a
     deterministic merge loop over the bounded word-type table — the
     HF-tokenizers split of labor. Output = the first 20 merge rules
-    with their weighted pair counts."""
+    with their weighted pair counts. Upgraded from rows-only in round
+    4: _bpe_oracle_sql replays the whole training loop, so the gate has
+    full value equality."""
     from meteor_spark.operators.bpe import merge_rules_frame, train_bpe
 
     rules, _ = train_bpe(_docs(spark, sf_dir), n_merges=20)
@@ -4457,14 +4514,73 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cdc_shared_chunks")  # rows-only: rolling gear-hash boundaries aren't SQL-expressible
+def _cdc_oracle_sql(min_size: int = 16, avg_bits: int = 6, max_size: int = 256) -> str:
+    """Recursive-CTE replay of multimodal.cdc_boundaries: the rolling
+    gear hash IS SQL-expressible — one recursion level per byte carries
+    (pos, h, chunk_start) per doc, h' = (2h + gear[byte]) mod 2^64 in
+    HUGEINT, boundary when (size >= min AND h' has avg_bits low zero
+    bits) OR size >= max, tail chunk appended after the walk. The 256
+    gear constants (first 8 md5 bytes of each byte value — a fixed
+    public constant of the algorithm, multimodal._gear_table) are
+    inlined as VALUES because DuckDB's md5 only takes VARCHAR, and
+    md5(chr(b)) for b > 127 would hash the 2-byte utf-8 form, not the
+    raw byte. ord(substr(text, ...)) equals the utf-8 byte only for
+    ASCII payloads — asserted true of the fixture; attach_binary feeds
+    utf-8 text bytes on the Spark side."""
+    import hashlib as _h
+
+    gear_vals = ", ".join(
+        f"({i}, CAST('{int.from_bytes(_h.md5(bytes([i])).digest()[:8], 'big')}' AS HUGEINT))"
+        for i in range(256)
+    )
+    mod = f"CAST('{1 << 64}' AS HUGEINT)"
+    return f"""
+WITH RECURSIVE
+gear(bv, g) AS (VALUES {gear_vals}),
+docs AS MATERIALIZED (
+  SELECT doc_id, text, CAST(len(text) AS INT) AS n
+  FROM documents WHERE len(text) > 0),
+bytes AS MATERIALIZED (
+  SELECT b.doc_id, b.pos, g.g
+  FROM (SELECT doc_id, CAST(unnest(range(n)) + 1 AS INT) AS pos, text FROM docs) b
+  JOIN gear g ON g.bv = ord(substr(b.text, b.pos, 1))),
+walk(doc_id, pos, h, start, e_start, e_len) AS (
+  SELECT doc_id, 0, CAST(0 AS HUGEINT), 0, NULL, NULL FROM docs
+  UNION ALL
+  SELECT doc_id, pos, CASE WHEN boundary THEN CAST(0 AS HUGEINT) ELSE nh END,
+         CASE WHEN boundary THEN pos ELSE start END,
+         CASE WHEN boundary THEN start ELSE NULL END,
+         CASE WHEN boundary THEN pos - start ELSE NULL END
+  FROM (
+    SELECT w.doc_id, w.pos + 1 AS pos, w.start,
+           (w.h * 2 + b.g) % {mod} AS nh,
+           ((w.pos + 1 - w.start >= {min_size}
+             AND (w.h * 2 + b.g) % {mod} % {1 << avg_bits} = 0)
+            OR w.pos + 1 - w.start >= {max_size}) AS boundary
+    FROM walk w JOIN bytes b ON b.doc_id = w.doc_id AND b.pos = w.pos + 1)),
+chunks AS MATERIALIZED (
+  SELECT doc_id, e_start AS off, e_len FROM walk WHERE e_start IS NOT NULL
+  UNION ALL
+  SELECT w.doc_id, w.start, d.n - w.start
+  FROM walk w JOIN docs d USING (doc_id) WHERE w.pos = d.n AND w.start < d.n),
+hashed AS (
+  SELECT c.doc_id, md5(substr(d.text, c.off + 1, c.e_len)) AS chunk_md5, c.e_len
+  FROM chunks c JOIN docs d USING (doc_id))
+SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs, max(e_len) AS length
+FROM hashed GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, chunk_md5 LIMIT 100
+"""
+
+
+@query("cdc_shared_chunks", _cdc_oracle_sql())
 def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup summary: gear-hash CDC over the
     binary payloads (multimodal.cdc_chunks), then the chunks shared by
     more than one document — region-level dedup that fixed blocks would
-    miss after any insertion. Deterministic (fixed gear table), but the
-    boundary recurrence is a per-byte rolling loop, so the gate is
-    rows-only; coverage and resync properties are pinned in
+    miss after any insertion. Deterministic (fixed gear table); upgraded
+    from rows-only in round 4 — the per-byte boundary recurrence is
+    replayed by _cdc_oracle_sql's recursive CTE, so the gate has full
+    value equality. Coverage and resync properties stay pinned in
     tests/test_multimodal.py."""
     from meteor_spark.operators.multimodal import attach_binary, cdc_chunks
 
