@@ -44,6 +44,70 @@ def merge_distinct(sketches: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def hll64_partials(
+    df: DataFrame, keys: list[str], value_col: str, lg_k: int = 10
+) -> DataFrame:
+    """ENGINE-PORTABLE HLL partials: (keys..., reg, rho, n_rows-ish via
+    caller) — the replayable twin of distinct_sketches, whose
+    Datasketches registers are opaque to any other engine.
+
+    Hash family: md5(value) split into two 32-bit halves (the same
+    one-md5 discipline as the minhash family). register = h1 mod m,
+    rho = leading-zero count of the 32-bit h2 plus one, computed as
+    33 − bit_length(h2) via the length of bin(h2) — INTEGER string
+    arithmetic, no float log2 whose boundary ulps could differ across
+    engines. The (keys, reg) → max(rho) frame is the whole sketch
+    state: ≤ m rows per key, merges losslessly by max, and any engine
+    that can md5 rebuilds it bit-for-bit (the DuckDB oracle does).
+
+    One map-side-combined groupBy; the shuffle carries register
+    partials, never values — the same 100 TB rollup-without-rescan
+    contract as the built-in sketch path."""
+    m = 1 << lg_k
+    h = F.md5(F.col(value_col).cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(h2 == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(h2)))
+    return df.groupBy(*keys, (h1 % m).alias("reg")).agg(
+        F.max(rho).cast("int").alias("rho"), F.count("*").alias("n_rows")
+    )
+
+
+def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFrame:
+    """Roll portable-HLL partials up to coarser keys and read off the
+    estimate: (keys..., approx_distinct, n_rows).
+
+    The harmonic sum is EXACT integer arithmetic: registers carry
+    2^(50 − rho) (rho ≤ 33, so no overflow at any m ≤ 2^12), absent
+    registers contribute 2^50 each, and the raw estimate is one
+    multiply + one divide of exactly-representable doubles — the PSI
+    lesson applied to HLL. Small-range branch (raw ≤ 2.5m with empty
+    registers) switches to linear counting m·ln(m/V), the standard HLL
+    correction; its single ln of a small rational rounded to 4 decimals
+    is engine-stable in a way the PSI sum-of-logs was not (one value,
+    not a sum, nowhere near rounding boundaries — parity-gated to keep
+    that true). Large-range correction is omitted: it matters only past
+    2^32/30 ≈ 1.4e8 distinct, where a 64-bit-hash redesign (lg_k and
+    the full h2 width) is the real fix."""
+    m = 1 << lg_k
+    alpha = 0.7213 / (1 + 1.079 / m)
+    merged = partials.groupBy(*keys, "reg").agg(
+        F.max("rho").alias("rho"), F.sum("n_rows").alias("nr")
+    )
+    per_key = merged.groupBy(*keys).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
+            + (F.lit(m) - F.count("*")) * F.shiftleft(F.lit(1).cast("long"), 50)
+        ).alias("s"),
+        (F.lit(m) - F.count("*")).alias("v"),
+        F.sum("nr").alias("n_rows"),
+    )
+    raw = F.lit(alpha * m * m * float(1 << 50)) / F.col("s")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
+    est = F.round(F.when((raw <= 2.5 * m) & (F.col("v") > 0), lc).otherwise(raw), 4)
+    return per_key.select(*keys, est.alias("approx_distinct"), F.col("n_rows"))
+
+
 def quantile_bin_partials(
     df: DataFrame,
     keys: list[str],

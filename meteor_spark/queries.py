@@ -2940,6 +2940,52 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     return sketches.merge_distinct(daily, ["event_type"])
 
 
+_HLL64_LGK = 10
+_HLL64_M = 1 << _HLL64_LGK
+_HLL64_ALPHA_NUM = (0.7213 / (1 + 1.079 / _HLL64_M)) * _HLL64_M * _HLL64_M * float(1 << 50)
+_HLL64_H1 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+_HLL64_H2 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT"
+_HLL64_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, {_HLL64_H1} % {_HLL64_M} AS reg,
+         CASE WHEN {_HLL64_H2} = 0 THEN 33
+              ELSE 33 - len(bin({_HLL64_H2})) END AS rho
+  FROM events),
+regs AS (SELECT event_type, reg, max(rho) AS rho, count(*) AS nr FROM h GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (50 - rho))
+           + ({_HLL64_M} - count(*)) * (CAST(1 AS BIGINT) << 50) AS s,
+         {_HLL64_M} - count(*) AS v,
+         sum(nr) AS n_rows
+  FROM regs GROUP BY 1)
+SELECT event_type,
+       round(CASE WHEN {_HLL64_ALPHA_NUM!r} / s <= 2.5 * {_HLL64_M} AND v > 0
+                  THEN {float(_HLL64_M)!r} * ln({float(_HLL64_M)!r} / v)
+                  ELSE {_HLL64_ALPHA_NUM!r} / s END, 4) AS approx_distinct,
+       n_rows
+FROM agg
+"""
+
+
+@query("events_portable_hll_rollup", _HLL64_ORACLE)
+def events_portable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-PORTABLE twin of events_distinct_sketch_rollup
+    (sketches.hll64_partials/merge_hll64): per-day md5-register HLL
+    partials merged to per-type distinct estimates without rescanning
+    raw data — same mergeability contract, but the registers are
+    md5-derived and the harmonic sum is exact integer arithmetic, so a
+    SQL oracle rebuilds the ESTIMATE bit-for-bit (the built-in
+    Datasketches gate stays rows-only; this one carries the value
+    check for the sketch-rollup pattern). Daily→type max-merge equals
+    the direct sketch, so the oracle skips the day level."""
+    from meteor_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketches.hll64_partials(e, ["event_type", "day"], "user_id", lg_k=_HLL64_LGK)
+    return sketches.merge_hll64(daily, ["event_type"], lg_k=_HLL64_LGK)
+
+
 @query(
     "event_value_percentiles",
     """

@@ -163,3 +163,67 @@ def test_heavy_hitters_partitioning_invariant(spark):
             )
         )
     assert outs[0] == outs[1] == outs[2] == [("a", 60)]
+
+
+def test_hll64_merge_of_daily_equals_sketch_of_whole(spark, sf_dir):
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    daily = sketches.hll64_partials(
+        events.withColumn("day", F.to_date("ts")), ["event_type", "day"], "user_id"
+    )
+    merged = {
+        r["event_type"]: (r["approx_distinct"], r["n_rows"])
+        for r in sketches.merge_hll64(daily, ["event_type"]).collect()
+    }
+    whole = {
+        r["event_type"]: (r["approx_distinct"], r["n_rows"])
+        for r in sketches.merge_hll64(
+            sketches.hll64_partials(events, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    # register-wise max merge: union-of-daily == sketch-of-whole, exactly
+    assert merged == whole
+
+
+def test_hll64_estimate_close_to_exact(spark, sf_dir):
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    est = sketches.merge_hll64(
+        sketches.hll64_partials(events, ["event_type"], "user_id"), ["event_type"]
+    )
+    exact = events.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact"))
+    # ~1.04/sqrt(1024) ≈ 3.3% std err (linear counting below 2.5m)
+    for r in est.join(exact, "event_type").collect():
+        assert abs(r["approx_distinct"] - r["exact"]) / r["exact"] < 0.12
+
+
+def test_hll64_partitioning_invariant(spark, sf_dir):
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    a = sketches.merge_hll64(
+        sketches.hll64_partials(events.repartition(3), ["event_type"], "user_id"),
+        ["event_type"],
+    ).collect()
+    b = sketches.merge_hll64(
+        sketches.hll64_partials(events.repartition(17, "user_id"), ["event_type"], "user_id"),
+        ["event_type"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hll64_register_spec_hand_checked(spark):
+    # one known value: md5('7') = 8f14e45fceea167a5a36dedd4bea2543
+    # h1 = 0x8f14e45f -> reg = h1 % 1024; h2 = 0xceea167a -> rho = 33 - bit_length
+    df = spark.createDataFrame([(7,)], "user_id long").withColumn("k", F.lit("x"))
+    row = sketches.hll64_partials(df, ["k"], "user_id").collect()[0]
+    h1 = 0x8F14E45F
+    h2 = 0xCEEA167A
+    assert row["reg"] == h1 % 1024
+    assert row["rho"] == 33 - h2.bit_length()
+    assert row["n_rows"] == 1
+
+
+def test_hll64_raw_regime_accuracy(spark):
+    # 50k distinct >> 2.5m (2560): exercises the harmonic-mean branch,
+    # not linear counting
+    df = spark.range(50_000).select(F.col("id").alias("user_id"), F.lit("g").alias("k"))
+    row = sketches.merge_hll64(sketches.hll64_partials(df, ["k"], "user_id"), ["k"]).collect()[0]
+    assert abs(row["approx_distinct"] - 50_000) / 50_000 < 0.12
+    assert row["n_rows"] == 50_000
