@@ -35,10 +35,11 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 170 entries, 162 with exact DuckDB oracles.
+                 171 entries, 167 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
-                 the 8 approximate/iterative operators are rows-only and
-                 have no oracle).
+                 the 4 operators wrapping engine-internal state (ML
+                 KMeans init, HLL registers, APPROX_* sketches) are
+                 rows-only and have no oracle).
 """
 
 from __future__ import annotations

@@ -40,7 +40,6 @@ empty; repeated fields emit one tagged element each.
 from __future__ import annotations
 
 import json
-import math
 import struct as _struct
 from datetime import datetime, timezone
 
@@ -92,15 +91,20 @@ def enc_string_field(field_no: int, value: str) -> bytes:
 
 def enc_timestamp(dt: datetime) -> bytes:
     """google.protobuf.Timestamp: seconds=1 varint, nanos=2 varint.
-    Naive datetimes are taken as UTC (the fixtures' convention)."""
+    Naive datetimes are taken as UTC (the fixtures' convention).
+
+    Integer arithmetic end to end: timedelta subtraction carries exact
+    microseconds, divmod floors toward -inf (proto Timestamp wants
+    nanos in [0, 1e9) even before 1970), nanos = micros * 1000. The
+    float dt.timestamp() path this replaced rounded sub-second
+    datetimes to the wrong nanosecond (e.g. microsecond=3 encoded
+    nanos=3099) — a byte-level divergence from proto.Marshal."""
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    epoch = dt.timestamp()
-    seconds = math.floor(epoch)
-    nanos = round((epoch - seconds) * 1e9)
-    if nanos >= 1_000_000_000:  # float edge at whole seconds
-        seconds += 1
-        nanos = 0
+    delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    total_us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+    seconds, rem_us = divmod(total_us, 1_000_000)
+    nanos = rem_us * 1000
     out = b""
     if seconds:
         out += enc_varint_field(1, seconds)
@@ -210,11 +214,18 @@ def enc_message(desc: dict, row) -> bytes:
                 out += enc_len_field(no, enc_message(spec[2], item))
         elif kind == "repeated_string":
             for s in v:
-                out += enc_string_field(no, s)
+                out += enc_string_field(no, s or "")
         elif kind == "map_str":
+            # Spark's MapType permits null values; proto3 string maps
+            # cannot carry nil, and Go's zero value is "" — encode the
+            # entry with an empty value field, exactly as proto.Marshal
+            # does for map[string]string{"k": ""} (appendMapItem emits
+            # key and value unconditionally)
             items = sorted(v.items()) if isinstance(v, dict) else sorted(v)
             for k, mv in items:
-                out += enc_len_field(no, enc_string_field(1, k) + enc_string_field(2, mv))
+                out += enc_len_field(
+                    no, enc_string_field(1, k) + enc_string_field(2, mv or "")
+                )
         else:  # pragma: no cover - descriptor authoring error
             raise ValueError(f"unknown kind {kind}")
     return out

@@ -371,9 +371,6 @@ def pq_pivot_topk(
     query side; codes, not vectors, flow through the window.
     """
     import math
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
-    d_sub = dim // m
 
     pivot_rows = (
         corpus.select(
@@ -384,6 +381,12 @@ def pq_pivot_topk(
         .limit(n_codes)
         .collect()
     )
+    if not pivot_rows:
+        raise ValueError("pq_pivot_topk: empty corpus")
+    # dim from the already-collected pivots — the separate first() job
+    # this replaced cost one extra full corpus scan per call
+    dim = len(pivot_rows[0]["pv"])
+    d_sub = dim // m
 
     def py_dot(a: list, b: list) -> float:
         s = 0.0

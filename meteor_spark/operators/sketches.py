@@ -63,6 +63,11 @@ def hll64_partials(
     One map-side-combined groupBy; the shuffle carries register
     partials, never values — the same 100 TB rollup-without-rescan
     contract as the built-in sketch path."""
+    if not 4 <= lg_k <= 12:
+        # > 12 overflows the int64 harmonic sum in merge_hll64 (the
+        # empty-register term (m - v)·2^50 passes 2^63); fail fast
+        # instead of letting Spark's non-ANSI sum wrap negative
+        raise ValueError(f"lg_k must be in [4, 12], got {lg_k}")
     m = 1 << lg_k
     h = F.md5(F.col(value_col).cast("string"))
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -89,6 +94,8 @@ def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFra
     that true). Large-range correction is omitted: it matters only past
     2^32/30 ≈ 1.4e8 distinct, where a 64-bit-hash redesign (lg_k and
     the full h2 width) is the real fix."""
+    if not 4 <= lg_k <= 12:
+        raise ValueError(f"lg_k must be in [4, 12], got {lg_k}")
     m = 1 << lg_k
     alpha = 0.7213 / (1 + 1.079 / m)
     merged = partials.groupBy(*keys, "reg").agg(

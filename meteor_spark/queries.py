@@ -1877,7 +1877,6 @@ c{it} AS MATERIALIZED (
   SELECT p.* FROM {prev} p
   WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM u{it}))""")
         prev = f"c{it}"
-    fin = iters + 1
     tail = f""",
 scf AS MATERIALIZED (
   SELECT c.vec_id, ce.cluster, sum(c.x * ce.m) AS d
@@ -1901,7 +1900,6 @@ SELECT t.cluster, t.n_vecs, CAST(tl.label AS INTEGER) AS top_label,
        round(tl.n * 1.0 / t.n_vecs, 4) AS top_label_share
 FROM tot t JOIN tl ON t.cluster = tl.cluster AND tl.rk = 1
 ORDER BY t.cluster"""
-    _ = fin
     return head + "".join(steps) + tail
 
 

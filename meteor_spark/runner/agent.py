@@ -93,6 +93,11 @@ class Agent:
         if self._cancelled:  # cancelled agent: fail fast, never submit
             report.error = "cancelled"
             report.success = False
+            for m in self.monitors:  # cancelled runs still hit telemetry
+                try:
+                    m.record_run(report)
+                except Exception:  # noqa: BLE001
+                    log.exception("monitor failed")
             return report
         started = time.monotonic()
         df: DataFrame | None = None

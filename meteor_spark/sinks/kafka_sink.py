@@ -67,14 +67,12 @@ def kafka_rows(
     (binary output has no JVM builtin), catalog-sized frames only.
     """
     if value_format == "protobuf":
-        from meteor_spark.functions import protowire
+        import pandas as pd
 
-        cols = df.columns
+        from meteor_spark.functions import protowire
 
         def encode(batches):
             for pdf in batches:
-                import pandas as pd
-
                 keys, values = [], []
                 for rec in pdf.to_dict("records"):
                     at = rec.get("asset_type") or "Table"
@@ -92,7 +90,7 @@ def kafka_rows(
                         keys.append(None)
                 yield pd.DataFrame({"key": keys, "value": values})
 
-        return df.select(*cols).mapInPandas(encode, "key binary, value binary")
+        return df.mapInPandas(encode, "key binary, value binary")
     value = F.to_json(F.struct(*df.columns)).alias("value")
     if key_path:
         return df.select(F.col(key_path).cast("string").alias("key"), value)

@@ -244,3 +244,29 @@ def test_kafka_rows_json_default_unchanged(spark):
     row = kafka_rows(df, key_path="resource.urn").collect()[0]
     assert row["key"] == "urn:a"
     assert '"urn":"urn:a"' in row["value"]
+
+
+def test_timestamp_subsecond_nanos_exact():
+    # regression: the float dt.timestamp() path encoded microsecond=3 as
+    # nanos=3099; integer arithmetic must give exactly micros * 1000
+    from datetime import datetime, timezone
+
+    from meteor_spark.functions.protowire import enc_timestamp, enc_varint_field
+
+    dt = datetime(2026, 8, 14, 12, 0, 0, 3, tzinfo=timezone.utc)
+    secs = int(dt.replace(microsecond=0).timestamp())
+    assert enc_timestamp(dt) == enc_varint_field(1, secs) + enc_varint_field(2, 3000)
+    dt2 = datetime(2026, 8, 14, 12, 0, 0, 123456, tzinfo=timezone.utc)
+    assert enc_timestamp(dt2) == enc_varint_field(1, secs) + enc_varint_field(2, 123_456_000)
+    # pre-epoch: nanos stays in [0, 1e9) with floored seconds
+    dt3 = datetime(1969, 12, 31, 23, 59, 59, 750000, tzinfo=timezone.utc)
+    assert enc_timestamp(dt3) == enc_varint_field(1, -1) + enc_varint_field(2, 750_000_000)
+
+
+def test_map_str_null_value_encodes_as_go_zero_string():
+    from meteor_spark.functions.protowire import enc_len_field, enc_message, enc_string_field
+
+    desc = {"labels": (9, "map_str")}
+    out = enc_message(desc, {"labels": {"team": None}})
+    # entry with key + EMPTY value field, as Go appendMapItem emits for ""
+    assert out == enc_len_field(9, enc_string_field(1, "team") + enc_string_field(2, ""))

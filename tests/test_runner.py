@@ -314,3 +314,27 @@ def test_cancel_aborts_inflight_run(spark):
     assert run.error  # the cancellation surfaced in the report
     # the session must remain usable for the next run (cancel, not stop)
     assert spark.range(3).count() == 3
+
+
+def test_cancelled_agent_fails_fast_and_still_hits_monitors(spark):
+    # a cancelled agent behaves like a closed context: later runs fail
+    # fast — but telemetry must still see them (reference: the statsd
+    # monitor records every run, success or not)
+    recorded = []
+
+    class Probe:
+        def record_run(self, run):
+            recorded.append(run)
+
+    agent = Agent(spark, monitors=[Probe()])
+    agent.cancel()
+    recipe = Recipe(
+        name="late",
+        version="v1beta1",
+        source=PluginRecipe("csv", {"path": "/nonexistent"}),
+        sinks=[PluginRecipe("console")],
+    )
+    run = agent.run(recipe)
+    assert run.success is False
+    assert run.error == "cancelled"
+    assert recorded and recorded[0] is run
