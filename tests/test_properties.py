@@ -90,3 +90,97 @@ def test_build_config_oneof(value):
             pass
     else:
         assert build_config(raw, spec)["fmt"] == (value or "json")
+
+
+# -- round-4 pure-Python kernels -------------------------------------------
+
+
+def _decode_varint(b: bytes, i: int = 0) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        n |= (b[i] & 0x7F) << shift
+        shift += 7
+        i += 1
+        if not b[i - 1] & 0x80:
+            return n, i
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_varint_round_trips_int64(n):
+    from meteor_spark.functions.protowire import varint
+
+    got, used = _decode_varint(varint(n))
+    assert used == len(varint(n))
+    # negatives encode as two's complement (the protobuf int64 rule)
+    assert got == (n if n >= 0 else n + (1 << 64))
+
+
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(1900, 1, 1),
+        max_value=__import__("datetime").datetime(2200, 1, 1),
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_enc_timestamp_fields_reconstruct_exact_micros(dt):
+    from datetime import datetime, timezone
+
+    from meteor_spark.functions.protowire import enc_timestamp
+
+    b = enc_timestamp(dt)
+    seconds = nanos = 0
+    i = 0
+    while i < len(b):
+        tag, i = _decode_varint(b, i)
+        val, i = _decode_varint(b, i)
+        if tag >> 3 == 1:
+            seconds = val - (1 << 64) if val >= 1 << 63 else val
+        elif tag >> 3 == 2:
+            nanos = val
+    assert 0 <= nanos < 1_000_000_000
+    assert nanos % 1000 == 0  # datetime carries micros, never sub-micro
+    want = dt.replace(tzinfo=timezone.utc) - datetime(1970, 1, 1, tzinfo=timezone.utc)
+    total_us = (want.days * 86_400 + want.seconds) * 1_000_000 + want.microseconds
+    assert seconds * 1_000_000 + nanos // 1000 == total_us
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_cdc_boundaries_tile_the_payload(data):
+    from meteor_spark.operators.multimodal import _gear_table, cdc_boundaries
+
+    min_size, max_size = 16, 256
+    chunks = cdc_boundaries(data, _gear_table(), min_size, 6, max_size)
+    # chunks partition [0, len) contiguously
+    pos = 0
+    for off, ln in chunks:
+        assert off == pos and ln >= 1
+        pos += ln
+    assert pos == len(data)
+    # every chunk except the tail respects [min_size, max_size]
+    for off, ln in chunks[:-1]:
+        assert min_size <= ln <= max_size
+    if chunks:
+        assert chunks[-1][1] <= max_size
+
+
+@given(
+    st.lists(st.sampled_from("ab c".split() + ["ab", "a", "b", "c"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c")]),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_preserves_concatenation(toks, pair):
+    from meteor_spark.operators.bpe import _merge_word
+
+    a, b = pair
+    out = _merge_word(tuple(toks), a, b)
+    assert "".join(out) == "".join(toks)
+    assert len(out) <= len(toks)
+    # greedy left-to-right: a merged token never sits immediately before
+    # an identical merge opportunity it should have consumed
+    for i in range(len(out) - 1):
+        if out[i] == a and out[i + 1] == b:
+            # allowed only when the a came from an overlap skip (a == b
+            # run of odd length) — re-merging must then make progress
+            assert a == b or _merge_word(out, a, b) != out
