@@ -101,12 +101,16 @@ def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFra
     merged = partials.groupBy(*keys, "reg").agg(
         F.max("rho").alias("rho"), F.sum("n_rows").alias("nr")
     )
+    # count("rho"), not count("*"): NULL values hash to a NULL register
+    # (md5(NULL) is NULL) whose rho is NULL — count_distinct semantics
+    # ignore NULLs, so that row must not occupy a register slot (it
+    # still counts toward n_rows). sum() skips the NULL rho on its own.
     per_key = merged.groupBy(*keys).agg(
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - rho)"))
-            + (F.lit(m) - F.count("*")) * F.shiftleft(F.lit(1).cast("long"), 50)
+            + (F.lit(m) - F.count("rho")) * F.shiftleft(F.lit(1).cast("long"), 50)
         ).alias("s"),
-        (F.lit(m) - F.count("*")).alias("v"),
+        (F.lit(m) - F.count("rho")).alias("v"),
         F.sum("nr").alias("n_rows"),
     )
     raw = F.lit(alpha * m * m * float(1 << 50)) / F.col("s")

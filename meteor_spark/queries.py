@@ -656,13 +656,20 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extra group column is nearly free map-side) and counts rows at the
 # outer level: same answer, no Expand. Identical text runs on both
 # engines.
+# Revenue in fixed-point: prices carry 2 decimals and discounts 2, so
+# price_cents * (100 - discount_pct) is an exact int64 in ten-
+# thousandths — the float sum it replaces differed from DuckDB in the
+# last ulp at sf0.001 (caught by the strict full-precision parity
+# sweep; the published 2-decimal value was right, the bits were not).
+# One division at the end is correctly rounded on any IEEE engine.
 _SQL_API_REVENUE = """
     SELECT n_name, o_orderpriority,
-           round(sum(rev), 2) AS revenue,
+           round(sum(rev_fp) / CAST(10000 AS DOUBLE), 2) AS revenue,
            count(*) AS n_orders
     FROM (
       SELECT n.n_name, o.o_orderpriority, o.o_orderkey,
-             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_fp
       FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2953,8 +2960,8 @@ regs AS (SELECT event_type, reg, max(rho) AS rho, count(*) AS nr FROM h GROUP BY
 agg AS (
   SELECT event_type,
          sum(CAST(1 AS BIGINT) << (50 - rho))
-           + ({_HLL64_M} - count(*)) * (CAST(1 AS BIGINT) << 50) AS s,
-         {_HLL64_M} - count(*) AS v,
+           + ({_HLL64_M} - count(rho)) * (CAST(1 AS BIGINT) << 50) AS s,
+         {_HLL64_M} - count(rho) AS v,
          sum(nr) AS n_rows
   FROM regs GROUP BY 1)
 SELECT event_type,

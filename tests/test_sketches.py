@@ -227,3 +227,19 @@ def test_hll64_raw_regime_accuracy(spark):
     row = sketches.merge_hll64(sketches.hll64_partials(df, ["k"], "user_id"), ["k"]).collect()[0]
     assert abs(row["approx_distinct"] - 50_000) / 50_000 < 0.12
     assert row["n_rows"] == 50_000
+
+
+def test_hll64_null_values_dont_occupy_registers(spark):
+    # count_distinct ignores NULLs; the sketch must too — a NULL value
+    # hashes to a NULL register and must not shrink the empty-register
+    # count v (it still counts toward n_rows)
+    with_nulls = spark.createDataFrame(
+        [(i,) for i in range(20)] + [(None,)] * 5, "user_id long"
+    ).withColumn("k", F.lit("g"))
+    without = spark.createDataFrame([(i,) for i in range(20)], "user_id long").withColumn(
+        "k", F.lit("g")
+    )
+    a = sketches.merge_hll64(sketches.hll64_partials(with_nulls, ["k"], "user_id"), ["k"]).collect()[0]
+    b = sketches.merge_hll64(sketches.hll64_partials(without, ["k"], "user_id"), ["k"]).collect()[0]
+    assert a["approx_distinct"] == b["approx_distinct"]
+    assert a["n_rows"] == 25 and b["n_rows"] == 20

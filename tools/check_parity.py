@@ -32,7 +32,12 @@ def normalize_cell(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # FULL precision, deliberately stricter than the driver's hash:
+        # a %.6g fallback hid r3's one red row (last-ulp PSI); the whole
+        # catalog passes bit-exact (round-4 strict sweeps, both SFs), so
+        # keep it locked in — any future sum-order float leak fails here
+        # first
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bool):
