@@ -15,8 +15,9 @@ per-key collect. Skewed by-keys can be salted upstream; at 100 TB this is
 the only formulation that stays a single exchange.
 
 Tie semantics: a right row at exactly left.ts matches (<=); among right
-rows sharing (by, ts) the one with the largest order-column wins
-(deterministic via the secondary sort key).
+rows sharing (by, ts) the one with the LARGEST value struct wins — the
+window's tertiary sort key orders the payload struct ascending, so
+last() deterministically picks the greatest, on any partitioning.
 """
 
 from __future__ import annotations
@@ -51,10 +52,19 @@ def asof_join(
     )
     u = l.unionByName(r)
     # right rows sort before left rows at equal ts (__side 0 < 1) so an
-    # exactly-coincident right row is visible to the left row
+    # exactly-coincident right row is visible to the left row; the
+    # value-struct tertiary key makes right-right ties at the same
+    # (by, ts) deterministic — ascending sort puts the largest value
+    # struct last, and last() picks it, fulfilling the module's stated
+    # tie contract under ANY partitioning (without it the winner was
+    # whichever duplicate the partition sort happened to order later)
     w = (
         Window.partitionBy(by_col)
-        .orderBy(F.col(ts_col), F.col("__side"))
+        .orderBy(
+            F.col(ts_col),
+            F.col("__side"),
+            F.struct(*[F.col(f"__r_{v}") for v in value_cols]),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for v in value_cols:

@@ -60,10 +60,14 @@ def connected_components(
         .select(F.col("s").alias("node"), "label")
         .localCheckpoint(eager=False)  # materialized by the sum() below
     )
-    # labels only ever DECREASE (least of self and neighbor mins), so the
-    # label sum is a strictly-decreasing convergence witness: one cheap
-    # aggregate per round instead of a join-and-diff
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # convergence witness: the EXACT count of labels that changed this
+    # round, carried through the round's own projections so the one
+    # materializing action per round also tests convergence. (An earlier
+    # sum-of-labels witness was numeric-only: F.sum over STRING node ids
+    # is NULL, NULL == NULL exited after one round, and components
+    # silently split. Equality on the carried old label is type-agnostic
+    # and exact — no checksum collision risk.)
+    labels = labels.localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # min label among neighbors, one shuffle on node ids
@@ -73,7 +77,9 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         propagated = labels.join(nbr.withColumnRenamed("s", "node"), "node", "left").select(
-            "node", F.least("label", F.coalesce("nbr_label", "label")).alias("label")
+            "node",
+            F.col("label").alias("__old"),
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
         # pointer jumping: chase one indirection (label's own label) in the
         # same round. Labels are node ids, so this is a self-join of the
@@ -82,14 +88,20 @@ def connected_components(
         hop = propagated.select(F.col("node").alias("pj_n"), F.col("label").alias("pj_l"))
         labels = (
             propagated.join(hop, propagated.label == F.col("pj_n"), "left")
-            .select("node", F.least("label", F.coalesce("pj_l", "label")).alias("label"))
-            .localCheckpoint(eager=False)  # one job per round: the sum() action both
-            # materializes the checkpoint and tests convergence
+            .select(
+                "node",
+                "__old",
+                F.least("label", F.coalesce("pj_l", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)  # one job per round: the changed-count
+            # action both materializes the checkpoint and tests convergence
         )
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        if new_sum == prev_sum:
+        changed = labels.agg(
+            F.sum(F.when(F.col("label") != F.col("__old"), 1).otherwise(0))
+        ).first()[0]
+        labels = labels.select("node", "label")
+        if not changed:
             break
-        prev_sum = new_sum
 
     edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -152,14 +152,18 @@ def minhash_bands(
     k: int = 3,
     num_hashes: int = 12,
     bands: int = 4,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_index, band_key): LSH banding of minhash signatures.
 
     rows_per_band = num_hashes // bands; band_key = md5 of the
-    concatenated minhashes in that band.
+    concatenated minhashes in that band. Pass a pre-built (and possibly
+    persisted) `sh_df` shingle frame to reuse shingle state across
+    stages; `df`/`text_col`/`k` are ignored then.
     """
     rows = num_hashes // bands
-    sh_df = shingle_frame(df, text_col, id_col, k)
+    if sh_df is None:
+        sh_df = shingle_frame(df, text_col, id_col, k)
     base = sh_df.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
     band_structs = F.array(
         *[
@@ -176,6 +180,19 @@ def minhash_bands(
     )
     return base.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def band_pair_join(band_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band —
+    the equi-self-join both the candidate-pairs API and the full
+    near-dup pipeline run over a (persisted) band frame."""
+    l, r = band_df.alias("l"), band_df.alias("r")
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
     )
 
 
@@ -200,13 +217,7 @@ def minhash_candidate_pairs(
     (id, band, band_key) — a few dozen bytes per doc.
     """
     b = minhash_bands(df, text_col, id_col, k, num_hashes, bands).persist()
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(r, ["band", "band_key"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
+    return band_pair_join(b, id_col)
 
 
 def jaccard_pairs(
@@ -217,9 +228,13 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     round_to: int = 4,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle Jaccard; keep >= threshold."""
-    docs = shingle_frame(df, text_col, id_col, k)
+    """Verify candidate pairs with exact shingle Jaccard; keep >= threshold.
+
+    Pass a pre-built (persisted) `sh_df` shingle frame to reuse shingle
+    state; `df`/`text_col`/`k` are ignored then."""
+    docs = sh_df if sh_df is not None else shingle_frame(df, text_col, id_col, k)
     a = docs.alias("da")
     b = docs.alias("db")
     # |A ∪ B| = |A| + |B| - |A ∩ B| for distinct sets: one intersect
@@ -253,42 +268,13 @@ def minhash_near_duplicates(
     the persist is a few hundred bytes per doc of hash state, far
     smaller than the text itself.
     """
-    rows = num_hashes // bands
     sh_df = shingle_frame(df, text_col, id_col, k).persist()
-    base = sh_df.select(F.col(id_col), minhash_signature(F.col("sh"), num_hashes).alias("sig"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.element_at(F.col("sig"), b * rows + r + 1).cast("string") for r in range(rows)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    band_df = (
-        base.select(F.col(id_col), F.explode(band_structs).alias("bk"))
-        .select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-        .persist()
-    )
-    l, r = band_df.alias("l"), band_df.alias("r")
-    pairs = (
-        l.join(r, ["band", "band_key"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
-    a, b = sh_df.alias("da"), sh_df.alias("db")
-    si = F.size(F.array_intersect("da.sh", "db.sh"))
-    jac = si.cast("double") / (F.size("da.sh") + F.size("db.sh") - si)
-    return (
-        pairs.join(a, pairs.a == F.col(f"da.{id_col}"))
-        .join(b, pairs.b == F.col(f"db.{id_col}"))
-        .select("a", "b", F.round(jac, round_to).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    band_df = minhash_bands(
+        df, text_col, id_col, k, num_hashes, bands, sh_df=sh_df
+    ).persist()
+    pairs = band_pair_join(band_df, id_col)
+    return jaccard_pairs(
+        df, pairs, text_col, id_col, k, threshold, round_to, sh_df=sh_df
     )
 
 
@@ -758,18 +744,27 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window
 
-    keyed = df.select(
-        F.col(id_col),
-        normalize_text(F.col(text_col)).alias("__t"),
-    ).select(
-        id_col,
-        F.substring("__t", 1, key_len).alias("__k"),
-        # bucket = 4-char key prefix: the per-bucket rank window is
-        # bounded by the largest bucket, so the bucket key must be fine
-        # enough that no single prefix dominates (4 chars of normalized
-        # text; widen for pathologically boilerplate-led corpora)
-        F.substring("__t", 1, 4).alias("__b"),
-        shingles_of_words(words(F.col("__t")), k).alias("__s"),
+    keyed = (
+        df.select(
+            F.col(id_col),
+            normalize_text(F.col(text_col)).alias("__t"),
+        )
+        # __ws must be ITS OWN projection before shingles_of_words sees
+        # it: an inline words(__t) argument gets inlined into the
+        # transform() lambda by Catalyst and re-splits the text once per
+        # gram element — the exact pathology measured at 140s-vs-9s in
+        # this module's persist note
+        .select(
+            id_col,
+            F.substring("__t", 1, key_len).alias("__k"),
+            # bucket = 4-char key prefix: the per-bucket rank window is
+            # bounded by the largest bucket, so the bucket key must be fine
+            # enough that no single prefix dominates (4 chars of normalized
+            # text; widen for pathologically boilerplate-led corpora)
+            F.substring("__t", 1, 4).alias("__b"),
+            words(F.col("__t")).alias("__ws"),
+        )
+        .select(id_col, "__k", "__b", shingles_of_words(F.col("__ws"), k).alias("__s"))
     )
     in_bucket = Window.partitionBy("__b").orderBy("__k", id_col)
     ranked = keyed.withColumn("__rb", F.row_number().over(in_bucket))

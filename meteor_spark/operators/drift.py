@@ -97,6 +97,10 @@ def psi_drift(
     Returns (group, n_expected, n_actual, psi).
     """
     v = F.col(value_col).cast("double")
+    # NULL values carry no distribution information and must not be
+    # binned: least(NULL, bins-1) would otherwise SKIP the null and
+    # drop every NULL row into the top bin, fabricating drift there
+    df = df.filter(v.isNotNull())
     bounds = df.groupBy(group_col).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / bins
     bin_id = (

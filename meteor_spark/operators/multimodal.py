@@ -64,24 +64,18 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-# probed once at import: a failed import is NOT cached in sys.modules, so
-# probing per-row would re-scan sys.path for every blob
-try:
-    import PIL.Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
-
-
 def decode_image(content: bytes) -> tuple[int, int]:
-    """STUB — real decode needs an image codec not present in this
-    container. Deterministic fake: dimensions from the first md5 bytes,
-    so tests and the SQL oracle can verify the plumbing end to end."""
-    if not _HAS_PIL:
-        digest = hashlib.md5(content).hexdigest()
-        return int(digest[0:2], 16), int(digest[2:4], 16)
-    raise NotImplementedError("real image decode not wired; container has no codec fixtures")
+    """STUB — real decode needs image fixtures this container lacks.
+    Deterministic fake: dimensions from the first md5 bytes, so tests
+    and the SQL oracle verify the plumbing end to end. Always the fake,
+    even when Pillow happens to be importable: the payloads here are
+    utf-8 text stand-ins that PIL.Image.open would reject, and an
+    environment-dependent code path would make results (and oracle
+    parity) depend on the host's installed packages. Wiring a real
+    decoder is an explicit swap of this function's body, not an
+    import-probe side effect."""
+    digest = hashlib.md5(content).hexdigest()
+    return int(digest[0:2], 16), int(digest[2:4], 16)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -200,6 +200,9 @@ def histogram(df: DataFrame, col: str, bins: int = 20, round_to: int = 4) -> Dat
     IEEE-identical across engines, so the oracle matches bit-for-bit.
     """
     c = F.col(col).cast("double")
+    # NULLs are not observations (least(NULL, bins-1) would skip the
+    # null and drop the row into the top bin)
+    df = df.filter(c.isNotNull())
     bounds = df.agg(F.min(c).alias("__lo"), F.max(c).alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / bins
     binned = (

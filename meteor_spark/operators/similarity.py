@@ -386,6 +386,8 @@ def pq_pivot_topk(
     # dim from the already-collected pivots — the separate first() job
     # this replaced cost one extra full corpus scan per call
     dim = len(pivot_rows[0]["pv"])
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"pq: dim ({dim}) must divide evenly into m ({m}) subspaces")
     d_sub = dim // m
 
     def py_dot(a: list, b: list) -> float:
@@ -717,6 +719,10 @@ def pq_topk(
     X = np.array([r[0] for r in samp], dtype="float64")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
+    if m <= 0 or dim % m != 0:
+        # a silent dim//m would drop the trailing dim % m dimensions
+        # from every code (or degenerate to empty subspaces at dim < m)
+        raise ValueError(f"pq: dim ({dim}) must divide evenly into m ({m}) subspaces")
     d_sub = dim // m
     books = np.stack(
         [_np_kmeans(X[:, j * d_sub : (j + 1) * d_sub], n_codes, seed + j) for j in range(m)]
@@ -872,7 +878,10 @@ def ivf_query_index(
     probe_df = F.broadcast(
         queries.sparkSession.createDataFrame(
             [(qid, qv, c) for qid, qv, cells in probes for c in cells],
-            f"query_id long, qv array<float>, cell int",
+            # array<double>, NOT <float>: a float32 round-trip here
+            # truncated the mantissa of double query embeddings, so
+            # rounded cosines could flip vs the in-memory ANN paths
+            "query_id long, qv array<double>, cell int",
         )
     )
     corpus = (

@@ -140,7 +140,14 @@ def quantile_bin_partials(
         F.least(F.floor((F.col(value_col) - lo) / w).cast("int"), F.lit(bins - 1)),
         F.lit(0),
     )
-    return df.groupBy(*keys, bin_col.alias("bin")).agg(F.count("*").alias("cnt"))
+    # NULLs are not observations: least(NULL, bins-1) skips the null
+    # and would count every NULL row as a top-bin value, inflating
+    # p95/p99; cnt therefore counts NON-NULL observations
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_col.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def merge_quantile_bins(

@@ -497,14 +497,26 @@ def repetition_features(df: DataFrame, text_col: str = "text", id_col: str = "do
     n_tok = F.size(F.col("__ws"))
     n_g = F.size(F.col("__g"))
     n_g_distinct = F.size(F.array_distinct(F.col("__g")))
-    # most-repeated bigram count: max over distinct grams of their
-    # occurrence count (size(filter(grams, == gram)))
-    top_g = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("__g")),
-            lambda d: F.size(F.filter(F.col("__g"), lambda x: x == d)),
-        )
+    # most-repeated bigram count: longest equal-run over the SORTED gram
+    # array — one sort + one linear fold per row. (The transform-over-
+    # distinct/filter form it replaces rescanned the full array once per
+    # distinct gram: O(n_grams^2) comparisons inside a single projection,
+    # ~2.5e9 for a 50k-token doc — one long document stalled its task.)
+    run_fold = F.aggregate(
+        F.array_sort(F.col("__g")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
+    top_g = run_fold["best"]
     return base.select(
         id_col,
         F.round((n_g - n_g_distinct).cast("double") / F.greatest(n_g, F.lit(1)), round_to).alias("dup_bigram_frac"),

@@ -63,3 +63,17 @@ def test_salted_agg_spreads_hot_key(spark):
     salted = df.withColumn("__salt", F.pmod(F.xxhash64("id"), F.lit(8)))
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets == 8
+
+
+def test_asof_right_ties_pick_largest_value_deterministically(spark):
+    # regression: right rows sharing (by, ts) had no tertiary sort key,
+    # so the attached value depended on partition order
+    from meteor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    for parts in (1, 7):
+        right = spark.createDataFrame(
+            [(1, 10, "v1"), (1, 10, "v9"), (1, 10, "v5")], "k int, ts int, val string"
+        ).repartition(parts)
+        out = asof_join(left, right, "ts", "k", ["val"]).collect()
+        assert out[0]["val_asof"] == "v9"  # largest value struct wins, any partitioning

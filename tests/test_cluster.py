@@ -31,3 +31,18 @@ def test_cluster_survivors_keeps_min_and_singletons(spark):
     kept = sorted(r.doc_id for r in cluster_survivors(docs, pairs).select("doc_id").collect())
     # cluster {1,2,3} -> keep 1; singleton 4 kept; cluster {5,6} -> keep 5
     assert kept == [1, 4, 5]
+
+
+def test_connected_components_string_ids(spark):
+    # regression: the old sum-of-labels convergence witness was NULL for
+    # string ids, exiting after one round and silently splitting chains
+    from meteor_spark.operators.cluster import connected_components
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(chain, "a string, b string")
+        ).collect()
+    }
+    assert set(out.values()) == {"a"}  # one component, min-id representative

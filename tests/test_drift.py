@@ -129,3 +129,20 @@ def test_hourly_autocorr_alternating_vs_trending(spark):
     assert out["alt"]["lag1_autocorr"] < -0.9
     assert out["ramp"]["lag1_autocorr"] > 0.9
     assert out["alt"]["n_hours"] == 23
+
+
+def test_psi_ignores_null_values(spark):
+    # regression: least(NULL, bins-1) skipped the null and every NULL row
+    # landed in the top bin, fabricating drift there
+    from meteor_spark.operators.drift import psi_drift
+    from pyspark.sql import functions as F
+
+    base = [("g", float(i % 10), i >= 50) for i in range(100)]
+    clean = spark.createDataFrame(base, "g string, v double, act boolean")
+    nulled = clean.union(
+        spark.createDataFrame([("g", None, True)] * 30, "g string, v double, act boolean")
+    )
+    a = psi_drift(clean, "v", "g", F.col("act")).collect()[0]
+    b = psi_drift(nulled, "v", "g", F.col("act")).collect()[0]
+    assert a["psi"] == b["psi"]
+    assert b["n_actual"] == a["n_actual"]  # NULL rows are not observations
