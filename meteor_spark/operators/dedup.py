@@ -587,10 +587,25 @@ def passage_dedup(
     groupBy(id) with an in-group sort of ≤ n_chunks structs. Nothing
     joins back against the full corpus.
     """
+    from pyspark.sql import Window
+
+    passages = _passage_frame(df, chunk_words, text_col, id_col)
+    own = Window.partitionBy(F.md5("passage")).orderBy(id_col, "chunk_id")
+    ranked = passages.withColumn("__rn", F.row_number().over(own))
+    return _reassemble(passages, ranked.filter(F.col("__rn") == 1), id_col, emit)
+
+
+def _passage_frame(
+    df: DataFrame, chunk_words: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, chunk_id, passage): fixed-width word windows per document,
+    built with sequence+slice INSIDE the row (no doc x token explode —
+    the exploded frame is one row per passage, ~1/chunk_words the token
+    count)."""
     ws = words(normalize_text(F.col(text_col)))
     base = df.select(F.col(id_col), ws.alias("__ws"))
     n_chunks = F.ceil(F.size("__ws") / F.lit(chunk_words)).cast("int")
-    passages = base.select(
+    return base.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -600,11 +615,14 @@ def passage_dedup(
         ).alias("chunk_id", "passage"),
     )
 
-    from pyspark.sql import Window
 
-    own = Window.partitionBy(F.md5("passage")).orderBy(id_col, "chunk_id")
-    ranked = passages.withColumn("__rn", F.row_number().over(own))
-
+def _reassemble(
+    passages: DataFrame, surviving: DataFrame, id_col: str, emit: str
+) -> DataFrame:
+    """(id, n_chunks, kept_chunks, new_text_hash|new_text): stitch each
+    document back together from its surviving passages in document
+    order. One groupBy(id) with an in-group sort of <= n_chunks structs;
+    nothing joins back against the full corpus."""
     reassembled = F.concat_ws(
         " ",
         F.transform(
@@ -618,16 +636,50 @@ def passage_dedup(
         else reassembled.alias("new_text")
     )
     tot = passages.groupBy(id_col).agg(F.count("*").cast("long").alias("n_chunks"))
-    kept = (
-        ranked.filter(F.col("__rn") == 1)
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("kept_chunks"), out_col)
+    kept = surviving.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("kept_chunks"), out_col
     )
     return tot.join(kept, id_col, "left").select(
         id_col,
         "n_chunks",
         F.coalesce(F.col("kept_chunks"), F.lit(0).cast("long")).alias("kept_chunks"),
         "new_text_hash" if emit == "hash" else "new_text",
+    )
+
+
+def hot_passage_scrub(
+    df: DataFrame,
+    chunk_words: int = 8,
+    min_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit: str = "hash",
+) -> DataFrame:
+    """Boilerplate removal: drop EVERY occurrence of any passage that
+    appears >= min_count times corpus-wide, and stitch each document
+    back together from the surviving passages — the RefinedWeb/Gopher
+    "repeated line" scrub (nav menus, cookie banners, license headers)
+    at the same fixed-width word-window granularity as passage_dedup.
+    Where passage_dedup keeps the FIRST occurrence (dedup), this keeps
+    NONE of a hot passage (boilerplate carries no training signal even
+    once, and the survivor would otherwise be arbitrary).
+
+    Returns (id, n_chunks, kept_chunks, new_text_hash) — new_text_hash
+    is md5 of the reassembled text (NULL when every passage of the doc
+    is hot); emit="text" returns the rebuilt text instead.
+
+    Scale: corpus-wide passage frequency is count(*) over a window
+    partitioned by the md5 fingerprint — a uniform hash key, the same
+    single shuffle passage_dedup's ownership window uses, and no
+    join back against the full corpus. Reassembly is one groupBy(id).
+    """
+    from pyspark.sql import Window
+
+    passages = _passage_frame(df, chunk_words, text_col, id_col)
+    freq = Window.partitionBy(F.md5("passage"))
+    counted = passages.withColumn("__n", F.count("*").over(freq))
+    return _reassemble(
+        passages, counted.filter(F.col("__n") < min_count), id_col, emit
     )
 
 

@@ -85,6 +85,42 @@ class PassageDedupProcessor(Processor):
 
 
 @register_processor(
+    "boilerplate_scrub",
+    "Drop every copy of passages repeating >= min_count corpus-wide; reassemble docs",
+    sample_config="chunk_words: 8\nmin_count: 3\ndrop_empty: true",
+)
+class BoilerplateScrubProcessor(Processor):
+    CONFIG = {
+        "text_col": Field(default="text", type=str),
+        "id_col": Field(default="doc_id", type=str),
+        "chunk_words": Field(default=8, type=int),
+        "min_count": Field(default=3, type=int),
+        "drop_empty": Field(default=True),  # drop docs whose every passage was hot
+    }
+
+    def process(self, df: DataFrame) -> DataFrame:
+        from meteor_spark.operators.dedup import hot_passage_scrub
+
+        c = self.config
+        surv = hot_passage_scrub(
+            df,
+            chunk_words=int(c["chunk_words"]),
+            min_count=int(c["min_count"]),
+            text_col=c["text_col"],
+            id_col=c["id_col"],
+            emit="text",
+        )
+        out = (
+            df.drop(c["text_col"])
+            .join(surv.select(c["id_col"], "kept_chunks", "new_text"), c["id_col"])
+            .withColumnRenamed("new_text", c["text_col"])
+        )
+        if c["drop_empty"]:
+            out = out.filter(F.col("kept_chunks") > 0)
+        return out.drop("kept_chunks")
+
+
+@register_processor(
     "interleave",
     "Seeded epoch shuffle + source round-robin training order",
     sample_config="group_col: source\nepoch: 0",

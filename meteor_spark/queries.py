@@ -1449,6 +1449,45 @@ def passage_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup(_docs(spark, sf_dir), chunk_words=_PASSAGE_WORDS)
 
 
+_HOT_PASSAGE_MIN = 3
+
+
+@query(
+    "hot_passage_scrub",
+    f"""
+    WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    ch AS (
+      SELECT doc_id, CAST(j AS INT) AS chunk_id,
+             array_to_string(list_slice(ws, j * {_PASSAGE_WORDS} + 1, j * {_PASSAGE_WORDS} + {_PASSAGE_WORDS}), ' ') AS passage
+      FROM nd, unnest(range(0, CAST(ceil(len(ws) / {_PASSAGE_WORDS}.0) AS BIGINT))) AS t(j)),
+    cnt AS (SELECT doc_id, chunk_id, passage,
+                   count(*) OVER (PARTITION BY md5(passage)) AS n
+            FROM ch),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+    kept AS (SELECT doc_id, count(*) AS kept_chunks,
+                    md5(string_agg(passage, ' ' ORDER BY chunk_id)) AS new_text_hash
+             FROM cnt WHERE n < {_HOT_PASSAGE_MIN} GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           coalesce(k.kept_chunks, 0) AS kept_chunks, k.new_text_hash
+    FROM tot t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def hot_passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators.dedup.hot_passage_scrub): every
+    occurrence of a passage repeating >= 3 times corpus-wide
+    is dropped — the RefinedWeb/Gopher repeated-line scrub at word-
+    window granularity, complementing passage_dedup's keep-first
+    semantics. Value-checks the reassembled text byte-for-byte via its
+    md5."""
+    from meteor_spark.operators.dedup import hot_passage_scrub
+
+    return hot_passage_scrub(
+        _docs(spark, sf_dir),
+        chunk_words=_PASSAGE_WORDS,
+        min_count=_HOT_PASSAGE_MIN,
+    )
+
+
 @query(
     "training_order_interleave",
     """

@@ -190,6 +190,58 @@ sinks:
     assert all(r.log_weight is not None for r in got)
 
 
+def test_boilerplate_scrub_in_recipe(spark, tmp_path):
+    """parquet_table -> boilerplate_scrub -> file: every copy of the
+    hot passage is dropped (not keep-first), unique tails survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hot = " ".join(f"h{i}" for i in range(8))
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [hot, hot, hot + " " + " ".join(f"u{i}" for i in range(8)), " ".join(f"v{i}" for i in range(8))],
+        "lang": ["en"] * 4,
+        "source": ["a"] * 4,
+    }
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table(rows), src)
+    out = tmp_path / "scrubbed"
+
+    from meteor_spark.recipe.loader import parse_recipe
+    from meteor_spark.runner import Agent
+
+    recipe = parse_recipe(
+        f"""
+name: scrub
+version: v1beta1
+source:
+  name: parquet_table
+  config:
+    path: {src}
+processors:
+  - name: boilerplate_scrub
+    config:
+      chunk_words: 8
+      min_count: 3
+sinks:
+  - name: file
+    config:
+      path: {out}
+      format: parquet
+""",
+        default_name="scrub",
+    )
+    agent = Agent(spark)
+    assert agent.validate(recipe) == []
+    run = agent.run(recipe)
+    assert run.success, run.error
+    got = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    # docs 1 and 2 were pure boilerplate (hot passage x3 corpus-wide) -> dropped
+    assert set(got) == {3, 4}
+    assert got[3].text == " ".join(f"u{i}" for i in range(8))  # hot head removed
+    assert got[4].text == " ".join(f"v{i}" for i in range(8))  # cold doc intact
+
+
 def test_pack_processor_in_recipe(spark, tmp_path):
     """parquet_table -> pack -> file: packing coords ride the recipe
     surface like any other mix step."""

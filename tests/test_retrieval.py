@@ -89,6 +89,30 @@ def test_passage_dedup_drops_later_copies_and_reassembles(spark):
     assert solo[1].new_text_hash == out[1].new_text_hash
 
 
+def test_hot_passage_scrub_drops_all_copies_of_hot_passages(spark):
+    from meteor_spark.operators.dedup import hot_passage_scrub
+
+    hot = " ".join(f"h{i}" for i in range(8))  # 1 chunk, appears 3x
+    docs = _docs_frame(
+        spark,
+        [
+            (1, hot, "en", "a"),
+            (2, hot, "en", "a"),
+            (3, hot + " " + " ".join(f"u{i}" for i in range(8)), "en", "a"),
+            (4, " ".join(f"v{i}" for i in range(8)), "en", "a"),  # cold
+        ],
+    )
+    out = {r.doc_id: r for r in hot_passage_scrub(docs, chunk_words=8, min_count=3).collect()}
+    # hot passage occurs 3x -> EVERY copy dropped (vs passage_dedup's keep-first)
+    assert out[1].kept_chunks == 0 and out[1].new_text_hash is None
+    assert out[2].kept_chunks == 0
+    assert out[3].n_chunks == 2 and out[3].kept_chunks == 1  # unique tail survives
+    assert out[4].kept_chunks == 1  # cold passage untouched
+    # min_count=4: only 3 copies exist, nothing is hot
+    lax = {r.doc_id: r for r in hot_passage_scrub(docs, chunk_words=8, min_count=4).collect()}
+    assert all(r.kept_chunks == r.n_chunks for r in lax.values())
+
+
 def test_interleave_is_round_robin_and_seeded(spark):
     rows = [(i, "x", "en", f"s{i % 3}") for i in range(30)]
     docs = _docs_frame(spark, rows)
