@@ -227,6 +227,9 @@ def load_recipes(path: str | Path, variables: dict[str, Any] | None = None) -> l
             continue
         try:
             recipes.append(load_recipe(child, variables))
-        except (RecipeError, yaml.YAMLError) as e:
+        except (RecipeError, yaml.YAMLError, OSError, UnicodeDecodeError) as e:
+            # OSError/UnicodeDecodeError: a stray unreadable or binary
+            # file (editor swap, .DS_Store) must skip-with-warning like
+            # any other bad file, not abort the whole directory load
             log.warning("skipping %s: %s", child, e)
     return recipes

@@ -119,10 +119,12 @@ class Agent:
             for proc in procs:
                 df = proc.process(df)
 
-            # fan-out: persist once, then one action per sink
-            # (reference: agent/stream.go:92-103 push-to-every-subscriber)
-            if len(sink_instances) > 1:
-                df = df.persist()
+            # persist once, then one action per sink (reference:
+            # agent/stream.go:92-103 push-to-every-subscriber). ALWAYS
+            # persist: the record-count middleware's count() below is
+            # itself an action, so even a single-sink run takes >= 2
+            # passes over the pipeline without the cache
+            df = df.persist()
             report.record_count = df.count()  # record-count middleware (agent.go:153-157)
 
             sink_errors: list[str] = []

@@ -10,6 +10,13 @@ fan-out is distributed (one connection per partition, batched payloads
 optional) — at 1000 executors the sink throughput scales with the
 cluster, not the driver. urllib only (stdlib); transient (5xx/URLError)
 failures raise RetryError.
+
+The backoff retry runs EXECUTOR-LOCAL (runner.retrier.retry around each
+flush): a RetryError raised inside foreachPartition reaches the driver
+as an opaque Py4J task failure, so the runner's driver-side retrier
+could never classify it — retrying next to the connection is the only
+placement that preserves the reference's 5x/5s/backoff contract, and it
+re-sends one failed flush rather than re-driving the whole job.
 """
 
 from __future__ import annotations
@@ -48,6 +55,8 @@ class HttpSink(Sink):
         "headers": Field(default=None),
         "success_code": Field(default=200, type=int),
         "batch_size": Field(default=1, type=int),  # reference default batch = 1 (agent.go:17)
+        "max_retries": Field(default=5, type=int),  # retrier.go:11-14 defaults
+        "retry_interval_s": Field(default=5.0, type=float),
     }
 
     def sink(self, df: DataFrame) -> int:
@@ -56,16 +65,28 @@ class HttpSink(Sink):
         headers = dict(self.config["headers"] or {})
         success = self.config["success_code"]
         batch = max(1, int(self.config["batch_size"]))
+        max_retries = int(self.config["max_retries"])
+        interval = float(self.config["retry_interval_s"])
 
         def send_partition(rows):
+            from meteor_spark.runner.retrier import retry
+
+            def flush(buf):
+                payload = buf[0] if batch == 1 else "[" + ",".join(buf) + "]"
+                retry(
+                    lambda: _post(url, method, headers, payload, success),
+                    max_retries=max_retries,
+                    initial_interval_s=interval,
+                )
+
             buf = []
             for line in rows:
                 buf.append(line)
                 if len(buf) >= batch:
-                    _post(url, method, headers, buf[0] if batch == 1 else "[" + ",".join(buf) + "]", success)
+                    flush(buf)
                     buf.clear()
             if buf:
-                _post(url, method, headers, buf[0] if batch == 1 else "[" + ",".join(buf) + "]", success)
+                flush(buf)
 
         js = df.toJSON()
         js.foreachPartition(send_partition)

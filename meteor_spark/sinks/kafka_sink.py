@@ -116,7 +116,13 @@ class KafkaSink(Sink):
                 .save()
             )
         except Exception as e:  # noqa: BLE001
-            raise RuntimeError(
-                "kafka write requires the spark-sql-kafka connector on the classpath"
-            ) from e
+            # only the missing-connector case gets the classpath hint; a
+            # blanket rewrite here masked broker/auth/topic failures
+            # behind a misleading message and made them non-retryable
+            msg = str(e)
+            if "ClassNotFoundException" in msg or "Failed to find data source" in msg:
+                raise RuntimeError(
+                    "kafka write requires the spark-sql-kafka connector on the classpath"
+                ) from e
+            raise
         return df.count()

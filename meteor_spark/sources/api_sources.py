@@ -493,8 +493,12 @@ class MetabaseExtractor(_ApiExtractor):
     def extract(self, spark: SparkSession) -> DataFrame:
         c = self._client()
         host = self.config["host"]
-        rows = _dashboard_rows("metabase", host, c.dashboards())
-        for row, d in zip(rows, c.dashboards()):
+        # materialize ONCE: a second dashboards() call would re-issue
+        # the API traversal, and a generator-returning client would
+        # come back exhausted — zip() empty, all lineage silently lost
+        ds = list(c.dashboards())
+        rows = _dashboard_rows("metabase", host, ds)
+        for row, d in zip(rows, ds):
             upstreams: list[dict] = []
             seen: set[str] = set()
             for card in d.get("charts", []):
@@ -533,8 +537,9 @@ class TableauExtractor(_ApiExtractor):
 
     def extract(self, spark: SparkSession) -> DataFrame:
         c = self._client()
-        rows = _dashboard_rows("tableau", self.config["host"], c.workbooks())
-        for row, wb in zip(rows, c.workbooks()):
+        wbs = list(c.workbooks())  # one client call; generator-safe (see metabase)
+        rows = _dashboard_rows("tableau", self.config["host"], wbs)
+        for row, wb in zip(rows, wbs):
             ups = [
                 {"urn": t, "name": t.rsplit("/", 1)[-1], "service": "tableau", "type": "table",
                  "url": None, "description": None}

@@ -78,7 +78,10 @@ DIALECTS: dict[str, dict] = {
         "exclude": ("SYS", "SYSTEM"),
         "columns_query": (
             "SELECT owner AS table_schema, table_name, column_name, data_type, "
-            "nullable AS is_nullable, COALESCE(data_length, 0) AS length, '' AS description "
+            # all_tab_columns.nullable is 'Y'/'N' (oracle.go:149), not the
+            # information-schema 'YES'/'NO' the shared builder tests for
+            "CASE nullable WHEN 'Y' THEN 'YES' ELSE 'NO' END AS is_nullable, "
+            "COALESCE(data_length, 0) AS length, '' AS description "
             "FROM all_tab_columns"
         ),
     },
@@ -174,6 +177,12 @@ def jdbc_partitioned_reader(
                 .first()
             )
             lower_bound, upper_bound = probe["lo"], probe["hi"]
+        if lower_bound is None or upper_bound is None:
+            # empty table: MIN/MAX probe is (NULL, NULL); stringifying
+            # that into lowerBound would fail load() with an opaque
+            # number-parse error — an unpartitioned single-connection
+            # read of an empty table is trivially correct instead
+            return reader
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

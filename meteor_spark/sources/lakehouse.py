@@ -40,6 +40,12 @@ from meteor_spark.registry import register_extractor
 from meteor_spark.sources.base import assets_df, column_dict
 
 
+def _meta_version(name: str) -> int:
+    """v12.metadata.json -> 12; non-versioned names sort first (-1)."""
+    stem = name.split(".", 1)[0]
+    return int(stem[1:]) if stem.startswith("v") and stem[1:].isdigit() else -1
+
+
 def _spark_type_to_simple(t) -> str:
     """Delta schemaString is a Spark StructType JSON — reuse Spark's own
     parser so nested types print identically to the parquet walker."""
@@ -211,7 +217,13 @@ class IcebergCatalogExtractor(Extractor):
         return assets_df(spark, rows)
 
     def _table_asset(self, root: Path, database: str, t: Path) -> dict:
-        metas = sorted((t / "metadata").glob("*.metadata.json"))
+        # numeric version order: HadoopTables names are v<N>.metadata.json
+        # with no zero padding, so a lexicographic sort would pick
+        # v9.metadata.json over v10.metadata.json
+        metas = sorted(
+            (t / "metadata").glob("*.metadata.json"),
+            key=lambda p: (_meta_version(p.name), p.name),
+        )
         if not metas:
             raise FileNotFoundError(f"no *.metadata.json under {t}/metadata")
         doc = json.loads(metas[-1].read_text())

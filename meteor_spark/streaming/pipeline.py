@@ -307,8 +307,14 @@ def incremental_neardup_stream(
             F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
         )
 
+    # origin marker travels WITH the store rows (the exact-dedup twin's
+    # NULL-id trick): identifying stream survivors by anti-joining ids
+    # against the corpus would silently drop any stream doc whose id
+    # collides with a corpus id — the two id spaces are independent
     corpus_sh = shingle_frame(corpus, text_col, id_col, k).persist()
-    corpus_sh.write.mode("overwrite").parquet(f"{store_dir}/shingles")
+    corpus_sh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(
+        f"{store_dir}/shingles"
+    )
     _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
     corpus_sh.unpersist()
 
@@ -357,7 +363,9 @@ def incremental_neardup_stream(
 
         dropped = dup_of_store.unionByName(dup_in_batch).distinct()
         survivors_sh = sh_b.join(dropped, id_col, "left_anti").persist()
-        survivors_sh.write.mode("append").parquet(f"{store_dir}/shingles")
+        survivors_sh.withColumn("__corpus", F.lit(False)).write.mode("append").parquet(
+            f"{store_dir}/shingles"
+        )
         _bands_of(survivors_sh).write.mode("append").parquet(f"{store_dir}/bands")
         sh_b.unpersist(); b_b.unpersist(); survivors_sh.unpersist()
 
@@ -367,9 +375,11 @@ def incremental_neardup_stream(
         .parquet(watch_dir)
     )
     _run_foreach_batch(stream, _merge, checkpoint_dir, shuffle_partitions)
-    survivors = spark.read.parquet(f"{store_dir}/shingles").select(id_col)
-    corpus_ids = corpus.select(id_col)
-    return survivors.join(corpus_ids, id_col, "left_anti")
+    return (
+        spark.read.parquet(f"{store_dir}/shingles")
+        .filter(~F.col("__corpus"))
+        .select(id_col)
+    )
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,12 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd
         ts = int(ts)
         if last_us is None or ts - last_us > GAP_US:
             n_sessions += 1
-        last_us = ts
+        # max, not assignment: a late event from an earlier micro-batch
+        # must not move the session clock BACKWARDS — a regressed
+        # last_us would make the next on-time event look like a new
+        # session. (Within one batch the sort_values handles order;
+        # across batches only the max is safe.)
+        last_us = ts if last_us is None else max(last_us, ts)
         n_events += 1
     state.update((last_us, n_events, n_sessions))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n_events], "n_sessions": [n_sessions]})

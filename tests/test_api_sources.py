@@ -132,6 +132,27 @@ def test_metabase_lineage_from_native_query(spark):
     assert ups == ["postgres::h/db1/orders", "postgres::h/db1/customers"]
 
 
+def test_metabase_generator_client_keeps_lineage(spark):
+    # regression: extract() called client.dashboards() twice; a
+    # generator-returning client came back exhausted on the second call
+    # and zip() silently dropped ALL lineage (plus real clients paid the
+    # API traversal twice)
+    calls = []
+
+    class Fake:
+        def dashboards(self):
+            calls.append(1)
+            yield {"id": 7, "name": "d", "charts": [
+                {"id": 2, "name": "c2", "engine": "postgres", "database": "db1",
+                 "db_host": "h", "source_table": "orders"}]}
+
+    ex = _get("metabase", Fake())
+    ex.init({"host": "meta.local"})
+    row = ex.extract(spark).collect()[0]
+    assert [u["urn"] for u in row["lineage"]["upstreams"]] == ["postgres::h/db1/orders"]
+    assert len(calls) == 1  # one traversal, not two
+
+
 def test_optimus_jobs_lineage(spark):
     class Fake:
         def jobs(self):

@@ -128,6 +128,28 @@ def test_iceberg_metadata_walk(spark, tmp_path):
     assert attrs["size_bytes"] == "12345"
 
 
+def test_iceberg_picks_v10_over_v9(spark, tmp_path):
+    # regression: lexicographic sort of v<N>.metadata.json picked
+    # 'v9' over 'v10' once a table passed version 9
+    meta = tmp_path / "t" / "metadata"
+    meta.mkdir(parents=True)
+    for ver, snap in (("v9", 9), ("v10", 10)):
+        (meta / f"{ver}.metadata.json").write_text(
+            json.dumps(
+                {
+                    "format-version": 1,
+                    "schema": {"fields": []},
+                    "current-snapshot-id": snap,
+                    "snapshots": [{"snapshot-id": snap, "summary": {"total-records": str(snap)}}],
+                }
+            )
+        )
+    ex = extractors.get("iceberg_catalog")
+    ex.init({"path": str(tmp_path)})
+    a = ex.extract(spark).collect()[0]
+    assert json.loads(a["properties"]["attributes"])["snapshot_id"] == "10"
+
+
 def test_both_registered_and_listed():
     names = {p.name for p in extractors.list()}
     assert {"delta_catalog", "iceberg_catalog"} <= names

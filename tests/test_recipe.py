@@ -72,5 +72,8 @@ def test_directory_read_skips_bad(tmp_path):
     (tmp_path / "good.yaml").write_text(VALID)
     (tmp_path / "bad.txt").write_text("not: [valid")
     (tmp_path / "wrong_version.yaml").write_text(VALID.replace("v1beta1", "v9"))
+    # a stray binary file (editor swap, .DS_Store) must also skip, not
+    # abort the whole directory load with UnicodeDecodeError
+    (tmp_path / ".binary.swp").write_bytes(b"\x80\x81\xfe\xff\x00")
     rs = load_recipes(tmp_path, {"path": "x"})
     assert [r.name for r in rs] == ["sample"]

@@ -85,3 +85,45 @@ def test_json_schema_properties_nullable():
 def test_avro_fields_nullable():
     cols = [{"name": "c1", "data_type": "varchar", "is_nullable": True}]
     assert typemap.avro_fields(cols, "postgres") == [{"name": "c1", "type": ["string", "null"]}]
+
+
+def test_http_sink_retries_transient_5xx_executor_side(spark):
+    """regression: RetryError raised inside foreachPartition surfaces on
+    the driver as an opaque Py4J failure, so the driver-side retrier
+    never saw it — the backoff retry must run executor-local. A real
+    local server 503s the first request per path, then 200s."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    hits = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                hits.append(1)
+                code = 503 if len(hits) == 1 else 200
+            self.send_response(code)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sink = registry.sinks.get("http")
+        sink.init(
+            {
+                "url": f"http://127.0.0.1:{srv.server_port}/",
+                "batch_size": 10,
+                "retry_interval_s": 0.01,
+            }
+        )
+        df = spark.createDataFrame([(1,), (2,)], "id long").coalesce(1)
+        assert sink.sink(df) == 2  # does NOT raise: the 503 was retried
+        assert len(hits) == 2  # one failure + one successful retry
+    finally:
+        srv.shutdown()

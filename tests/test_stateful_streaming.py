@@ -11,6 +11,42 @@ from meteor_spark.streaming.pipeline import normalize_ts
 from meteor_spark.streaming.stateful import sessionize_stateful
 
 
+def test_update_late_event_does_not_regress_session_clock():
+    """regression: last_us = ts let a late cross-batch event move the
+    session clock backwards, so the next on-time event opened a phantom
+    session. Drive _update directly with a fake GroupState."""
+    import pandas as pd
+
+    from meteor_spark.streaming.stateful import GAP_US, _update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+    h = 3_600_000_000  # 1h in us
+    batches = [
+        [9 * h, 10 * h],          # 2 sessions (gap 1h > 30min)
+        [9 * h + GAP_US // 2],    # late event inside session 1's window
+        [10 * h + 5 * 60_000_000],  # 10:05 — same session as 10:00
+    ]
+    for ts_list in batches:
+        list(_update((1,), iter([pd.DataFrame({"ts_us": ts_list})]), st))
+    last_us, n_events, n_sessions = st.get
+    assert n_events == 4
+    assert n_sessions == 2  # the late event must not split session 2
+    assert last_us == 10 * h + 5 * 60_000_000
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     # split events into 4 time-ordered chunks staged with increasing
     # mtimes (the file source orders by modification time) -> 4

@@ -207,3 +207,38 @@ def test_incremental_neardup_stream_cross_batch(spark, tmp_path):
         threshold=0.5,
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [11, 21]
+
+
+def test_incremental_neardup_stream_survives_id_collision(spark, tmp_path):
+    """regression: stream survivors were identified by anti-joining ids
+    against the corpus, so a NOVEL stream doc whose doc_id collided with
+    a corpus doc_id vanished from the survivor set — the id spaces are
+    independent, and the store now carries an origin marker instead."""
+    import os
+
+    from meteor_spark.streaming.pipeline import incremental_neardup_stream
+
+    corpus = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    # id 7 collides with the corpus id but the text is novel -> must survive
+    b1 = spark.createDataFrame(
+        [(7, "completely different content about spark structured streaming state stores")],
+        "doc_id long, text string",
+    )
+    watch = tmp_path / "ndc_in"
+    watch.mkdir()
+    d = str(tmp_path / "ndc_b0")
+    b1.coalesce(1).write.parquet(d)
+    src = next(p for p in os.listdir(d) if p.startswith("part-") and p.endswith(".parquet"))
+    (watch / "batch_0.parquet").write_bytes((tmp_path / "ndc_b0" / src).read_bytes())
+    out = incremental_neardup_stream(
+        spark,
+        str(watch),
+        corpus,
+        str(tmp_path / "ndc_store"),
+        str(tmp_path / "ndc_ckpt"),
+        threshold=0.5,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [7]
