@@ -208,6 +208,12 @@ def enc_message(desc: dict, row) -> bytes:
             if p is not None:
                 out += enc_len_field(no, p)
         elif kind == "message":
+            if isinstance(v, str):
+                # Column.properties arrives as the raw attributes JSON
+                # string (column_dict stores an open JSON object);
+                # wrap it into the facets.Properties row shape the
+                # sub-descriptor expects instead of recursing into str
+                v = {"attributes": v}
             out += enc_len_field(no, enc_message(spec[2], v))
         elif kind == "repeated_message":
             for item in v:

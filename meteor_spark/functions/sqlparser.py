@@ -27,15 +27,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # `ON x = y [AND x2 = y2 ...]` — the reference captures the whole ON chain
-# (parser.go:12-18)
-JOIN_ON_PATTERN = r"(?i)\bON\s+((?:[\w.`\"']+\s*=\s*[\w.`\"']+)(?:\s+(?:AND|OR)\s+[\w.`\"']+\s*=\s*[\w.`\"']+)*)"
+# (parser.go:12-18). The chain may be wrapped in parens (`ON (a.id =
+# b.id)`, standard ORM/generator output); the capture excludes them so
+# the mined condition is paren-free either way.
+JOIN_ON_PATTERN = (
+    r"(?i)\bON\s+\(?\s*"
+    r"((?:[\w.`\"']+\s*=\s*[\w.`\"']+)(?:\s+(?:AND|OR)\s+[\w.`\"']+\s*=\s*[\w.`\"']+)*)"
+)
 # `USING (a, b)` (parser.go:19-25)
 JOIN_USING_PATTERN = r"(?i)\bUSING\s*\(([^)]+)\)"
-# WHERE/HAVING predicate forms (parser.go:27-53): =,<,>,<=,>=,!=,LIKE,BETWEEN,IS,IN
+# WHERE/HAVING predicate forms (parser.go:27-53): =,<,>,<=,>=,!=,LIKE,
+# BETWEEN,IS,IN. The predicate tail admits one level of parens —
+# `(?:[^;()]|\([^()]*\))*?` — so IN-lists and function calls after the
+# operator (`x IN (1,2)`, `a = f(b)`) are captured; a bare `[^;()]*?`
+# tail silently extracted NOTHING for such queries.
 FILTER_PATTERN = (
     r"(?i)\b(?:WHERE|HAVING)\s+"
     r"([\w.`\"']+(?:\([^)]*\))?\s*(?:=|<>|!=|<=|>=|<|>|\s+LIKE\s+|\s+BETWEEN\s+|\s+IS\s+|\s+IN\s*)"
-    r"[^;()]*?)(?:\s+(?:GROUP|ORDER|LIMIT|UNION|WINDOW)\b|;|$)"
+    r"(?:[^;()]|\([^()]*\))*?)(?:\s+(?:GROUP|ORDER|LIMIT|UNION|WINDOW)\b|;|$)"
 )
 _COMMENT_RE = re.compile(r"(--[^\n]*\n?)|(/\*.*?\*/)", re.S)
 _WS_RE = re.compile(r"\s+")

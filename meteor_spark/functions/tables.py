@@ -35,7 +35,9 @@ _FROM_LIST_RE = re.compile(rf"(?i)\bFROM\s+((?:{_NAME}(?:\s+(?:AS\s+)?\w+)?\s*,\
 
 _KEYWORDS = {"select", "lateral", "unnest", "values", "dual"}
 
-TABLE_PATTERN = r"(?i)\b(?:FROM|JOIN)\s+(`[^`]+`|\"[^\"]+\"|[\w$]+(?:\.[\w$]+)*)"
+# same _NAME body as the Python scan, so schema-qualified quoted names
+# (sch."Tbl") capture whole instead of truncating at the quote
+TABLE_PATTERN = rf"(?i)\b(?:FROM|JOIN)\s+{_NAME}"
 
 
 def substitute_template_tags(q: str, defaults: dict[str, str] | None = None) -> str:
@@ -73,5 +75,17 @@ def extract_table_names(q: str, defaults: dict[str, str] | None = None) -> list[
 
 
 def table_names_col(query: Column) -> Column:
-    """JVM-side variant over a query-string column (distinct, sorted)."""
-    return F.array_sort(F.array_distinct(F.regexp_extract_all(query, F.lit(TABLE_PATTERN), 1)))
+    """JVM-side variant over a query-string column (distinct, sorted).
+
+    Shares _NAME and the keyword filter with extract_table_names so both
+    surfaces mine the same names from the same log. Known divergence:
+    the Python scan additionally walks comma lists (`FROM a, b c, d`) —
+    a single regexp_extract_all pass cannot; comma-list secondaries are
+    missed JVM-side.
+    """
+    names = F.regexp_extract_all(query, F.lit(TABLE_PATTERN), 1)
+    kept = F.filter(
+        names,
+        lambda s: ~F.lower(F.regexp_replace(s, r'[`"]', "")).isin(*_KEYWORDS),
+    )
+    return F.array_sort(F.array_distinct(kept))

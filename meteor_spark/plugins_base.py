@@ -62,9 +62,8 @@ def build_config(raw: dict[str, Any] | None, spec: dict[str, Field]) -> dict[str
         if val is None:
             if f.required:
                 errors.append(ConfigError(key, "validation for 'required' failed"))
-            elif f.required_without is not None and raw.get(f.required_without) is None and (f.required_without not in spec or raw.get(f.required_without) is None):
-                # handled after first pass
-                pass
+            # required_without is validated in the second pass below,
+            # once every field's resolved value is known
             val = f.default
         if val is not None and f.oneof is not None and val not in f.oneof:
             errors.append(ConfigError(key, f"validation for 'oneof' failed: must be one of {list(f.oneof)}"))

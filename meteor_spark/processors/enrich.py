@@ -24,7 +24,15 @@ def merge_attributes(df: DataFrame, attrs: dict[str, str]) -> DataFrame:
     if not attrs:
         return df
     lit_map = F.create_map(*[F.lit(x) for kv in attrs.items() for x in kv])
-    existing = F.from_json(F.coalesce(F.col("properties.attributes"), F.lit("{}")), "map<string,string>")
+    # the OUTER coalesce guards parse failures, not just NULL columns:
+    # from_json returns NULL for malformed JSON (PERMISSIVE), and a NULL
+    # map would propagate through map_filter/map_concat and null out the
+    # whole facet — the reference sets config keys regardless
+    # (processor.go:57-86), so fall back to an empty map
+    existing = F.coalesce(
+        F.from_json(F.coalesce(F.col("properties.attributes"), F.lit("{}")), "map<string,string>"),
+        F.from_json(F.lit("{}"), "map<string,string>"),
+    )
     merged = F.to_json(F.map_concat(F.map_filter(existing, lambda k, v: ~k.isin(*attrs)), lit_map))
     new_props = F.struct(
         F.col("properties.tags").alias("tags"),

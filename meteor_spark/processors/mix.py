@@ -50,6 +50,19 @@ class ReweightProcessor(Processor):
         return out
 
 
+def _swap_rebuilt_text(df: DataFrame, surv: DataFrame, text_col: str, id_col: str, drop_empty) -> DataFrame:
+    """Replace text_col with the reassembled new_text from a passage
+    operator's emit='text' frame; optionally drop fully-emptied docs."""
+    out = (
+        df.drop(text_col)
+        .join(surv.select(id_col, "kept_chunks", "new_text"), id_col)
+        .withColumnRenamed("new_text", text_col)
+    )
+    if drop_empty:
+        out = out.filter(F.col("kept_chunks") > 0)
+    return out.drop("kept_chunks")
+
+
 @register_processor(
     "passage_dedup",
     "Drop passages already seen elsewhere in the corpus; reassemble docs",
@@ -74,14 +87,7 @@ class PassageDedupProcessor(Processor):
             id_col=c["id_col"],
             emit="text",
         )
-        out = (
-            df.drop(c["text_col"])
-            .join(surv.select(c["id_col"], "kept_chunks", "new_text"), c["id_col"])
-            .withColumnRenamed("new_text", c["text_col"])
-        )
-        if c["drop_empty"]:
-            out = out.filter(F.col("kept_chunks") > 0)
-        return out.drop("kept_chunks")
+        return _swap_rebuilt_text(df, surv, c["text_col"], c["id_col"], c["drop_empty"])
 
 
 @register_processor(
@@ -110,14 +116,7 @@ class BoilerplateScrubProcessor(Processor):
             id_col=c["id_col"],
             emit="text",
         )
-        out = (
-            df.drop(c["text_col"])
-            .join(surv.select(c["id_col"], "kept_chunks", "new_text"), c["id_col"])
-            .withColumnRenamed("new_text", c["text_col"])
-        )
-        if c["drop_empty"]:
-            out = out.filter(F.col("kept_chunks") > 0)
-        return out.drop("kept_chunks")
+        return _swap_rebuilt_text(df, surv, c["text_col"], c["id_col"], c["drop_empty"])
 
 
 @register_processor(
@@ -178,7 +177,14 @@ class PackProcessor(Processor):
         fn = packing.next_fit_bins if c["mode"] == "next_fit" else packing.pack_manifest
         kw = {"capacity": int(c["capacity"])} if c["mode"] == "next_fit" else {"seq_len": int(c["capacity"])}
         manifest = fn(base, tok, group_col=c["group_col"], id_col=c["id_col"], **kw)
-        coord_cols = [x for x in manifest.columns if x not in (c["id_col"], c["group_col"])]
+        # never re-attach a column the input already carries (the
+        # manifest always aliases its count to n_tokens, and a duplicate
+        # name makes every downstream select/write fail AMBIGUOUS)
+        coord_cols = [
+            x
+            for x in manifest.columns
+            if x not in (c["id_col"], c["group_col"]) and x not in df.columns
+        ]
         return df.join(
             manifest.select(c["id_col"], *coord_cols), c["id_col"], "left"
         )

@@ -52,9 +52,13 @@ class Registry:
 
     def get(self, name: str):
         try:
-            return self._factories[name]()
+            factory = self._factories[name]
         except KeyError:
             raise NotFoundError(self.kind, name) from None
+        # call OUTSIDE the try: a KeyError raised by the plugin's own
+        # constructor must surface as itself, not as "could not find
+        # plugin" with the real traceback suppressed
+        return factory()
 
     def info(self, name: str) -> PluginInfo:
         try:

@@ -74,6 +74,42 @@ def test_enrich_overwrites_existing_key(spark):
     assert tags == ["t1"]
 
 
+def test_enrich_survives_malformed_attributes(spark):
+    # regression: from_json returns NULL for malformed JSON and the NULL
+    # map propagated through map_filter/map_concat, nulling the whole
+    # facet; the reference sets config keys regardless
+    from pyspark.sql import functions as F
+
+    from meteor_spark.processors.enrich import merge_attributes
+    from meteor_spark.sources.base import assets_df
+
+    df = assets_df(
+        spark,
+        [{"resource": {"urn": "u1", "name": "n", "service": "s", "type": "t", "url": None, "description": None},
+          "asset_type": "Table",
+          "properties": {"tags": None, "labels": None, "attributes": "not-json"}}],
+    )
+    out = merge_attributes(df, {"team": "x"})
+    row = out.select(F.col("properties.attributes")).first()[0]
+    assert json.loads(row) == {"team": "x"}
+
+
+def test_pack_processor_does_not_duplicate_token_col(spark):
+    # regression: the manifest join re-attached n_tokens when the input
+    # already carried one, making every downstream select AMBIGUOUS
+    from meteor_spark import registry
+
+    df = spark.createDataFrame(
+        [(1, "s", 100, "t"), (2, "s", 200, "t")],
+        "doc_id long, source string, n_tokens long, text string",
+    )
+    p = registry.processors.get("pack")
+    p.init({"token_col": "n_tokens", "capacity": 512})
+    out = p.process(df)
+    assert out.columns.count("n_tokens") == 1
+    assert out.select("n_tokens", "bin_id").count() == 2  # no AMBIGUOUS_REFERENCE
+
+
 def test_filter_and_project_processors_in_recipe(spark, tmp_path):
     csv = tmp_path / "applicant.csv"
     csv.write_text("applicant_id,last_name\n1,a\n")

@@ -270,3 +270,13 @@ def test_map_str_null_value_encodes_as_go_zero_string():
     out = enc_message(desc, {"labels": {"team": None}})
     # entry with key + EMPTY value field, as Go appendMapItem emits for ""
     assert out == enc_len_field(9, enc_string_field(1, "team") + enc_string_field(2, ""))
+
+
+def test_column_properties_json_string():
+    # regression: COLUMN_DESC.properties is a nested facets.Properties
+    # message but the model stores a raw JSON string per column —
+    # enc_message recursed into the str and crashed on __fields__
+    got = pw.enc_message(pw.COLUMN_DESC, {"name": "c", "properties": '{"k": "v"}'})
+    # field 31 (0xfa 0x01), nested Properties{attributes struct{k: "v"}}
+    assert got.startswith(b"\x0a\x01c\xfa\x01")
+    assert b"\x01k" in got and b"\x01v" in got

@@ -338,3 +338,24 @@ def test_cancelled_agent_fails_fast_and_still_hits_monitors(spark):
     assert run.success is False
     assert run.error == "cancelled"
     assert recorded and recorded[0] is run
+
+
+def test_registry_get_does_not_mask_constructor_keyerror():
+    # regression: the factory CALL sat inside the except KeyError block,
+    # so a KeyError from a plugin's own __init__ was misreported as
+    # "could not find plugin" with the real traceback suppressed
+    import pytest
+
+    from meteor_spark.registry import Registry
+
+    r = Registry("test")
+
+    class Boom:
+        def __init__(self):
+            raise KeyError("oops-internal")
+
+    r.register("boom", Boom)
+    with pytest.raises(KeyError, match="oops-internal"):
+        r.get("boom")
+    with pytest.raises(registry.NotFoundError):
+        r.get("missing")

@@ -59,3 +59,20 @@ def test_spark_column_extraction(spark):
     ).first()
     assert row["j"] == ["a.x = b.y"]
     assert row["f"] == ["a.z > 3"]
+
+
+def test_filter_paren_forms():
+    # regression: a [^;()]*? predicate tail could not cross ANY paren, so
+    # IN-lists and function calls after the operator extracted NOTHING
+    assert parse_filter_conditions("SELECT * FROM t WHERE x IN (1,2)") == ["x IN (1,2)"]
+    assert parse_filter_conditions("SELECT * FROM t WHERE a = f(b) AND c > 2") == ["a = f(b) AND c > 2"]
+    assert parse_filter_conditions("SELECT * FROM t WHERE a = 1 AND x IN (1,2) GROUP BY a") == [
+        "a = 1 AND x IN (1,2)"
+    ]
+
+
+def test_join_on_parenthesized():
+    # regression: `ON (a.id = b.id)` (standard ORM output) yielded no
+    # join condition; the capture stays paren-free either way
+    assert parse_join_conditions("SELECT * FROM a JOIN b ON (a.id = b.id)") == ["a.id = b.id"]
+    assert parse_join_conditions("SELECT * FROM a JOIN b ON a.id = b.id") == ["a.id = b.id"]
