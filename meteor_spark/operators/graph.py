@@ -82,6 +82,10 @@ def pagerank(
             )
             .localCheckpoint()  # truncate lineage: plan stays iteration-constant
         )
+    # the eager localCheckpoint above cut pr's lineage from nodes/e, so
+    # the caches can be released instead of leaking for the session
+    nodes.unpersist()
+    e.unpersist()
     return pr.select("node", F.round("pr", round_to).alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "node"
     )

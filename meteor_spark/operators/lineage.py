@@ -51,15 +51,29 @@ def transitive_upstreams(edge_df: DataFrame, max_depth: int = 10) -> DataFrame:
     result = rev.withColumn("depth", F.lit(1)).persist()
     frontier = result
     step = rev.select(F.col("urn").alias("j_urn"), F.col("ancestor_urn").alias("j_ancestor"))
+    retired = []
     for _ in range(1, max_depth):
         nxt = (
             frontier.join(step, frontier.ancestor_urn == step.j_urn)
             .select(frontier.urn, F.col("j_ancestor").alias("ancestor_urn"), (frontier.depth + 1).alias("depth"))
+            # WITHIN-level dedup first: a diamond (a->b->d, a->c->d)
+            # reaches the same (urn, ancestor) via two equal-length
+            # paths, and the anti-join below only removes pairs known
+            # from PRIOR levels — without distinct() the duplicates
+            # compound multiplicatively with the number of paths
+            .distinct()
         )
         # anti-join against known (urn, ancestor) pairs: dedup + cycle stop
         nxt = nxt.join(result.select("urn", "ancestor_urn"), ["urn", "ancestor_urn"], "left_anti").persist()
         if nxt.isEmpty():
+            nxt.unpersist()
             break
+        prev = result
         result = result.unionByName(nxt).persist()
+        result.count()  # materialize before retiring the inputs it was built from
+        retired.extend((prev, nxt))
         frontier = nxt
+    # every retired frame is already folded into the materialized result
+    for df in retired:
+        df.unpersist()
     return result

@@ -115,7 +115,12 @@ def next_fit_bins(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        toks = np.maximum(pdf[token_col].to_numpy(dtype=np.int64), 0)
+        # NULL counts ride the non-positive path (zero width, occupies
+        # no capacity) — a bare to_numpy(int64) would crash the whole
+        # Arrow batch with an opaque NaN-cast error
+        toks = np.maximum(
+            pdf[token_col].fillna(0).to_numpy(dtype=np.int64), 0
+        )
         n = len(toks)
         bin_id = np.empty(n, dtype=np.int64)
         offset = np.empty(n, dtype=np.int64)
@@ -133,7 +138,7 @@ def next_fit_bins(
             {
                 id_col: pdf[id_col].to_numpy(),
                 group_col: pdf[group_col].to_numpy(),
-                "n_tokens": pdf[token_col].to_numpy(dtype=np.int64),
+                "n_tokens": pdf[token_col].fillna(0).to_numpy(dtype=np.int64),
                 "bin_id": bin_id,
                 "bin_offset": offset,
             }

@@ -60,5 +60,9 @@ def time_range_join(
     joined = l.join(r, cond).drop(r["__bucket"])
     for k in keys:
         joined = joined.drop(r[k])
-    lj, rj = unix_us(left_ts), unix_us(right_ts)
+    # SIDE-QUALIFIED refs, not name re-resolution: when both sides call
+    # their event-time column the same thing (both 'ts' — the common
+    # case for sensor alignment), an unqualified F.col would be
+    # AMBIGUOUS after the join
+    lj, rj = unix_us(l[left_ts]), unix_us(r[right_ts])
     return joined.filter((rj >= lj + lo_us) & (rj < lj + up_us)).drop("__bucket")

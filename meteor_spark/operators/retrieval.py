@@ -109,6 +109,8 @@ def rrf_fuse(
     input is tiny regardless of corpus size — the heavy lifting stays in
     the per-system retrievers.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     u = rankings[0].select(id_col, "rank")
     for r in rankings[1:]:
         u = u.unionByName(r.select(id_col, "rank"))

@@ -29,11 +29,20 @@ def hash_bucket(key: Column, buckets: int = BUCKETS) -> Column:
     return (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % buckets).cast("int")
 
 
+def bucket_threshold(rate: float, buckets: int = BUCKETS) -> int:
+    """rate -> bucket count, half-up. A bare int(rate * buckets)
+    TRUNCATES the float product one bucket low for ~6% of exact
+    4-decimal rates (0.0003 * 10000 == 2.999...96 -> 2) — a large
+    relative error at small rates, and split tables summing to 1.0
+    could still leave an unassigned bucket."""
+    return int(rate * buckets + 0.5)
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, rate: float, buckets: int = BUCKETS
 ) -> DataFrame:
     """Keep ~rate of rows, chosen by key hash — stable across runs/engines."""
-    return df.filter(hash_bucket(F.col(key_col), buckets) < int(rate * buckets))
+    return df.filter(hash_bucket(F.col(key_col), buckets) < bucket_threshold(rate, buckets))
 
 
 def stratified_sample(
@@ -49,9 +58,11 @@ def stratified_sample(
     The threshold is a chained CASE on the stratum — still a single
     shuffle-free filter above the scan.
     """
-    threshold: Column = F.lit(int(default_rate * buckets))
+    threshold: Column = F.lit(bucket_threshold(default_rate, buckets))
     for stratum, rate in rates.items():
-        threshold = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * buckets))).otherwise(threshold)
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(bucket_threshold(rate, buckets))
+        ).otherwise(threshold)
     return df.filter(hash_bucket(F.col(key_col), buckets) < threshold)
 
 
@@ -209,8 +220,13 @@ def dsir_log_weights(
         F.explode(words(normalize_text(F.col(text_col)))).alias("w"),
     ).select(id_col, "__is_target", bkt.alias("bkt"))
 
-    # per-(doc, bucket) multiplicities: the only corpus-sized aggregate
-    m = tok.groupBy(id_col, "__is_target", "bkt").agg(F.count("*").alias("m"))
+    # per-(doc, bucket) multiplicities: the only corpus-sized aggregate.
+    # Persisted because THREE divergent consumers read it (raw, tgt, and
+    # the final scoring join) and tgt's filter changes the subplan, so
+    # exchange reuse can't collapse them — without the cache the corpus
+    # tokenize+explode+groupBy runs up to 3x per action (the same
+    # two-consumer shape skew.key_skew_report persists for)
+    m = tok.groupBy(id_col, "__is_target", "bkt").agg(F.count("*").alias("m")).persist()
 
     raw = m.groupBy("bkt").agg(F.sum("m").alias("cr"))
     tgt = m.filter(F.col("__is_target")).groupBy("bkt").agg(F.sum("m").alias("ct"))
@@ -285,8 +301,13 @@ def training_order_interleave(
         F.col(group_col),
         F.row_number().over(w).cast("long").alias("source_rank"),
     )
+    # NULL-SAFE join: sdim/row_number give a NULL group its own source
+    # index, but a plain equi-join on the column name never matches
+    # NULL = NULL — every NULL-source doc would silently vanish from
+    # the training order
     return (
-        ranked.join(F.broadcast(sidx), group_col)
+        ranked.join(F.broadcast(sidx), ranked[group_col].eqNullSafe(sidx[group_col]))
+        .drop(sidx[group_col])
         .select(
             id_col,
             group_col,
@@ -324,7 +345,7 @@ def holdout_split(
     lo = 0
     cases = []
     for name, rate in splits.items():
-        hi = lo + int(rate * buckets)
+        hi = lo + bucket_threshold(rate, buckets)
         cases.append((name, lo, hi))
         lo = hi
     for name, lo_b, hi_b in reversed(cases):

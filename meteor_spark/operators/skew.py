@@ -64,6 +64,11 @@ def salted_join(
     that x`salt_buckets` replication is acceptable — the standard middle
     ground between broadcast and AQE skew-join splitting.
     """
+    if how not in ("inner", "left"):
+        # fact rows carry ONE salt but dim rows exist for EVERY salt, so
+        # right/full would surface each unmatched dim row salt_buckets
+        # times — plausible-looking, wrong output; fail fast instead
+        raise ValueError(f"salted_join supports inner/left, not {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 import meteor_spark.processors  # noqa: F401 — registers processor plugins (enrich_catalog)
 import meteor_spark.sources  # noqa: F401 — registers source plugins used by catalog queries
-from meteor_spark.operators import dedup, drift, similarity, text, usage
+from meteor_spark.operators import dedup, drift, sampling, similarity, text, usage
 from meteor_spark.operators.profile import profile_df
 from meteor_spark.functions import sqlparser, unix_us
 
@@ -2669,8 +2669,10 @@ _SAMPLE_RATES = {"en": 0.3, "es": 0.5, "zh": 1.0}
 _SAMPLE_DEFAULT = 0.2
 _SAMPLE_CASE = (
     "CASE "
-    + " ".join(f"WHEN lang = '{s}' THEN {int(r * 10000)}" for s, r in _SAMPLE_RATES.items())
-    + f" ELSE {int(_SAMPLE_DEFAULT * 10000)} END"
+    + " ".join(
+        f"WHEN lang = '{s}' THEN {sampling.bucket_threshold(r)}" for s, r in _SAMPLE_RATES.items()
+    )
+    + f" ELSE {sampling.bucket_threshold(_SAMPLE_DEFAULT)} END"
 )
 
 

@@ -54,3 +54,16 @@ def test_transitive_upstreams_cycle_safe(spark):
     pairs = {(r["urn"], r["ancestor_urn"]) for r in out}
     assert ("a", "b") in pairs and ("b", "a") in pairs
     assert len(out) <= 4
+
+
+def test_transitive_upstreams_diamond_no_duplicates(spark):
+    # regression: two equal-length paths (a->b->d, a->c->d) produced the
+    # (d, a, 2) row twice — within-level dedup, not just prior-level
+    # anti-join, is required or duplicates compound per path
+    assets = assets_df(
+        spark, [_asset("b", ups=["a"]), _asset("c", ups=["a"]), _asset("d", ups=["b", "c"])]
+    )
+    rows = transitive_upstreams(edges(assets)).collect()
+    pairs = [(r["urn"], r["ancestor_urn"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no duplicate closure rows
+    assert (("d", "a")) in pairs

@@ -171,3 +171,12 @@ def test_rrf_fuse_topk_and_tiebreak(spark):
     out = rrf_fuse([a], k=3).collect()
     # equal scores -> deterministic id ascending tie-break, k rows
     assert [r["doc_id"] for r in out] == [0, 1, 2]
+
+
+def test_rrf_fuse_empty_rankings_raises():
+    import pytest
+
+    from meteor_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])

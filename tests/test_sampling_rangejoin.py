@@ -262,3 +262,63 @@ def test_truncation_budget_curve_exact_counts(spark):
     assert out[25]["docs_truncated"] == 2 and out[25]["tokens_dropped"] == 20
     # L=50: nothing truncated
     assert out[50]["docs_truncated"] == 0 and out[50]["drop_share"] == 0.0
+
+
+def test_time_range_join_same_ts_name_both_sides(spark):
+    # regression: an unqualified F.col('ts') in the final filter was
+    # AMBIGUOUS when both sides call their event-time column 'ts'
+    from meteor_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "id int, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(9, "2024-01-01 09:30:00"), (8, "2024-01-01 07:00:00")], "rid int, ts string"
+    ).select("rid", F.col("ts").cast("timestamp").alias("ts"))
+    out = time_range_join(left, right, "ts", "ts", -3600, 0)
+    assert [r["rid"] for r in out.collect()] == [9]
+
+
+def test_bucket_threshold_rounds_half_up():
+    # regression: int(0.0003 * 10000) == 2 (float truncation), one
+    # bucket short of the requested rate
+    from meteor_spark.operators.sampling import bucket_threshold
+
+    assert bucket_threshold(0.0003) == 3
+    assert bucket_threshold(0.2) == 2000
+    assert bucket_threshold(0.9) == 9000
+    assert all(bucket_threshold(i / 10000) == i for i in range(0, 10000, 7))
+
+
+def test_interleave_keeps_null_source_docs(spark):
+    # regression: the source-index equi-join dropped every NULL-group doc
+    from meteor_spark.operators.sampling import training_order_interleave
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "doc_id long, source string"
+    )
+    out = training_order_interleave(df)
+    assert out.count() == 4  # every document gets a position
+    assert len({r["position"] for r in out.collect()}) == 4
+
+
+def test_salted_join_rejects_right_outer():
+    import pytest
+
+    from meteor_spark.operators.skew import salted_join
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(None, None, on=["k"], how="right")
+
+
+def test_next_fit_bins_null_tokens_zero_width(spark):
+    # regression: a NULL token count crashed the Arrow batch with an
+    # opaque NaN-cast error; NULL now rides the non-positive path
+    from meteor_spark.operators.packing import next_fit_bins
+
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", None), (3, "s", 100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in next_fit_bins(df, "n_tokens", capacity=512).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["bin_id"] == out[1]["bin_id"]
