@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -45,7 +46,14 @@ def compact_line(timings, headline, failed, total, sf, limit: int = 1800) -> str
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # tolerant sf sniffing: a path like /data/transfer/corpus contains
+    # 'sf' but no number — a bare float() here crashed the whole bench
+    # before any JSON line could be printed
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
+    try:
+        sf = float(m.group(1)) if m else 0.1
+    except ValueError:
+        sf = 0.1
 
     from meteor_spark.session import get_spark
     from meteor_spark.queries import QUERIES
@@ -101,13 +109,15 @@ def main() -> None:
                 t = min(t, t2)
         timings[name] = t
 
-    # Cold-path cost of the _SHARED dedup intermediates: the loop above
-    # times minhash_near_duplicates / near_dup_clusters as cache hits on
-    # the session-scoped shared frames (legitimate workload design — a
-    # shared CTE — but not a standalone cost). Report the first-build
-    # cost explicitly: drop the shared state and re-run cold. These
-    # *_cold entries are informational and EXCLUDED from the total (the
-    # build cost is already inside the loop's first minhash timing).
+    # Cold-path cost of the _SHARED dedup intermediates. What actually
+    # survives between loop iterations: the per-query clearCache()
+    # unpersists the persisted shared frames, so every consumer query
+    # above recomputes its full lineage (honest standalone costs); only
+    # LOCALCHECKPOINTED state held in _SHARED (the connected-components
+    # labels) survives clearCache and is genuinely shared. The *_cold
+    # entries re-run after dropping _SHARED entirely, so they
+    # additionally price rebuilding that checkpointed state. They are
+    # informational and EXCLUDED from the total.
     try:
         from meteor_spark.queries import _SHARED
 
@@ -225,6 +235,7 @@ def main() -> None:
         "event_transition_entropy",
         "user_activity_gini",
         "language_confidence_report",
+        "hot_passage_scrub",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
     ]

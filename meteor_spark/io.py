@@ -106,6 +106,14 @@ def zorder_value(cols: list, bits: int = 16) -> F.Column:
     """Z-order (Morton) curve value from numeric columns: each column is
     rank-normalized to `bits` bits by the caller (see write_zordered) and
     the bits are interleaved JVM-side — pure shifts/ors, no UDF."""
+    if bits * len(cols) > 63:
+        # bit position bits*cols-1 would reach the int64 sign bit (or
+        # wrap: Java shift amounts are mod 64), silently breaking the
+        # ordering for ~half the rows — refuse instead
+        raise ValueError(
+            f"zorder: {bits} bits x {len(cols)} cols exceeds the 63 usable "
+            f"bits of a long; use bits <= {63 // len(cols)}"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -118,29 +126,49 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int =
     """Persist a table clustered along a Z-order curve of the given
     columns — multi-dimensional data skipping without a table format.
 
-    Each z-column is first rank-normalized to [0, 2^bits) with a
-    percent_rank window (robust to arbitrary value distributions), the
-    Morton interleave of the normalized values is computed JVM-side, and
-    the frame is range-repartitioned + sorted by that value. Rows close
-    in ALL z-dimensions land in the same parquet files, so per-file
-    min/max stats tighten on every z-column at once: a scan filtering on
-    ANY of the dimensions skips most files (parquet row-group stats do
-    the skipping — no Delta/Iceberg needed, though the same layout slots
-    under either). This is the write-side lever for 100 TB tables with
-    two or three common filter columns where hive partitioning is too
-    coarse (high-cardinality numerics) and single-column sorting only
-    helps one predicate.
-    """
-    from pyspark.sql import Window
+    Each z-column is first rank-normalized to [0, 2^bits_eff) by
+    QUANTILE BUCKETING: one distributed approxQuantile pass per column
+    yields 2^bits_eff - 1 boundaries, broadcast as a literal array; a
+    row's bucket is the count of boundaries <= its value (a HOF fold —
+    no shuffle, no window). The percent_rank window this replaced had no
+    partitionBy, so the ENTIRE table funnelled through one task per
+    column — unusable at the very scale this helper targets. Quantile
+    buckets also align magnitudes across dimensions (every dim spans the
+    full [0, 2^bits_eff) whatever its cardinality), which raw rank
+    values would not. The Morton interleave of the bucket ids is
+    computed JVM-side, and the frame is range-repartitioned + sorted by
+    that value. Rows close in ALL z-dimensions land in the same parquet
+    files, so per-file min/max stats tighten on every z-column at once:
+    a scan filtering on ANY of the dimensions skips most files (parquet
+    row-group stats do the skipping — no Delta/Iceberg needed, though
+    the same layout slots under either). This is the write-side lever
+    for 100 TB tables with two or three common filter columns where
+    hive partitioning is too coarse (high-cardinality numerics) and
+    single-column sorting only helps one predicate.
 
-    scale = (1 << bits) - 1
-    norm_cols = []
+    bits is capped so the interleave fits in 63 bits AND at 8 per
+    dimension (256 quantile buckets per column — file-level skipping
+    resolution; finer buckets only inflate the per-row boundary fold).
+    """
+    bits = min(bits, 63 // len(zorder_cols), 8)
+    n_bounds = (1 << bits) - 1
+    probs = [i / (1 << bits) for i in range(1, n_bounds + 1)]
     tmp = df
     for c in zorder_cols:
-        w = Window.orderBy(F.col(c))  # rank window: one pass per column at write time
-        tmp = tmp.withColumn(f"__n_{c}", (F.percent_rank().over(w) * scale).cast("long"))
-        norm_cols.append(F.col(f"__n_{c}"))
-    tmp = tmp.withColumn("__z", zorder_value(norm_cols, bits))
+        bounds = df.select(F.col(c).cast("double").alias("__v")).approxQuantile(
+            "__v", probs, 0.001
+        )
+        lit_bounds = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            lit_bounds,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        tmp = tmp.withColumn(f"__n_{c}", F.coalesce(bucket, F.lit(0)).cast("long"))
+    tmp = tmp.withColumn(
+        "__z", zorder_value([F.col(f"__n_{c}") for c in zorder_cols], bits)
+    )
     n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
     (
         tmp.repartitionByRange(n, "__z")

@@ -92,19 +92,52 @@ def event_transition_matrix(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
-    pairs = (
-        events.withColumn("__next", F.lead(type_col).over(w))
-        .filter(F.col("__next").isNotNull())
-        .groupBy(F.col(type_col).alias("src_type"), F.col("__next").alias("dst_type"))
-        .agg(F.count("*").alias("n"))
-    )
+    pairs = transition_counts(events, user_col, type_col, order_cols)
     tot = Window.partitionBy("src_type")
     return pairs.select(
         "src_type",
         "dst_type",
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
+    )
+
+
+def co_usage_pairs(
+    ut: DataFrame, user_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """(a, b, n) co-occurrence counts over a DISTINCT (user, type)
+    frame: a < b canonical, n = users having both. The one self-join
+    behind the pagerank, triangle, and lift gates (reference stats.go) —
+    shared so their pair-mining semantics cannot drift apart. Callers
+    build `ut = events.select(user, type).distinct()` themselves so they
+    can reuse the same frame for margins/user counts."""
+    a_, b_ = ut.alias("a"), ut.alias("b")
+    return (
+        a_.join(b_, user_col)
+        .filter(F.col(f"a.{type_col}") < F.col(f"b.{type_col}"))
+        .groupBy(F.col(f"a.{type_col}").alias("a"), F.col(f"b.{type_col}").alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(src_type, dst_type, n): per-user lead()-window transition pair
+    counts — the ONE pipeline both the transition matrix and the
+    conditional-entropy gate aggregate, so their windowing/tie-break
+    semantics cannot drift apart."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("src_type"), F.col("__next").alias("dst_type"))
+        .agg(F.count("*").alias("n"))
     )
 
 

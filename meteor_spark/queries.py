@@ -1731,14 +1731,8 @@ def workload_table_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.graph import pagerank
 
     ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
-    a, b = ut.alias("a"), ut.alias("b")
-    pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("pa"), F.col("b.event_type").alias("pb")
-        )
-        .agg(F.count("*").alias("w"))
+    pairs = usage.co_usage_pairs(ut).select(
+        F.col("a").alias("pa"), F.col("b").alias("pb"), F.col("n").alias("w")
     )
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
@@ -4708,16 +4702,15 @@ def cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel: users whose first purchase FOLLOWS their first
-    click, with conversion rate and mean latency. Spark-first: both
-    funnel stages come from ONE conditional aggregation over one events
-    scan (min-if per stage), then a row-local comparison — no self-join,
-    no per-stage scans; the oracle spells the same semantics relationally."""
+    click, with conversion rate and mean latency. Spark-first: first
+    clicks come from one conditional aggregation (min-if) over the
+    events scan; the first-purchase-AFTER-click needs the purchase rows
+    themselves, so it joins the (tiny) per-user stage frame — no
+    self-join of the full log; the oracle spells the same semantics
+    relationally."""
     e = _t(spark, sf_dir, "events")
     stages = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("any_first_purchase"),
     )
     # first purchase AFTER the first click needs the conditional min over
     # purchases later than first_click — a second small agg over the same
@@ -5378,14 +5371,8 @@ def workload_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.graph import triangle_counts
 
     ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
-    a, b = ut.alias("a"), ut.alias("b")
-    edges = (
-        a.join(b, "user_id")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .select(
-            F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst")
-        )
-        .distinct()
+    edges = usage.co_usage_pairs(ut).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
     return triangle_counts(edges).orderBy("node")
 
@@ -6583,14 +6570,8 @@ def event_type_lift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("double").alias("n_users")
     )
     m = ut.groupBy("event_type").agg(F.count("*").alias("n_t"))
-    a, b = ut.alias("a"), ut.alias("b")
-    co = (
-        a.join(b, "user_id")
-        .filter(F.col("a.event_type") < F.col("b.event_type"))
-        .groupBy(
-            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
-        )
-        .agg(F.count("*").alias("n_both"))
+    co = usage.co_usage_pairs(ut).select(
+        F.col("a").alias("type_a"), F.col("b").alias("type_b"), F.col("n").alias("n_both")
     )
     return (
         co.join(
@@ -6642,16 +6623,10 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     determined, log2(|types|) means anything goes. Same one-groupBy
     entropy identity as char_entropy_quality: H = log2(n) − Σc·log2(c)/n
     over the per-destination counts."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        ev.withColumn("__next", F.lead("event_type").over(w))
-        .filter(F.col("__next").isNotNull())
-        .groupBy(F.col("event_type").alias("src_type"), F.col("__next").alias("dst_type"))
-        .agg(F.count("*").alias("n"))
-    )
+    # the SAME pair pipeline the matrix gate aggregates — shared via
+    # usage.transition_counts so the two gates cannot drift apart
+    pairs = usage.transition_counts(ev)
     tot = F.sum("n").cast("double")
     return (
         pairs.groupBy("src_type")

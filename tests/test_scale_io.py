@@ -150,3 +150,16 @@ def test_compact_files_shuffle_mode_even_sizes(spark, sf_dir, tmp_path):
     sizes = [sz for _, sz in list_data_files(spark, dst)]
     assert len(sizes) >= 2
     assert max(sizes) < 2.5 * min(sizes)  # round-robin keeps files even
+
+
+def test_zorder_value_rejects_sign_bit_overflow(spark):
+    # regression: bits=16 x 4 cols put the top interleaved bit at
+    # position 63 (the sign bit), making ~half the z-values negative
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from meteor_spark.io import zorder_value
+
+    with pytest.raises(ValueError, match="63 usable"):
+        zorder_value([F.col(c) for c in "abcd"], bits=16)
