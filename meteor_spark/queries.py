@@ -343,16 +343,20 @@ def user_event_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "preview_lineitem",
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    LIMIT 5
     """,
 )
 def preview_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preview rows (reference: bigquery.go:280-337 first-N preview) made
-    deterministic with an explicit key ordering before the limit."""
+    deterministic with an explicit TOTAL ordering before the limit — the
+    fixture's (l_orderkey, l_linenumber) is NOT unique at sf0.1, so a
+    partial key let each engine cut ties at row 5 differently."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
         .limit(5)
     )
 
@@ -3951,7 +3955,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_name, o.l_suppkey AS s_suppkey, s.s_name,
-           round(o.unit_price, 4) AS unit_price
+           floor(o.unit_price * 10000 + 0.5) / 10000 AS unit_price
     FROM offers o
     JOIN part p     ON p.p_partkey = o.l_partkey
     JOIN supplier s ON s.s_suppkey = o.l_suppkey
@@ -3969,7 +3973,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; part and supplier dims broadcast onto the small result.
     Ties kept and ordered by (part, supp) so the row set is
     engine-independent; the double equality is exact because both
-    engines MIN over identical IEEE division results."""
+    engines MIN over identical IEEE division results. The published
+    4-decimal value uses floor(x*1e4 + 0.5)/1e4 rather than round():
+    every step is a single IEEE op computed identically by both engines
+    on the identical quotient, whereas Spark's round (BigDecimal
+    half-up on the shortest repr) and DuckDB's (C-style) disagree on
+    quotients an ulp from a .00005 boundary — 3 such rows at sf0.1."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey", "p_name")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -3987,7 +3996,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
-            F.round("unit_price", 4).alias("unit_price"),
+            (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000).alias("unit_price"),
         )
         .orderBy("p_partkey", "s_suppkey")
     )
