@@ -35,7 +35,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 172 entries, 168 with exact DuckDB oracles.
+                 173 entries, 169 with exact DuckDB oracles.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
                  KMeans init, HLL registers, APPROX_* sketches) are

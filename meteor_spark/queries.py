@@ -5356,6 +5356,44 @@ def streaming_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "workload_lineage_closure",
+    """
+    WITH RECURSIVE ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    e AS (
+      SELECT DISTINCT a.event_type AS src, b.event_type AS dst
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type),
+    clo(urn, ancestor_urn, depth) AS (
+      SELECT dst, src, 1 FROM e
+      UNION
+      SELECT c.urn, e.src, c.depth + 1
+      FROM clo c JOIN e ON e.dst = c.ancestor_urn
+      WHERE c.depth < 10)
+    SELECT urn, ancestor_urn, CAST(min(depth) AS INTEGER) AS depth
+    FROM clo GROUP BY urn, ancestor_urn
+    ORDER BY urn, ancestor_urn
+    """,
+)
+def workload_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive upstream closure (operators.lineage.transitive_upstreams)
+    over the mined co-usage DAG (a < b canonical edges, so acyclic):
+    (node, ancestor, first-discovery depth) for every reachable
+    ancestor. The iterative frontier BFS — per-level dedup, prior-level
+    anti-join, depth = BFS discovery level — checked EXACTLY against a
+    recursive-CTE oracle whose min(depth) over all paths equals the BFS
+    level; the dense co-usage graph is full of diamonds, so the gate
+    also locks the multi-path dedup behavior."""
+    from meteor_spark.operators.lineage import transitive_upstreams
+
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    edge_df = usage.co_usage_pairs(ut).select(
+        F.col("a").alias("src_urn"), F.col("b").alias("dst_urn")
+    )
+    return transitive_upstreams(edge_df).select(
+        "urn", "ancestor_urn", F.col("depth").cast("int").alias("depth")
+    ).orderBy("urn", "ancestor_urn")
+
+
+@query(
     "workload_graph_triangles",
     """
     WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
