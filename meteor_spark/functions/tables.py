@@ -77,15 +77,27 @@ def extract_table_names(q: str, defaults: dict[str, str] | None = None) -> list[
 def table_names_col(query: Column) -> Column:
     """JVM-side variant over a query-string column (distinct, sorted).
 
-    Shares _NAME and the keyword filter with extract_table_names so both
-    surfaces mine the same names from the same log. Known divergence:
-    the Python scan additionally walks comma lists (`FROM a, b c, d`) —
-    a single regexp_extract_all pass cannot; comma-list secondaries are
-    missed JVM-side.
+    Shares _NAME, the keyword filter, AND the comma-list walk with
+    extract_table_names so both surfaces mine the same names from the
+    same log: a second regexp_extract_all captures each `FROM a, b c, d`
+    list, which is split on commas and reduced to the leading token per
+    segment (dropping aliases) — the relational twin of the Python
+    scan's _FROM_LIST_RE loop.
     """
     names = F.regexp_extract_all(query, F.lit(TABLE_PATTERN), 1)
+    lists = F.regexp_extract_all(query, F.lit(_FROM_LIST_RE.pattern), 1)
+    from_lists = F.flatten(
+        F.transform(
+            lists,
+            lambda l: F.transform(
+                F.split(l, ","),
+                lambda seg: F.element_at(F.split(F.trim(seg), " "), 1),
+            ),
+        )
+    )
     kept = F.filter(
-        names,
-        lambda s: ~F.lower(F.regexp_replace(s, r'[`"]', "")).isin(*_KEYWORDS),
+        F.concat(names, from_lists),
+        lambda s: ~F.lower(F.regexp_replace(s, r'[`"]', "")).isin(*_KEYWORDS)
+        & (s != ""),
     )
     return F.array_sort(F.array_distinct(kept))
