@@ -73,52 +73,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-sampling priority (the harness samples a prefix of registration
 # order). Three tiers:
-#   1. _FAILED_LATEST — red at their most recent driver check (r1-r3).
-#      Every one was fixed since (psi bit-stability r4, sessionization +
-#      streaming r3, ivf exact oracle r4); a red row that never gets
-#      re-sampled is the worst state for the record, so these sort FIRST.
+#   1. _FAILED_LATEST — red at their most recent driver check (r4: the
+#      six hash-only reds; root cause found r5 — every one of the six,
+#      and only those six, published a DuckDB HUGEINT column, which
+#      renders as float64 via pandas/arrow fetch while Spark publishes
+#      bigint; fixed with CAST(..AS BIGINT) in all six oracles and a
+#      fetch-path-safe type gate in tools/check_parity.py). Sort FIRST
+#      so CORRECTNESS_r05 records the green.
 #   2. never-checked — no driver row yet in any round.
 #   3. _CHECKED_GREEN — green at latest driver status; re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 _FAILED_LATEST = {
-    "event_value_drift_psi", "ivf_ann_topk", "purchase_click_attribution",
-    "streaming_click_attribution", "streaming_hourly_rollup", "user_sessions",
+    "corpus_tfidf_terms", "embedding_kmeans_profile",
+    "event_value_drift_psi", "events_portable_hll_rollup",
+    "q12_late_priority_counts", "sequence_packing",
 }
 
 _CHECKED_GREEN = {
     "ann_cosine_topk", "audio_silence_segments", "benchmark_contamination",
-    "bm25_search_topk", "bpe_token_stats", "catalog_assets",
-    "catalog_snapshot_diff", "corpus_holdout_split", "corpus_top_bigrams",
-    "curation_pipeline", "customer_balance_quartiles", "customer_order_set_ops",
-    "customers_without_orders", "dedup_exact_survivors",
-    "doc_containment_pairs", "doc_repetition_quality", "doc_similarity_topk",
-    "document_chunks", "dsir_importance_weights", "embedding_label_stats",
+    "bm25_search_topk", "bpe_merge_rules", "bpe_token_stats",
+    "building_segment_small_spenders", "catalog_assets",
+    "catalog_snapshot_diff", "cdc_shared_chunks", "char_entropy_quality",
+    "click_purchase_funnel", "corpus_holdout_split", "corpus_pmi_bigrams",
+    "corpus_top_bigrams", "corpus_word_heavy_hitters", "corpus_zipf_fit",
+    "curation_pipeline", "customer_balance_quartiles",
+    "customer_order_set_ops", "customers_without_orders",
+    "dedup_exact_survivors", "doc_bigram_perplexity",
+    "doc_containment_pairs", "doc_novelty_scores", "doc_repetition_quality",
+    "doc_similarity_topk", "document_chunks", "dsir_importance_weights",
+    "duplicated_span_report", "embedding_label_stats",
     "embedding_near_dup_pairs", "enrich_catalog", "event_join_pairs",
-    "event_key_skew_report", "event_type_count_min", "event_value_outliers",
+    "event_key_skew_report", "event_transition_matrix",
+    "event_type_count_min", "event_value_outliers",
     "event_value_percentiles", "event_value_quantile_sketch_rollup",
     "events_asof_purchase", "events_hourly_rollup", "events_multi_rollup",
     "events_session_windows", "events_trailing_window", "events_usage",
     "events_usage_salted", "exact_dup_groups", "gopher_quality_gate",
-    "hybrid_search_rrf", "incremental_dedup", "lineitem_measure_unpivot",
-    "lineitem_price_histogram", "minhash_near_duplicates",
-    "multimodal_features", "multimodal_resize_dims",
-    "near_dup_cluster_survivors", "near_dup_clusters", "next_fit_bin_packing",
-    "ngram_jaccard_pairs", "order_priority_late_ships",
+    "hot_passage_scrub", "hybrid_search_rrf", "incremental_dedup",
+    "ivf_ann_topk", "kcenter_coreset", "latest_event_per_user",
+    "lineitem_measure_unpivot", "lineitem_price_histogram",
+    "minhash_near_duplicates", "multimodal_features",
+    "multimodal_resize_dims", "near_dup_cluster_survivors",
+    "near_dup_clusters", "next_fit_bin_packing", "ngram_jaccard_pairs",
+    "order_price_percentile_ranks", "order_priority_late_ships",
     "orders_priority_status_pivot", "orders_rollup", "orders_running_total",
-    "orders_with_returns", "passage_dedup_survivors",
+    "orders_with_returns", "passage_dedup_survivors", "pq_ann_topk",
     "prefix_filter_jaccard_pairs", "preview_lineitem", "profile_lineitem",
     "profile_orders", "props_json_agg", "props_variant_agg",
-    "q10_returned_items", "q11_part_value_share", "q1_pricing_summary",
+    "purchase_click_attribution", "q10_returned_items",
+    "q11_part_value_share", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
+    "q18_large_volume_customers", "q19_bracket_revenue",
+    "q1_pricing_summary", "q20_heavy_part_suppliers",
+    "q21_sole_late_supplier", "q22_dormant_customers",
     "q2_min_cost_supplier", "q3_top_orders", "q5_nation_revenue",
-    "q7_volume_shipping", "q9_product_profit", "row_counts", "scrub_documents",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "row_counts", "scrub_documents",
     "semantic_dedup_pairs", "semantic_dedup_survivors", "simhash_docs",
     "simhash_hamming_pairs", "small_quantity_part_revenue",
-    "source_overlap_matrix", "sql_api_revenue", "sql_condition_mining",
-    "srp_ann_topk", "stratified_sample", "streaming_incremental_dedup",
+    "source_diversity_metrics", "source_lexical_kl", "source_mix_weights",
+    "source_overlap_matrix", "source_quota_cap", "sql_api_revenue",
+    "sql_condition_mining", "srp_ann_topk", "stratified_sample",
+    "streaming_click_attribution", "streaming_hourly_rollup",
+    "streaming_incremental_dedup", "streaming_incremental_neardup",
     "streaming_quantile_rollup", "streaming_segment_counts",
-    "temperature_mix_weights", "text_analysis", "top_customers",
-    "top_docs_per_lang", "training_order_interleave", "user_event_grants",
-    "video_frame_sample", "winnowing_fingerprints", "workload_table_pagerank",
+    "streaming_word_heavy_hitters", "temperature_mix_weights",
+    "text_analysis", "top_customers", "top_docs_per_lang",
+    "training_order_interleave", "truncation_budget_curve",
+    "user_event_grants", "user_retention_cohorts", "user_sessions",
+    "video_frame_sample", "weighted_sample_docs", "winnowing_fingerprints",
+    "workload_graph_triangles", "workload_lineage_closure",
+    "workload_table_pagerank",
 }
 
 

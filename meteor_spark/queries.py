@@ -1935,7 +1935,7 @@ af AS MATERIALIZED (
 lab AS (
   SELECT a.cluster, b.label, count(*) AS n
   FROM af a JOIN base b USING (vec_id) GROUP BY 1, 2),
-tot AS (SELECT cluster, sum(n) AS n_vecs FROM lab GROUP BY 1),
+tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n_vecs FROM lab GROUP BY 1),
 tl AS (
   SELECT cluster, label, n,
          row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label DESC) AS rk
@@ -2953,7 +2953,8 @@ def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              greatest(cnt_e / sum(cnt_e) OVER (PARTITION BY event_type), 1e-6) AS pe,
              greatest(cnt_a / sum(cnt_a) OVER (PARTITION BY event_type), 1e-6) AS pa
       FROM counts)
-    SELECT event_type, sum(cnt_e) AS n_expected, sum(cnt_a) AS n_actual,
+    SELECT event_type, CAST(sum(cnt_e) AS BIGINT) AS n_expected,
+           CAST(sum(cnt_a) AS BIGINT) AS n_actual,
            round(sum(CAST(round((pa - pe) * ln(pa / pe) * 1e8) AS BIGINT)) / 1e8, 4) AS psi
     FROM p GROUP BY event_type
     """,
@@ -3001,7 +3002,7 @@ agg AS (
          sum(CAST(1 AS BIGINT) << (50 - rho))
            + ({_HLL64_M} - count(rho)) * (CAST(1 AS BIGINT) << 50) AS s,
          {_HLL64_M} - count(rho) AS v,
-         sum(nr) AS n_rows
+         CAST(sum(nr) AS BIGINT) AS n_rows
   FROM regs GROUP BY 1)
 SELECT event_type,
        round(CASE WHEN {_HLL64_ALPHA_NUM!r} / s <= 2.5 * {_HLL64_M} AND v > 0
@@ -4458,7 +4459,8 @@ _TFIDF_K = 50
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents),
     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
-    agg AS (SELECT w, count(*) AS doc_freq, sum(tf) AS tf_total FROM tf GROUP BY w),
+    agg AS (SELECT w, count(*) AS doc_freq,
+                   CAST(sum(tf) AS BIGINT) AS tf_total FROM tf GROUP BY w),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
     SELECT w AS term, tf_total, doc_freq,
            round(tf_total * ln(n_docs / doc_freq), 4) AS score
@@ -4855,10 +4857,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_priority_counts",
     """
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
     GROUP BY l.l_returnflag
@@ -5073,10 +5075,10 @@ def duplicated_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       FROM tk)
     SELECT doc_id, source, n_tokens,
-           cb // 512 AS first_seq,
-           cb % 512 AS seq_offset,
-           CASE WHEN n_tokens <= 0 THEN 0
-                ELSE (cb + n_tokens - 1) // 512 - cb // 512 + 1 END AS n_seqs
+           CAST(cb // 512 AS BIGINT) AS first_seq,
+           CAST(cb % 512 AS BIGINT) AS seq_offset,
+           CAST(CASE WHEN n_tokens <= 0 THEN 0
+                ELSE (cb + n_tokens - 1) // 512 - cb // 512 + 1 END AS BIGINT) AS n_seqs
     FROM c
     """,
 )
