@@ -89,9 +89,13 @@ def enc_string_field(field_no: int, value: str) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def enc_timestamp(dt: datetime) -> bytes:
+def enc_timestamp(dt: datetime, naive_tz=timezone.utc) -> bytes:
     """google.protobuf.Timestamp: seconds=1 varint, nanos=2 varint.
-    Naive datetimes are taken as UTC (the fixtures' convention).
+    Naive datetimes are taken as naive_tz (default UTC). Spark collects
+    TimestampType as session-timezone-LOCAL naive datetimes, so the
+    kafka sink path passes the session timezone here — assuming UTC
+    would shift encoded seconds on any non-UTC session relative to the
+    reference's Go encoding.
 
     Integer arithmetic end to end: timedelta subtraction carries exact
     microseconds, divmod floors toward -inf (proto Timestamp wants
@@ -100,7 +104,7 @@ def enc_timestamp(dt: datetime) -> bytes:
     datetimes to the wrong nanosecond (e.g. microsecond=3 encoded
     nanos=3099) — a byte-level divergence from proto.Marshal."""
     if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
+        dt = dt.replace(tzinfo=naive_tz)
     delta = dt - datetime(1970, 1, 1, tzinfo=timezone.utc)
     total_us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
     seconds, rem_us = divmod(total_us, 1_000_000)
@@ -175,15 +179,22 @@ def enc_list_value_json(js: str | None) -> bytes | None:
 # ---------------------------------------------------------------------------
 
 
-def enc_message(desc: dict, row) -> bytes:
+def enc_message(desc: dict, row, naive_tz=timezone.utc) -> bytes:
     """Encode a dict / pyspark Row against a descriptor. Missing keys
-    and None values are omitted; proto3 zero-valued scalars too."""
+    and None values are omitted; proto3 zero-valued scalars too. Float
+    NaN (and pandas NaT, which is also != itself) counts as missing —
+    a nullable numeric surfacing as NaN through the pandas path would
+    otherwise encode as a NaN double or crash int(v), where
+    proto.Marshal omits unset fields."""
     get = row.get if isinstance(row, dict) else (lambda k: row[k] if k in row.__fields__ else None)  # type: ignore[union-attr]
     out = b""
     for name, spec in desc.items():
         no, kind = spec[0], spec[1]
         v = get(name)
-        if v is None:
+        # NaN check restricted to scalars: lists/arrays define __ne__
+        # elementwise. isinstance covers np.float64 (a float subclass)
+        # and pd.NaT (a datetime subclass, != itself).
+        if v is None or (isinstance(v, (float, datetime)) and v != v):
             continue
         if kind == "string":
             if v != "":
@@ -198,7 +209,7 @@ def enc_message(desc: dict, row) -> bytes:
             if float(v) != 0.0:
                 out += enc_double_field(no, float(v))
         elif kind == "timestamp":
-            out += enc_len_field(no, enc_timestamp(v))
+            out += enc_len_field(no, enc_timestamp(v, naive_tz))
         elif kind == "struct_json":
             p = enc_struct_json(v)
             if p is not None:
@@ -214,10 +225,10 @@ def enc_message(desc: dict, row) -> bytes:
                 # wrap it into the facets.Properties row shape the
                 # sub-descriptor expects instead of recursing into str
                 v = {"attributes": v}
-            out += enc_len_field(no, enc_message(spec[2], v))
+            out += enc_len_field(no, enc_message(spec[2], v, naive_tz))
         elif kind == "repeated_message":
             for item in v:
-                out += enc_len_field(no, enc_message(spec[2], item))
+                out += enc_len_field(no, enc_message(spec[2], item, naive_tz))
         elif kind == "repeated_string":
             for s in v:
                 out += enc_string_field(no, s or "")
@@ -378,7 +389,7 @@ def _row_to_plain(v):
     return v
 
 
-def encode_asset(asset, asset_type: str | None = None) -> bytes:
+def encode_asset(asset, asset_type: str | None = None, naive_tz=timezone.utc) -> bytes:
     """Encode one asset row (ASSET_SCHEMA shape, pyspark Row or dict) as
     the reference's protobuf message for its asset_type.
 
@@ -403,4 +414,4 @@ def encode_asset(asset, asset_type: str | None = None) -> bytes:
     if plain.get("ownership") is not None:
         plain = dict(plain)
         plain["ownership"] = {"owners": plain["ownership"]}
-    return enc_message(desc, plain)
+    return enc_message(desc, plain, naive_tz)

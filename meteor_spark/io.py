@@ -153,11 +153,14 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int =
     bits = min(bits, 63 // len(zorder_cols), 8)
     n_bounds = (1 << bits) - 1
     probs = [i / (1 << bits) for i in range(1, n_bounds + 1)]
+    # every column's boundaries in ONE pass (the multi-column
+    # approxQuantile overload) — per-column calls would issue one extra
+    # full-table scan per z-dimension at the 100 TB scale this targets
+    all_bounds = df.select(
+        *[F.col(c).cast("double").alias(f"__v_{i}") for i, c in enumerate(zorder_cols)]
+    ).approxQuantile([f"__v_{i}" for i in range(len(zorder_cols))], probs, 0.001)
     tmp = df
-    for c in zorder_cols:
-        bounds = df.select(F.col(c).cast("double").alias("__v")).approxQuantile(
-            "__v", probs, 0.001
-        )
+    for c, bounds in zip(zorder_cols, all_bounds):
         lit_bounds = F.array(*[F.lit(float(b)) for b in bounds])
         bucket = F.aggregate(
             lit_bounds,

@@ -2511,7 +2511,9 @@ def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-rank (operators.similarity.ivf_topk). Deterministic per
     engine (seeded) but the centroid fit is not SQL-reproducible;
     recall vs brute force and determinism are pinned in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. EXACT-GATED TWIN: ivf_ann_topk runs the
+    same IVF pipeline with hash-pivot cells and carries the full value
+    oracle — only the quantizer differs."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
     return similarity.ivf_topk(emb, q, k=_ANN_K, n_cells=8, n_probe=3)
@@ -2977,7 +2979,12 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     raw data — union-of-daily equals sketch-of-whole exactly (registers
     merge by max). The re-aggregatable form of the reference's
     APPROX_COUNT_DISTINCT (bigquery.go:392); accuracy and merge
-    invariance pinned in tests/test_sketches.py."""
+    invariance pinned in tests/test_sketches.py. EXACT-GATED TWIN:
+    events_portable_hll_rollup computes the same rollup with a
+    pure-SQL md5-register HLL whose DuckDB oracle is bit-exact; this
+    gate stays rows-only because Datasketches register state is
+    engine-internal, and test_sketches.py pins the two gates' estimates
+    against each other and the exact count."""
     from meteor_spark.operators import sketches
 
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
@@ -3584,8 +3591,9 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     APPROX_QUANTILES median, APPROX_COUNT_DISTINCT, APPROX_TOP_COUNT
     top-1) as ONE single-pass wide aggregate — the scale path: no
     frequency table, no window, one scan + one tiny shuffle. Sketch
-    outputs are engine-specific, so the gate is rows-only; the exact
-    twin (profile_lineitem) carries the value oracle."""
+    outputs are engine-specific, so the gate is rows-only; EXACT-GATED
+    TWIN: profile_lineitem computes the same profile with exact
+    interpolated percentiles and carries the full value oracle."""
     li = _t(spark, sf_dir, "lineitem")
     return profile_df(li, _PROFILE_COLS["lineitem"], exact=False)
 
@@ -3836,7 +3844,10 @@ def pq_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector compress to 16 one-byte codes, a vectorized mapInPandas pass
     scores codes via per-query lookup tables and emits per-batch
     top-candidates (map-side top-k), exact cosine re-ranks candidates
-    only. Recall vs brute force pinned by tests (>= 0.9 @ k=5)."""
+    only. Recall vs brute force pinned by tests (>= 0.9 @ k=5).
+    EXACT-GATED TWIN: pq_ann_topk runs the same PQ scoring with
+    hash-pivot codebooks and carries the full value oracle — only the
+    codebook training differs."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
     return similarity.pq_topk(emb, q, k=_ANN_K)

@@ -18,12 +18,13 @@ spark-protobuf package is on the classpath). The payload builder
 the spark-sql-kafka connector jar, absent in this container, so sink()
 raises a clear error without it.
 
-Wire format: JSON by default, protobuf opt-in (value_format config) —
-the protobuf path encodes the reference's exact message shape via the
-pure-Python wire encoder (functions/protowire.py, field numbers pinned
-from the reference generated code) in ONE Arrow-batched mapInPandas
-pass; see docs/ADR-0001-kafka-wire-format.md (v2) for the interop
-matrix and the map-field byte-ordering caveat.
+Wire format: protobuf by default (reference parity, kafka/sink.go:
+112-118), JSON opt-in (value_format config) — the protobuf path
+encodes the reference's exact message shape via the pure-Python wire
+encoder (functions/protowire.py, field numbers pinned from the
+reference generated code) in ONE Arrow-batched mapInPandas pass; see
+docs/ADR-0001-kafka-wire-format.md (v3) for the default flip, the
+interop matrix, and the map-field byte-ordering caveat.
 """
 
 from __future__ import annotations
@@ -51,7 +52,7 @@ def _key_message(key_path: str, key: str, asset_type: str) -> bytes:
 
 
 def kafka_rows(
-    df: DataFrame, key_path: str | None = None, value_format: str = "json"
+    df: DataFrame, key_path: str | None = None, value_format: str = "protobuf"
 ) -> DataFrame:
     """(key, value) frame ready for the kafka writer.
 
@@ -71,12 +72,36 @@ def kafka_rows(
 
         from meteor_spark.functions import protowire
 
+        # Spark hands TimestampType to pandas as session-timezone-LOCAL
+        # naive datetimes; capture the session zone at plan time so the
+        # executors encode the correct absolute instant (a non-UTC
+        # session would otherwise shift every encoded Timestamp).
+        tz_name = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+        single_desc = len(protowire._ASSET_DESCS) == 1
+
         def encode(batches):
+            from zoneinfo import ZoneInfo
+
+            naive_tz = ZoneInfo(tz_name)
             for pdf in batches:
                 keys, values = [], []
                 for rec in pdf.to_dict("records"):
-                    at = rec.get("asset_type") or "Table"
-                    values.append(protowire.encode_asset(rec, asset_type=at))
+                    at = rec.get("asset_type")
+                    if not at or at != at:
+                        # reference sink.go always knows its message
+                        # type; guessing between descriptors would emit
+                        # wrong-typed bytes silently — fail instead
+                        if not single_desc:
+                            raise ValueError(
+                                "protobuf kafka sink: row has no asset_type "
+                                "and multiple descriptors are registered "
+                                f"({sorted(protowire._ASSET_DESCS)}); cannot "
+                                "pick a message type safely"
+                            )
+                        at = next(iter(protowire._ASSET_DESCS))
+                    values.append(
+                        protowire.encode_asset(rec, asset_type=at, naive_tz=naive_tz)
+                    )
                     if key_path:
                         k = rec
                         for part in key_path.split("."):
@@ -103,7 +128,7 @@ class KafkaSink(Sink):
         "brokers": Field(required=True, type=str),
         "topic": Field(required=True, type=str),
         "key_path": Field(default=None, type=str),  # e.g. resource.urn
-        "value_format": Field(default="json", type=str, oneof=("json", "protobuf")),
+        "value_format": Field(default="protobuf", type=str, oneof=("json", "protobuf")),
     }
 
     def sink(self, df: DataFrame) -> int:

@@ -229,7 +229,27 @@ def test_kafka_rows_protobuf_roundtrip(spark):
     assert bytes(out[0]["key"]) == b"\x0a" + bytes([len(key_res)]) + key_res
 
 
-def test_kafka_rows_json_default_unchanged(spark):
+def test_kafka_rows_default_is_protobuf(spark):
+    # reference parity (kafka/sink.go:112-118): protobuf is the default
+    # wire format since ADR-0001 v3; JSON stays a supported opt-in
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import KafkaSink, kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    a["resource"] = {
+        "urn": "urn:a", "name": "t", "service": "parquet",
+        "type": "table", "url": None, "description": None,
+    }
+    df = spark.createDataFrame([a], ASSET_SCHEMA)
+    row = kafka_rows(df, key_path="resource.urn").collect()[0]
+    key_res = b"\x0a\x05urn:a"
+    assert bytes(row["key"]) == b"\x0a" + bytes([len(key_res)]) + key_res
+    assert KafkaSink.CONFIG["value_format"].default == "protobuf"
+
+
+def test_kafka_rows_json_optin_unchanged(spark):
     from meteor_spark.model import ASSET_SCHEMA
     from meteor_spark.model.schema import empty_asset
     from meteor_spark.sinks.kafka_sink import kafka_rows
@@ -241,7 +261,7 @@ def test_kafka_rows_json_default_unchanged(spark):
         "type": "table", "url": None, "description": None,
     }
     df = spark.createDataFrame([a], ASSET_SCHEMA)
-    row = kafka_rows(df, key_path="resource.urn").collect()[0]
+    row = kafka_rows(df, key_path="resource.urn", value_format="json").collect()[0]
     assert row["key"] == "urn:a"
     assert '"urn":"urn:a"' in row["value"]
 
@@ -280,3 +300,57 @@ def test_column_properties_json_string():
     # field 31 (0xfa 0x01), nested Properties{attributes struct{k: "v"}}
     assert got.startswith(b"\x0a\x01c\xfa\x01")
     assert b"\x01k" in got and b"\x01v" in got
+
+
+def test_nan_scalar_treated_as_missing():
+    # a nullable numeric that surfaces as float NaN through the pandas
+    # path must be OMITTED like proto.Marshal omits unset fields — not
+    # encoded as a NaN double or crash int(v)
+    nan = float("nan")
+    desc = {"avg": (3, "double"), "unique": (5, "int64")}
+    assert pw.enc_message(desc, {"avg": nan, "unique": nan}) == b""
+    # repeated (list) values still encode — the NaN check must not run
+    # elementwise comparisons on sequences
+    desc2 = {"tags": (2, "repeated_string")}
+    assert pw.enc_message(desc2, {"tags": ["a"]}) == pw.enc_string_field(2, "a")
+
+
+def test_nat_timestamp_treated_as_missing():
+    import pandas as pd
+
+    desc = {"create_time": (1, "timestamp")}
+    assert pw.enc_message(desc, {"create_time": pd.NaT}) == b""
+
+
+def test_enc_timestamp_naive_uses_given_zone():
+    from zoneinfo import ZoneInfo
+
+    # 2026-08-14 12:00 naive: as UTC vs as New York local (UTC-4 in
+    # August) the encoded seconds must differ by exactly 4 hours
+    naive = datetime(2026, 8, 14, 12, 0, 0)
+    utc_bytes = pw.enc_timestamp(naive)
+    ny_bytes = pw.enc_timestamp(naive, naive_tz=ZoneInfo("America/New_York"))
+    utc_secs = int(datetime(2026, 8, 14, 12, tzinfo=timezone.utc).timestamp())
+    assert utc_bytes == pw.enc_varint_field(1, utc_secs)
+    assert ny_bytes == pw.enc_varint_field(1, utc_secs + 4 * 3600)
+
+
+def test_kafka_rows_protobuf_missing_asset_type_raises(spark):
+    # with >1 registered descriptor, silently defaulting to Table would
+    # emit wrong-typed bytes for a non-Table asset — must fail instead
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = None
+    a["resource"] = {
+        "urn": "urn:a", "name": "t", "service": "parquet",
+        "type": "table", "url": None, "description": None,
+    }
+    df = spark.createDataFrame([a], ASSET_SCHEMA)
+    with pytest.raises(PythonException, match="no asset_type"):
+        kafka_rows(df, key_path=None, value_format="protobuf").collect()

@@ -79,9 +79,9 @@ def test_kafka_rows_key_path(spark):
     from meteor_spark.sources.base import assets_df
 
     df = assets_df(spark, [RECORD | {"lineage": None, "ownership": None, "properties": None, "schema": None}])
-    out = kafka_rows(df, "resource.urn").collect()
+    out = kafka_rows(df, "resource.urn", value_format="json").collect()
     assert out[0]["key"] == "bigquery::p/d/t"
     assert json.loads(out[0]["value"])["resource"]["name"] == "t"
     # no key path -> null key (balancer distributes)
-    out2 = kafka_rows(df).collect()
+    out2 = kafka_rows(df, value_format="json").collect()
     assert out2[0]["key"] is None

@@ -243,3 +243,26 @@ def test_hll64_null_values_dont_occupy_registers(spark):
     b = sketches.merge_hll64(sketches.hll64_partials(without, ["k"], "user_id"), ["k"]).collect()[0]
     assert a["approx_distinct"] == b["approx_distinct"]
     assert a["n_rows"] == 25 and b["n_rows"] == 20
+
+
+def test_rows_only_gate_tracks_portable_twin(spark, sf_dir):
+    # the Datasketches rollup gate (events_distinct_sketch_rollup,
+    # rows-only: register state is engine-internal) must agree with its
+    # EXACT-GATED twin (events_portable_hll_rollup, bit-exact DuckDB
+    # oracle) and with the exact count — this is the cross-gate pin the
+    # rows-only docstring promises
+    from meteor_spark.queries import QUERIES
+
+    ds = {r["event_type"]: r["approx_distinct"]
+          for r in QUERIES["events_distinct_sketch_rollup"](spark, sf_dir).collect()}
+    port = {r["event_type"]: r["approx_distinct"]
+            for r in QUERIES["events_portable_hll_rollup"](spark, sf_dir).collect()}
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    exact = {r["event_type"]: r["exact"]
+             for r in events.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact")).collect()}
+    assert set(ds) == set(port) == set(exact)
+    for et, ex in exact.items():
+        assert abs(ds[et] - ex) / ex < 0.08, (et, ds[et], ex)
+        assert abs(port[et] - ex) / ex < 0.08, (et, port[et], ex)
+        assert abs(ds[et] - port[et]) / ex < 0.12, (et, ds[et], port[et])
