@@ -6404,9 +6404,13 @@ _FOOTER_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def _footer_oracle() -> str:
     rows = []
     for c in _FOOTER_COLS:
+        # + 0.0 folds IEEE negative zero to +0.0: parquet footer stats
+        # order -0.0 < 0.0 so the footer min can be -0.0 where a scan's
+        # min() returns +0.0 — equal under ==, different under repr/hash
         rows.append(f"""
     SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(min({c}) AS DOUBLE) AS min_value, CAST(max({c}) AS DOUBLE) AS max_value,
+           CAST(min({c}) AS DOUBLE) + 0.0 AS min_value,
+           CAST(max({c}) AS DOUBLE) + 0.0 AS max_value,
            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
     FROM lineitem""")
     return " UNION ALL ".join(rows) + ' ORDER BY "column"'
@@ -6423,9 +6427,15 @@ def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     from meteor_spark.operators.profile import footer_stats
 
-    return footer_stats(
-        spark, f"{sf_dir}/lineitem.parquet", _FOOTER_COLS
-    ).orderBy("column")
+    return (
+        footer_stats(spark, f"{sf_dir}/lineitem.parquet", _FOOTER_COLS)
+        # footer min/max can carry IEEE -0.0 (parquet stats total-order
+        # -0.0 below +0.0); fold to +0.0 so the published value hashes
+        # identically to the oracle's scan-side min()
+        .withColumn("min_value", F.col("min_value") + F.lit(0.0))
+        .withColumn("max_value", F.col("max_value") + F.lit(0.0))
+        .orderBy("column")
+    )
 
 
 _SCENE_TAU = 2.0

@@ -30,6 +30,10 @@ def normalize_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # IEEE -0.0 == 0 but repr/pandas render it "-0.0" — keep it
+            # visible here too (caught the parquet-footer-min case)
+            return "-0.0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         # FULL precision, deliberately stricter than the driver's hash:
