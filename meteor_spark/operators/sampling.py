@@ -250,7 +250,12 @@ def dsir_log_weights(
         .groupBy(id_col)
         .agg(
             F.sum("m").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("m") * F.col("lp")), round_to).alias("log_weight"),
+            # + 0.0 folds IEEE -0.0 to +0.0: a tiny negative weight sum
+            # rounds to -0.0 in sign-preserving engines (DuckDB) but 0.0
+            # here — equal under ==, different under repr-level hashing
+            (F.round(F.sum(F.col("m") * F.col("lp")), round_to) + F.lit(0.0)).alias(
+                "log_weight"
+            ),
         )
     )
 

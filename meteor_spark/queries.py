@@ -1401,7 +1401,7 @@ _DSIR_BUCKETS = 256
                   - ln((cr + 1.0) / (tot_r + {_DSIR_BUCKETS})) AS lp
            FROM dist CROSS JOIN tots)
     SELECT m.doc_id, CAST(sum(m.m) AS BIGINT) AS n_tokens,
-           round(sum(m.m * lp.lp), 4) AS log_weight
+           round(sum(m.m * lp.lp), 4) + 0.0 AS log_weight
     FROM m JOIN lp USING (bkt)
     GROUP BY m.doc_id
     """,
