@@ -169,9 +169,14 @@ def seasonality_residuals(
         F.col("hour").cast("string").alias("hour"),
         F.col("n").cast("long").alias("n"),
         F.round("mu", round_to).alias("expected"),
-        F.round(
-            F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")).otherwise(0.0),
-            round_to,
+        (
+            F.round(
+                F.when(F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")).otherwise(0.0),
+                round_to,
+            )
+            # + 0.0 folds IEEE -0.0 (tiny negative z rounds to -0.0 in
+            # sign-preserving engines, 0.0 here)
+            + F.lit(0.0)
         ).alias("resid_z"),
     )
 
@@ -205,5 +210,5 @@ def hourly_autocorrelation(
     )
     return lagged.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_hours"),
-        F.round(F.corr("n", "prev"), round_to).alias("lag1_autocorr"),
+        (F.round(F.corr("n", "prev"), round_to) + F.lit(0.0)).alias("lag1_autocorr"),
     )

@@ -1127,8 +1127,11 @@ def label_centroid_similarity(
     return pairs.select(
         "label_a",
         "label_b",
-        F.round(
-            dot(F.col("ca"), F.col("cb")) / (norm(F.col("ca")) * norm(F.col("cb"))),
-            round_to,
+        (
+            F.round(
+                dot(F.col("ca"), F.col("cb")) / (norm(F.col("ca")) * norm(F.col("cb"))),
+                round_to,
+            )
+            + F.lit(0.0)  # fold -0.0: near-orthogonal centroids
         ).alias("cos"),
     )

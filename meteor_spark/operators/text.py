@@ -796,12 +796,15 @@ def pmi_ngrams(
         .select(
             "gram",
             "n",
-            F.round(
-                F.log2(
-                    (F.col("n") / F.col("tb"))
-                    / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
-                ),
-                round_to,
+            (
+                F.round(
+                    F.log2(
+                        (F.col("n") / F.col("tb"))
+                        / ((F.col("ca") / F.col("tu")) * (F.col("cb") / F.col("tu")))
+                    ),
+                    round_to,
+                )
+                + F.lit(0.0)  # fold -0.0 for near-independent pairs
             ).alias("pmi"),
         )
     )

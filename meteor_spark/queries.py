@@ -5310,7 +5310,7 @@ _PMI_K = 20
     tb AS (SELECT CAST(sum(greatest(len(nws) - 1, 0)) AS DOUBLE) AS tb FROM nd)
     SELECT gram, n,
            round(log2((n / tb.tb) /
-                      ((ua.cu / tu.tu) * (ub.cu / tu.tu))), 4) AS pmi
+                      ((ua.cu / tu.tu) * (ub.cu / tu.tu))), 4) + 0.0 AS pmi
     FROM bi
     JOIN uni ua ON ua.w = split_part(gram, ' ', 1)
     JOIN uni ub ON ub.w = split_part(gram, ' ', 2), tu, tb
@@ -5647,7 +5647,7 @@ def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT h.event_type, CAST(h.hour AS VARCHAR) AS hour,
            CAST(h.n AS BIGINT) AS n,
            round(p.mu, 4) AS expected,
-           round(CASE WHEN p.sd > 0 THEN (h.n - p.mu) / p.sd ELSE 0 END, 4) AS resid_z
+           round(CASE WHEN p.sd > 0 THEN (h.n - p.mu) / p.sd ELSE 0 END, 4) + 0.0 AS resid_z
     FROM h JOIN p USING (event_type, hod)
     ORDER BY h.event_type, h.hour
     """,
@@ -5677,7 +5677,7 @@ def event_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.label AS label_a, b.label AS label_b,
            round(list_dot_product(a.centroid, b.centroid) /
                  (sqrt(list_dot_product(a.centroid, a.centroid)) *
-                  sqrt(list_dot_product(b.centroid, b.centroid))), 4) AS cos
+                  sqrt(list_dot_product(b.centroid, b.centroid))), 4) + 0.0 AS cos
     FROM c a JOIN c b ON a.label < b.label
     ORDER BY label_a, label_b
     """,
@@ -5876,7 +5876,7 @@ def _corr_oracle() -> str:
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
             rows.append(
-                f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 4) AS pearson FROM lineitem"
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 4) + 0.0 AS pearson FROM lineitem"
             )
     return " UNION ALL ".join(rows) + " ORDER BY col_a, col_b"
 
@@ -5893,7 +5893,7 @@ def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = []
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
-            aggs.append(F.round(F.corr(a, b), 4).alias(f"__c_{a}_{b}"))
+            aggs.append((F.round(F.corr(a, b), 4) + F.lit(0.0)).alias(f"__c_{a}_{b}"))
             pairs.append((a, b))
     wide = li.agg(*aggs)
     structs = [
@@ -6117,7 +6117,7 @@ def lineitem_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
              lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev
       FROM h)
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-           round(corr(n, prev), 4) AS lag1_autocorr
+           round(corr(n, prev), 4) + 0.0 AS lag1_autocorr
     FROM l WHERE prev IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
@@ -6268,8 +6268,8 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
       FROM events GROUP BY event_type)
     SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
-           round(avg(e.value), 4) AS mean_raw,
-           round(avg(greatest(least(e.value, q.hi), q.lo)), 4) AS mean_winsorized,
+           round(avg(e.value), 4) + 0.0 AS mean_raw,
+           round(avg(greatest(least(e.value, q.hi), q.lo)), 4) + 0.0 AS mean_winsorized,
            CAST(sum(CASE WHEN e.value < q.lo OR e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN q USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type
@@ -6293,8 +6293,8 @@ def event_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("mean_raw"),
-            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean_raw"),
+            (F.round(F.avg(clipped), 4) + F.lit(0.0)).alias("mean_winsorized"),
             F.sum(
                 ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("long")
             ).alias("n_clipped"),
@@ -6361,7 +6361,7 @@ vec AS (SELECT vec_id AS doc_id,
               WHERE vec_id <> 0) CROSS JOIN q
         QUALIFY r_vec <= {_RRF_L})
 SELECT CAST(count(*) AS BIGINT) AS n_shared,
-       round(corr(r_lex, r_vec), 4) AS rank_corr
+       round(corr(r_lex, r_vec), 4) + 0.0 AS rank_corr
 FROM lex JOIN vec USING (doc_id)
 """
 
@@ -6394,7 +6394,7 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lex.join(vec, "doc_id").agg(
         F.count("*").cast("long").alias("n_shared"),
-        F.round(F.corr("r_lex", "r_vec"), 4).alias("rank_corr"),
+        (F.round(F.corr("r_lex", "r_vec"), 4) + F.lit(0.0)).alias("rank_corr"),
     )
 
 
