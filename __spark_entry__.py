@@ -35,7 +35,11 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 173 entries, 169 with exact DuckDB oracles.
+                 174 entries, 170 with exact DuckDB oracles (r5 adds
+                 neardup_store_compaction — band-store maintenance:
+                 at-least-once duplicate-append dedup + prefix-
+                 partitioned rewrite with partition-pruned batch
+                 joins).
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
                  KMeans init, HLL registers, APPROX_* sketches) are

@@ -3752,6 +3752,74 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_COMPACT_ORACLE = f"""
+WITH nd AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws
+  FROM documents WHERE doc_id < 480),
+sh AS (SELECT doc_id, {{shingle}} AS sh FROM nd),
+hs AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh),
+sig AS (SELECT doc_id, [{_SIG_SQL}] AS sig FROM hs),
+bands AS (SELECT doc_id, {_BAND_SQL} FROM sig)
+{" UNION ALL ".join(
+    f"SELECT {b} AS band, CAST(count(DISTINCT band{b}) AS BIGINT) AS n_keys,"
+    f" CAST(count(*) AS BIGINT) AS n_rows FROM bands"
+    for b in range(_MINHASH_BANDS))}
+ORDER BY band
+""".replace("{shingle}", _shingle_sql(_MINHASH_K))
+
+
+@query("neardup_store_compaction", _COMPACT_ORACLE)
+def neardup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-store maintenance compaction
+    (streaming.pipeline.compact_neardup_store): seed the incremental
+    near-dup store with the corpus (doc_id < 480... corpus < 400 plus a
+    batch 400-480 appended TWICE — the at-least-once duplicate-append
+    a foreachBatch checkpoint replay produces), compact, and publish
+    the per-band key/row census of the compacted store. The oracle
+    recomputes the same census directly from the documents table with
+    the shared minhash-band SQL family — equality proves compaction
+    dropped exactly the duplicate appends (n_rows = distinct docs per
+    band) and preserved every band key, while the rewrite also
+    hive-partitions bands/ by band_key prefix so future batch joins
+    partition-prune (test_streaming.py asserts the pruned plan)."""
+    import os
+    import tempfile
+
+    from meteor_spark.operators.dedup import minhash_bands, shingle_frame
+    from meteor_spark.streaming.pipeline import compact_neardup_store
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480))
+    base = tempfile.mkdtemp(prefix="msk_cmp_")
+    store = os.path.join(base, "store")
+
+    csh = shingle_frame(corpus, "text", "doc_id", _MINHASH_K).persist()
+    csh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(
+        f"{store}/shingles"
+    )
+    minhash_bands(corpus, sh_df=csh).write.mode("overwrite").parquet(f"{store}/bands")
+    csh.unpersist()
+    bsh = shingle_frame(batch, "text", "doc_id", _MINHASH_K).persist()
+    for _ in range(2):  # at-least-once: same survivors appended twice
+        bsh.withColumn("__corpus", F.lit(False)).write.mode("append").parquet(
+            f"{store}/shingles"
+        )
+        minhash_bands(batch, sh_df=bsh).write.mode("append").parquet(f"{store}/bands")
+    bsh.unpersist()
+
+    compact_neardup_store(spark, store)
+    return (
+        spark.read.parquet(f"{store}/bands")
+        .groupBy("band")
+        .agg(
+            F.countDistinct("band_key").cast("long").alias("n_keys"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .orderBy("band")
+    )
+
+
 # PQ with a hash-pivot codebook is deterministic end-to-end and every
 # float reduction is sequential left-to-right on both engines, so the
 # oracle rebuilds normalization, per-subspace codes, ADC scores, the

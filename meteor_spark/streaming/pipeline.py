@@ -245,6 +245,122 @@ def _run_foreach_batch(stream, merge_fn, checkpoint_dir: str, shuffle_partitions
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _store_pfx_col(columns: list[str]) -> str | None:
+    """The compacted store's partition column, or None. The prefix
+    LENGTH is encoded in the column name (pfx1/pfx2/...), so readers
+    recover it from the schema alone — no extra job, and the writer and
+    reader can never disagree."""
+    for c in columns:
+        if c.startswith("pfx") and c[3:].isdigit():
+            return c
+    return None
+
+
+def pruned_store_bands(store_bands: DataFrame, batch_bands: DataFrame) -> DataFrame:
+    """Partition-pruned view of a COMPACTED band store for one batch's
+    candidate join: keep only the hive partitions (band_key prefix
+    buckets) the batch's own band keys fall in — IO proportional to the
+    batch's key spread (<= bands x batch rows prefixes, usually far
+    fewer), not the whole store. On an uncompacted store (no pfx
+    column) this is the identity. The prefix set is collected
+    driver-side: it is bounded by min(16^len, batch keys) — the small
+    side, collected like a broadcast."""
+    pcol = _store_pfx_col(store_bands.columns)
+    if pcol is None:
+        return store_bands
+    plen = int(pcol[3:])
+    pfxs = [
+        r[0]
+        for r in batch_bands.select(F.substring("band_key", 1, plen).alias("p"))
+        .distinct()
+        .collect()
+    ]
+    return store_bands.filter(F.col(pcol).isin(pfxs)).drop(pcol)
+
+
+def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict:
+    """Maintenance compaction for the incremental near-dup store
+    (incremental_neardup_stream's parquet-append layout).
+
+    Why: every microbatch appends one small file to bands/ and
+    shingles/, and an at-least-once retry (foreachBatch replay after a
+    checkpoint rollback) can append the same survivors twice.
+    Duplicate rows never change candidate SEMANTICS (the candidate
+    join distinct-s), but they inflate every future batch's scan and
+    verify work, and the file count grows without bound.
+
+    One pass each:
+      1. bands/: drop duplicate (id, band, band_key) rows, rewrite
+         hive-partitioned by a band_key hex prefix — 1 char (16
+         buckets) for small stores, 2 (256) past ~100k rows, the
+         length encoded in the partition column name —
+         incremental_neardup_stream then prunes each batch's
+         candidate join to the partitions its own keys hash into
+         (pruned_store_bands);
+      2. shingles/: drop duplicate ids, range-partition by id (the
+         verify join's access path);
+      3. verify losslessness (distinct contents unchanged) BEFORE
+         atomically swapping the live directories.
+
+    Returns per-dataset (files_before, files_after, rows_before,
+    rows_after). Run it like any table-maintenance job — off the hot
+    path, whenever file count or duplicate ratio crosses a threshold.
+    """
+    import shutil
+
+    from meteor_spark.io import list_data_files
+
+    out: dict = {}
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    for sub, key_cols, writer in (
+        ("bands", [id_col, "band", "band_key"], "pfx"),
+        ("shingles", [id_col], "range"),
+    ):
+        live = f"{store_dir}/{sub}"
+        tmp = f"{store_dir}/{sub}__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df = spark.read.parquet(live)
+        # a re-compaction drops the old partition column; band_key
+        # carries the full information
+        df = df.drop(*[c for c in df.columns if _store_pfx_col([c])])
+        rows_before = df.count()
+        files_before = len(list_data_files(spark, live))
+        deduped = df.dropDuplicates(key_cols).persist()
+        expect = deduped.count()
+        if writer == "pfx":
+            plen = 2 if expect > 100_000 else 1
+            pcol = f"pfx{plen}"
+            (
+                deduped.withColumn(pcol, F.substring("band_key", 1, plen))
+                .repartition(pcol)
+                .write.partitionBy(pcol)
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            deduped.repartitionByRange(n, id_col).write.mode("overwrite").parquet(tmp)
+        deduped.unpersist()
+        # losslessness gate before the swap: the compacted dir must hold
+        # exactly the distinct rows of the live dir
+        rows_after = spark.read.parquet(tmp).count()
+        if rows_after != expect:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction of {live} lost rows ({rows_after} != {expect}); "
+                "live store untouched"
+            )
+        old = f"{store_dir}/{sub}__pre_compact"
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.move(live, old)
+        shutil.move(tmp, live)
+        shutil.rmtree(old, ignore_errors=True)
+        out[sub] = {
+            "files": (files_before, len(list_data_files(spark, live))),
+            "rows": (rows_before, rows_after),
+        }
+    return out
+
+
 def incremental_neardup_stream(
     spark,
     watch_dir: str,
@@ -258,6 +374,7 @@ def incremental_neardup_stream(
     bands: int = 4,
     threshold: float = 0.5,
     shuffle_partitions: int | None = None,
+    seed: bool = True,
 ) -> DataFrame:
     """Streaming incremental NEAR-dup dedup: each microbatch is checked
     against a persistent LSH band store by shingle-Jaccard SIMILARITY,
@@ -279,9 +396,13 @@ def incremental_neardup_stream(
       3. exact Jaccard verify against the stored shingle sets; matches
          >= threshold are dropped;
       4. batch-internal near-dups collapse to the min-id survivor;
-      5. survivors append their bands + shingles to the store.
+      5. survivors append their bands + shingles to the store (matching
+         the store's layout — partitioned appends on a compacted store).
 
     Returns the surviving id rows across the whole bounded stream.
+    seed=False skips the corpus seeding and continues on an existing
+    store — the production continuation path after a restart or a
+    compact_neardup_store rewrite.
     """
     from meteor_spark.operators.dedup import minhash_signature, shingle_frame
 
@@ -310,20 +431,29 @@ def incremental_neardup_stream(
     # origin marker travels WITH the store rows (the exact-dedup twin's
     # NULL-id trick): identifying stream survivors by anti-joining ids
     # against the corpus would silently drop any stream doc whose id
-    # collides with a corpus id — the two id spaces are independent
-    corpus_sh = shingle_frame(corpus, text_col, id_col, k).persist()
-    corpus_sh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(
-        f"{store_dir}/shingles"
-    )
-    _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
-    corpus_sh.unpersist()
+    # collides with a corpus id — the two id spaces are independent.
+    # seed=False continues ingestion on an EXISTING store (e.g. one
+    # rewritten by compact_neardup_store) instead of overwriting it.
+    if seed:
+        corpus_sh = shingle_frame(corpus, text_col, id_col, k).persist()
+        corpus_sh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(
+            f"{store_dir}/shingles"
+        )
+        _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
+        corpus_sh.unpersist()
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
         s = batch_df.sparkSession
         sh_b = shingle_frame(batch_df, text_col, id_col, k).persist()
         b_b = _bands_of(sh_b).persist()
 
-        store_bands = s.read.parquet(f"{store_dir}/bands")
+        # compacted stores are hive-partitioned by band_key prefix:
+        # prune the candidate scan to the batch's own prefixes, and
+        # remember the layout — appends must match it (plain files at
+        # the root of a partitioned dir break partition discovery)
+        raw_bands = s.read.parquet(f"{store_dir}/bands")
+        store_pcol = _store_pfx_col(raw_bands.columns)
+        store_bands = pruned_store_bands(raw_bands, b_b)
         store_sh = s.read.parquet(f"{store_dir}/shingles")
 
         # batch vs store: band collision -> exact verify
@@ -366,7 +496,18 @@ def incremental_neardup_stream(
         survivors_sh.withColumn("__corpus", F.lit(False)).write.mode("append").parquet(
             f"{store_dir}/shingles"
         )
-        _bands_of(survivors_sh).write.mode("append").parquet(f"{store_dir}/bands")
+        nb = _bands_of(survivors_sh)
+        if store_pcol is not None:
+            (
+                nb.withColumn(
+                    store_pcol, F.substring("band_key", 1, int(store_pcol[3:]))
+                )
+                .write.partitionBy(store_pcol)
+                .mode("append")
+                .parquet(f"{store_dir}/bands")
+            )
+        else:
+            nb.write.mode("append").parquet(f"{store_dir}/bands")
         sh_b.unpersist(); b_b.unpersist(); survivors_sh.unpersist()
 
     stream = (

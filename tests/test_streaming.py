@@ -242,3 +242,117 @@ def test_incremental_neardup_stream_survives_id_collision(spark, tmp_path):
         threshold=0.5,
     )
     assert [r["doc_id"] for r in out.collect()] == [7]
+
+
+# --------------------------------------------------- store compaction
+
+
+def _seed_store(spark, sf_dir, store, dup_appends=2):
+    from meteor_spark.operators.dedup import minhash_bands, shingle_frame
+    from meteor_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 140))
+    csh = shingle_frame(corpus, "text", "doc_id", 3).persist()
+    csh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(f"{store}/shingles")
+    minhash_bands(corpus, sh_df=csh).write.mode("overwrite").parquet(f"{store}/bands")
+    csh.unpersist()
+    bsh = shingle_frame(batch, "text", "doc_id", 3).persist()
+    for _ in range(dup_appends):
+        bsh.withColumn("__corpus", F.lit(False)).write.mode("append").parquet(f"{store}/shingles")
+        minhash_bands(batch, sh_df=bsh).write.mode("append").parquet(f"{store}/bands")
+    bsh.unpersist()
+    return corpus
+
+
+def test_compaction_drops_duplicate_appends_and_partitions(spark, sf_dir, tmp_path):
+    from meteor_spark.streaming.pipeline import compact_neardup_store
+
+    store = str(tmp_path / "store")
+    _seed_store(spark, sf_dir, store, dup_appends=2)
+    rep = compact_neardup_store(spark, store)
+    # 100 corpus + 40 batch docs x 4 bands; the duplicate append doubled
+    # the batch rows, compaction must keep exactly one of each
+    assert rep["bands"]["rows"] == (100 * 4 + 40 * 4 * 2, 140 * 4)
+    assert rep["shingles"]["rows"] == (100 + 40 * 2, 140)
+    bands = spark.read.parquet(f"{store}/bands")
+    assert "pfx1" in bands.columns  # small store -> 1-hex-char buckets
+    assert bands.count() == 140 * 4
+    assert bands.dropDuplicates(["doc_id", "band", "band_key"]).count() == 140 * 4
+
+
+def test_pruned_store_bands_partition_prunes(spark, sf_dir, tmp_path):
+    from meteor_spark.operators.dedup import minhash_bands
+    from meteor_spark.queries import _t
+    from meteor_spark.streaming.pipeline import compact_neardup_store, pruned_store_bands
+
+    store = str(tmp_path / "store")
+    _seed_store(spark, sf_dir, store, dup_appends=1)
+    compact_neardup_store(spark, store)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_bands = minhash_bands(docs.filter(F.col("doc_id") < 5)).persist()
+    store_bands = spark.read.parquet(f"{store}/bands")
+    pruned = pruned_store_bands(store_bands, batch_bands)
+    # the pruned view must show partition filters in its scan...
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "pfx1" in plan
+    # ...and be equivalent to the unpruned store for the candidate join
+    full = store_bands.drop("pfx1").join(batch_bands, ["band", "band_key"]).count()
+    cut = pruned.join(batch_bands, ["band", "band_key"]).count()
+    assert full == cut
+    # identity on an uncompacted store
+    raw = minhash_bands(docs.filter(F.col("doc_id") < 10))
+    assert pruned_store_bands(raw, batch_bands) is raw
+    batch_bands.unpersist()
+
+
+def test_incremental_stream_continues_on_compacted_store(spark, sf_dir, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from meteor_spark.queries import _t
+    from meteor_spark.streaming.pipeline import (
+        compact_neardup_store,
+        incremental_neardup_stream,
+    )
+
+    store = str(tmp_path / "store")
+    corpus = _seed_store(spark, sf_dir, store, dup_appends=1)
+    compact_neardup_store(spark, store)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # one novel doc + one paraphrase of a corpus doc (near-dup, not exact)
+    para = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat("text", F.lit(" addendum")).alias("text"),
+    )
+    newb = docs.filter(F.col("doc_id") == 200).union(para)
+    watch = str(tmp_path / "in"); os.makedirs(watch)
+    d = str(tmp_path / "b0")
+    newb.coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.copyfile(glob.glob(f"{d}/part-*.parquet")[0], f"{watch}/batch_0.parquet")
+
+    surv = incremental_neardup_stream(
+        spark, watch, corpus, store, str(tmp_path / "ckpt"),
+        shuffle_partitions=4, seed=False,
+    )
+    ids = {r[0] for r in surv.collect()}
+    assert 200 in ids          # novel doc survives
+    assert 9000 + 3 not in ids  # paraphrase near-dups against the store
+    # the partitioned append kept the store readable and consistent
+    bands = spark.read.parquet(f"{store}/bands")
+    assert "pfx1" in bands.columns
+    assert bands.filter(F.col("doc_id") == 200).count() == 4
+
+
+def test_compaction_is_idempotent(spark, sf_dir, tmp_path):
+    from meteor_spark.streaming.pipeline import compact_neardup_store
+
+    store = str(tmp_path / "store")
+    _seed_store(spark, sf_dir, store, dup_appends=2)
+    rep1 = compact_neardup_store(spark, store)
+    rep2 = compact_neardup_store(spark, store)
+    assert rep1["bands"]["rows"][1] == rep2["bands"]["rows"][0] == rep2["bands"]["rows"][1]
+    assert rep2["shingles"]["rows"][0] == rep2["shingles"]["rows"][1]
