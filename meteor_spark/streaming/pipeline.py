@@ -174,9 +174,12 @@ def incremental_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     shuffle_partitions: int | None = None,
+    seed: bool = True,
 ) -> DataFrame:
     """Streaming incremental exact-dedup: foreachBatch + a fingerprint
     store table — the streaming twin of operators.dedup.dedup_incremental.
+    seed=False continues on an existing store (e.g. one rewritten by
+    compact_fingerprint_store) instead of overwriting it.
 
     The store is seeded with the corpus's distinct content fingerprints;
     each microbatch anti-joins its fingerprints against the store, keeps
@@ -192,20 +195,29 @@ def incremental_dedup_stream(
     from meteor_spark.operators.text import normalize_text
 
     fp = F.md5(normalize_text(F.col(text_col)))
-    (
-        corpus.select(fp.alias("fp"))
-        .distinct()
-        .withColumn(id_col, F.lit(None).cast("long"))
-        .write.mode("overwrite")
-        .parquet(store_dir)
-    )
+    if seed:
+        (
+            corpus.select(fp.alias("fp"))
+            .distinct()
+            .withColumn(id_col, F.lit(None).cast("long"))
+            .write.mode("overwrite")
+            .parquet(store_dir)
+        )
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
-        seen = batch_df.sparkSession.read.parquet(store_dir).select("fp")
+        raw = batch_df.sparkSession.read.parquet(store_dir)
+        store_pcol = _store_pfx_col(raw.columns)
         bf = batch_df.select(F.col(id_col), fp.alias("fp"))
+        # compacted stores prune the anti-join scan to the batch's own
+        # fp-prefix partitions
+        seen = pruned_store(raw, bf, "fp").select("fp")
         fresh = bf.join(seen, "fp", "left_anti")
         survivors = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
-        survivors.select("fp", id_col).write.mode("append").parquet(store_dir)
+        out = survivors.select("fp", id_col)
+        if store_pcol is not None:
+            _partitioned_append(out, store_pcol, "fp", store_dir)
+        else:
+            out.write.mode("append").parquet(store_dir)
 
     stream = (
         spark.readStream.schema(f"{id_col} long, {text_col} string")
@@ -256,26 +268,112 @@ def _store_pfx_col(columns: list[str]) -> str | None:
     return None
 
 
-def pruned_store_bands(store_bands: DataFrame, batch_bands: DataFrame) -> DataFrame:
-    """Partition-pruned view of a COMPACTED band store for one batch's
-    candidate join: keep only the hive partitions (band_key prefix
-    buckets) the batch's own band keys fall in — IO proportional to the
-    batch's key spread (<= bands x batch rows prefixes, usually far
-    fewer), not the whole store. On an uncompacted store (no pfx
+def pruned_store(store_df: DataFrame, batch_df: DataFrame, key: str) -> DataFrame:
+    """Partition-pruned view of a COMPACTED hex-keyed store for one
+    batch's join: keep only the hive partitions (key-prefix buckets)
+    the batch's own keys fall in — IO proportional to the batch's key
+    spread, not the whole store. On an uncompacted store (no pfx
     column) this is the identity. The prefix set is collected
     driver-side: it is bounded by min(16^len, batch keys) — the small
     side, collected like a broadcast."""
-    pcol = _store_pfx_col(store_bands.columns)
+    pcol = _store_pfx_col(store_df.columns)
     if pcol is None:
-        return store_bands
+        return store_df
     plen = int(pcol[3:])
     pfxs = [
         r[0]
-        for r in batch_bands.select(F.substring("band_key", 1, plen).alias("p"))
+        for r in batch_df.select(F.substring(key, 1, plen).alias("p"))
         .distinct()
         .collect()
     ]
-    return store_bands.filter(F.col(pcol).isin(pfxs)).drop(pcol)
+    return store_df.filter(F.col(pcol).isin(pfxs)).drop(pcol)
+
+
+def pruned_store_bands(store_bands: DataFrame, batch_bands: DataFrame) -> DataFrame:
+    """pruned_store over the band store's band_key."""
+    return pruned_store(store_bands, batch_bands, "band_key")
+
+
+def _partitioned_append(df: DataFrame, pcol: str, key: str, path: str) -> None:
+    """Append rows to a compacted store in its own partitioned layout
+    (plain files at the root of a hive-partitioned dir break partition
+    discovery)."""
+    (
+        df.withColumn(pcol, F.substring(key, 1, int(pcol[3:])))
+        .write.partitionBy(pcol)
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def _compact_dataset(
+    spark,
+    live: str,
+    key_cols: list[str],
+    prefix_col: str | None = None,
+    range_col: str | None = None,
+) -> dict:
+    """Dedup + relayout one parquet-append dataset, verify
+    losslessness, atomically swap. prefix_col: hex key to
+    hive-partition by (1-char buckets for small sets, 2 past ~100k
+    rows, length encoded in the partition column name); range_col:
+    range-partition instead (point-lookup-by-id access path)."""
+    import shutil
+
+    from meteor_spark.io import list_data_files
+
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    tmp = f"{live.rstrip('/')}__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(live)
+    # a re-compaction drops the old partition column; the key column
+    # carries the full information
+    df = df.drop(*[c for c in df.columns if _store_pfx_col([c])])
+    rows_before = df.count()
+    files_before = len(list_data_files(spark, live))
+    deduped = df.dropDuplicates(key_cols).persist()
+    expect = deduped.count()
+    if prefix_col is not None:
+        plen = 2 if expect > 100_000 else 1
+        pcol = f"pfx{plen}"
+        (
+            deduped.withColumn(pcol, F.substring(prefix_col, 1, plen))
+            .repartition(pcol)
+            .write.partitionBy(pcol)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        deduped.repartitionByRange(n, range_col).write.mode("overwrite").parquet(tmp)
+    deduped.unpersist()
+    # losslessness gate before the swap: the compacted dir must hold
+    # exactly the distinct rows of the live dir
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != expect:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction of {live} lost rows ({rows_after} != {expect}); "
+            "live store untouched"
+        )
+    old = f"{live.rstrip('/')}__pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(live, old)
+    shutil.move(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files": (files_before, len(list_data_files(spark, live))),
+        "rows": (rows_before, rows_after),
+    }
+
+
+def compact_fingerprint_store(spark, store_dir: str, id_col: str = "doc_id") -> dict:
+    """Maintenance compaction for the exact-dedup fingerprint store
+    (incremental_dedup_stream's parquet-append table of (fp, id)):
+    drop at-least-once duplicate appends and rewrite hive-partitioned
+    by an fp hex prefix, so each batch's anti-join prunes to the
+    partitions its own fingerprints fall in. Same lifecycle contract
+    as compact_neardup_store (losslessness check, atomic swap)."""
+    return {"fingerprints": _compact_dataset(spark, store_dir, ["fp", id_col], prefix_col="fp")}
 
 
 def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict:
@@ -306,59 +404,14 @@ def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict
     rows_after). Run it like any table-maintenance job — off the hot
     path, whenever file count or duplicate ratio crosses a threshold.
     """
-    import shutil
-
-    from meteor_spark.io import list_data_files
-
-    out: dict = {}
-    n = max(spark.sparkContext.defaultParallelism, 1)
-    for sub, key_cols, writer in (
-        ("bands", [id_col, "band", "band_key"], "pfx"),
-        ("shingles", [id_col], "range"),
-    ):
-        live = f"{store_dir}/{sub}"
-        tmp = f"{store_dir}/{sub}__compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df = spark.read.parquet(live)
-        # a re-compaction drops the old partition column; band_key
-        # carries the full information
-        df = df.drop(*[c for c in df.columns if _store_pfx_col([c])])
-        rows_before = df.count()
-        files_before = len(list_data_files(spark, live))
-        deduped = df.dropDuplicates(key_cols).persist()
-        expect = deduped.count()
-        if writer == "pfx":
-            plen = 2 if expect > 100_000 else 1
-            pcol = f"pfx{plen}"
-            (
-                deduped.withColumn(pcol, F.substring("band_key", 1, plen))
-                .repartition(pcol)
-                .write.partitionBy(pcol)
-                .mode("overwrite")
-                .parquet(tmp)
-            )
-        else:
-            deduped.repartitionByRange(n, id_col).write.mode("overwrite").parquet(tmp)
-        deduped.unpersist()
-        # losslessness gate before the swap: the compacted dir must hold
-        # exactly the distinct rows of the live dir
-        rows_after = spark.read.parquet(tmp).count()
-        if rows_after != expect:
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise RuntimeError(
-                f"compaction of {live} lost rows ({rows_after} != {expect}); "
-                "live store untouched"
-            )
-        old = f"{store_dir}/{sub}__pre_compact"
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.move(live, old)
-        shutil.move(tmp, live)
-        shutil.rmtree(old, ignore_errors=True)
-        out[sub] = {
-            "files": (files_before, len(list_data_files(spark, live))),
-            "rows": (rows_before, rows_after),
-        }
-    return out
+    return {
+        "bands": _compact_dataset(
+            spark, f"{store_dir}/bands", [id_col, "band", "band_key"], prefix_col="band_key"
+        ),
+        "shingles": _compact_dataset(
+            spark, f"{store_dir}/shingles", [id_col], range_col=id_col
+        ),
+    }
 
 
 def incremental_neardup_stream(
@@ -498,14 +551,7 @@ def incremental_neardup_stream(
         )
         nb = _bands_of(survivors_sh)
         if store_pcol is not None:
-            (
-                nb.withColumn(
-                    store_pcol, F.substring("band_key", 1, int(store_pcol[3:]))
-                )
-                .write.partitionBy(store_pcol)
-                .mode("append")
-                .parquet(f"{store_dir}/bands")
-            )
+            _partitioned_append(nb, store_pcol, "band_key", f"{store_dir}/bands")
         else:
             nb.write.mode("append").parquet(f"{store_dir}/bands")
         sh_b.unpersist(); b_b.unpersist(); survivors_sh.unpersist()

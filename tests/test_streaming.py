@@ -356,3 +356,65 @@ def test_compaction_is_idempotent(spark, sf_dir, tmp_path):
     rep2 = compact_neardup_store(spark, store)
     assert rep1["bands"]["rows"][1] == rep2["bands"]["rows"][0] == rep2["bands"]["rows"][1]
     assert rep2["shingles"]["rows"][0] == rep2["shingles"]["rows"][1]
+
+
+def test_fingerprint_store_compaction_and_pruned_continuation(spark, sf_dir, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from meteor_spark.operators.text import normalize_text
+    from meteor_spark.queries import _t
+    from meteor_spark.streaming.pipeline import (
+        compact_fingerprint_store,
+        incremental_dedup_stream,
+        pruned_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    store = str(tmp_path / "fpstore")
+    fp = F.md5(normalize_text(F.col("text")))
+    (corpus.select(fp.alias("fp")).distinct()
+     .withColumn("doc_id", F.lit(None).cast("long"))
+     .write.mode("overwrite").parquet(store))
+    # at-least-once duplicate append of one batch's survivors
+    batch_rows = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+        fp.alias("fp"), F.col("doc_id")
+    )
+    for _ in range(2):
+        batch_rows.write.mode("append").parquet(store)
+
+    rep = compact_fingerprint_store(spark, store)
+    assert rep["fingerprints"]["rows"][1] == rep["fingerprints"]["rows"][0] - 20
+    compacted = spark.read.parquet(store)
+    assert "pfx1" in compacted.columns  # small store -> 1-char buckets
+
+    # the pruned anti-join scan partition-prunes and agrees with full
+    probe = docs.filter(F.col("doc_id") < 5).select(fp.alias("fp"), "doc_id")
+    pruned = pruned_store(compacted, probe, "fp")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "pfx1" in plan
+    assert (pruned.join(probe, "fp").count()
+            == compacted.drop("pfx1").join(probe, "fp").count())
+
+    # continuation on the compacted store: an exact dup of a corpus doc
+    # is dropped, a novel doc survives, appends stay partitioned
+    dup = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    newb = docs.filter(F.col("doc_id") == 300).union(dup)
+    watch = str(tmp_path / "in"); os.makedirs(watch)
+    d = str(tmp_path / "b0")
+    newb.coalesce(1).write.mode("overwrite").parquet(d)
+    shutil.copyfile(glob.glob(f"{d}/part-*.parquet")[0], f"{watch}/batch_0.parquet")
+    surv = incremental_dedup_stream(
+        spark, watch, corpus, store, str(tmp_path / "ckpt"),
+        shuffle_partitions=4, seed=False,
+    )
+    ids = {r[0] for r in surv.collect()}
+    assert 300 in ids and 9005 not in ids
+    assert 100 in ids  # prior batch survivors persist through compaction
+    after = spark.read.parquet(store)
+    assert "pfx1" in after.columns
+    assert after.filter(F.col("doc_id") == 300).count() == 1
