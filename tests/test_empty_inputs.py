@@ -171,3 +171,47 @@ def test_dependency_ops_on_empty(spark):
     assert all(r["holds"] for r in fds) and len(fds) == 2
     row = inclusion_dependency(empty, "a", empty, "b").collect()[0]
     assert row["n_child_values"] == 0 and row["violations"] == 0 and row["holds"]
+
+
+def test_wave9_on_empty(spark, empty_docs):
+    from meteor_spark.operators.dedup import hot_passage_scrub
+    from meteor_spark.operators.drift import hourly_autocorrelation
+    from meteor_spark.operators.lineage import transitive_upstreams
+    from meteor_spark.operators.multimodal import image_ahash
+    from meteor_spark.operators.text import token_gini_by_group
+    from meteor_spark.operators.usage import activity_gini
+
+    assert hot_passage_scrub(empty_docs).count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert hourly_autocorrelation(empty_ev).count() == 0
+    empty_edges = spark.createDataFrame([], "src_urn string, dst_urn string")
+    assert transitive_upstreams(empty_edges).count() == 0
+    empty_media = spark.createDataFrame([], "media_id long, content binary")
+    assert image_ahash(empty_media).count() == 0
+    assert token_gini_by_group(empty_docs).count() == 0
+    # one-row global summary over zero users: must not throw; zero or a
+    # single all-zero/null row are both acceptable empty renderings
+    g = activity_gini(empty_ev).collect()
+    assert len(g) in (0, 1)
+
+
+def test_compaction_on_seed_only_store(spark, sf_dir, tmp_path):
+    # a store with only the corpus seed (no appends, no duplicates):
+    # compaction must be a pure relayout — zero rows dropped
+    from meteor_spark.streaming.pipeline import compact_neardup_store
+
+    from meteor_spark.operators.dedup import minhash_bands, shingle_frame
+    from meteor_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 50)
+    store = str(tmp_path / "store")
+    csh = shingle_frame(corpus, "text", "doc_id", 3)
+    csh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(f"{store}/shingles")
+    minhash_bands(corpus, sh_df=csh).write.mode("overwrite").parquet(f"{store}/bands")
+    rep = compact_neardup_store(spark, store)
+    assert rep["bands"]["rows"][0] == rep["bands"]["rows"][1] == 200
+    assert rep["shingles"]["rows"][0] == rep["shingles"]["rows"][1] == 50
