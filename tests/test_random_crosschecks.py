@@ -154,3 +154,105 @@ def test_char_entropy_bounded_by_log_distinct(spark):
     for r in char_entropy_profile(df).collect():
         # entropy is rounded to 4dp, so allow half-ulp of that rounding
         assert -5e-5 <= r["char_entropy"] <= math.log2(r["distinct_chars"]) + 5e-5
+
+
+def test_portable_hll_matches_python_reference(spark):
+    # the engine-portable HLL (md5-register sketch) replayed by an
+    # independent Python implementation of the same hash family
+    import hashlib
+    import math
+
+    from meteor_spark.operators.sketches import hll64_partials, merge_hll64
+
+    rng = random.Random(11)
+    rows = [(f"k{i % 2}", rng.randint(0, 5000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: (r["approx_distinct"], r["n_rows"])
+        for r in merge_hll64(hll64_partials(df, ["k"], "v"), ["k"]).collect()
+    }
+
+    m = 1 << 10
+    alpha = 0.7213 / (1 + 1.079 / m)
+    by_k: dict[str, dict[int, int]] = {}
+    n_rows: dict[str, int] = {}
+    for k, v in rows:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+        rho = 33 if h2 == 0 else 33 - h2.bit_length()
+        regs = by_k.setdefault(k, {})
+        regs[h1 % m] = max(regs.get(h1 % m, 0), rho)
+        n_rows[k] = n_rows.get(k, 0) + 1
+    for k, regs in by_k.items():
+        s = sum(1 << (50 - r) for r in regs.values()) + (m - len(regs)) * (1 << 50)
+        v_empty = m - len(regs)
+        raw = alpha * m * m * float(1 << 50) / s
+        if raw <= 2.5 * m and v_empty > 0:
+            want = m * math.log(m / v_empty)
+        else:
+            want = raw
+        assert got[k][0] == round(want, 4), k
+        assert got[k][1] == n_rows[k]
+
+
+def test_dsir_log_weights_match_python_reference(spark):
+    import hashlib
+    import math
+
+    from meteor_spark.operators.sampling import dsir_log_weights
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))),
+         "en" if i % 3 == 0 else "de")
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    buckets = 64
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in dsir_log_weights(df, F.col("lang") == "en", buckets=buckets).collect()
+    }
+
+    def bkt(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % buckets
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    toks = {}
+    for i, text, lang in rows:
+        ws = text.split()
+        toks[i] = ws
+        for w in ws:
+            b = bkt(w)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tot_r = float(sum(cr.values()))
+    tot_t = float(sum(ct.values()))
+    lp = {
+        b: math.log((ct.get(b, 0) + 1.0) / (tot_t + buckets))
+        - math.log((cr[b] + 1.0) / (tot_r + buckets))
+        for b in cr
+    }
+    for i, ws in toks.items():
+        want = sum(lp[bkt(w)] for w in ws)
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - round(want, 4)) <= 1e-4, i
+
+
+def test_activity_gini_matches_python_reference(spark):
+    from meteor_spark.operators.usage import activity_gini
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 40)) for i in range(500)]
+    ev = [(u, e) for u, n in rows for e in range(n + 1)]
+    df = spark.createDataFrame(ev, "user_id long, event_id long")
+    got = activity_gini(df).collect()[0]
+
+    xs = sorted(n + 1 for _, n in rows)
+    n, tot = len(xs), sum(xs)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (n + 1) / n
+    assert got["n_users"] == n and got["n_events"] == tot
+    assert abs(got["gini"] - round(want, 4)) <= 1e-4
