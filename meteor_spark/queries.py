@@ -1785,19 +1785,22 @@ def streaming_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_quantile_bins(state, ["event_type"], float(lo), float(hi), bins=_QSK_BINS)
 
 
-def _bpe_oracle_sql(n_merges: int = 20) -> str:
-    """Chained-CTE replay of bpe.train_bpe: word-type counts, then per
-    merge step (1) weighted adjacent-pair counts + argmax (count desc,
-    pair lexicographic — binary collation equals Python's tuple compare
-    on the ASCII fixture), (2) the greedy left-to-right merge
-    application. The sequential-looking apply step is relational: match
-    positions that are CONSECUTIVE overlap (only possible when
-    left==right), and Python's scan takes every other one — so chosen =
-    odd row_number within each maximal run (pos − rank grouping), the
-    gaps-and-islands trick. Token tuples can never collide across word
-    types (a tuple always concatenates back to its word), so keying
-    state by the original word is lossless. MATERIALIZED per step, same
-    reason as the kmeans oracle."""
+def _bpe_cte_chain(n_merges: int) -> str:
+    """Chained-CTE replay of bpe.train_bpe shared by the trainer and
+    encoder oracles: word-type counts, then per merge step (1) weighted
+    adjacent-pair counts + argmax (count desc, pair lexicographic —
+    binary collation equals Python's tuple compare on the ASCII
+    fixture), (2) the greedy left-to-right merge application. The
+    sequential-looking apply step is relational: match positions that
+    are CONSECUTIVE overlap (only possible when left==right), and
+    Python's scan takes every other one — so chosen = odd row_number
+    within each maximal run (pos − rank grouping), the gaps-and-islands
+    trick. Token tuples can never collide across word types (a tuple
+    always concatenates back to its word), so keying state by the
+    original word is lossless. MATERIALIZED per step, same reason as
+    the kmeans oracle. Exposes best{{s}} (the step-s rule) and
+    tok{{n_merges}} (every word type's final token sequence — i.e. the
+    encoded form of the whole vocabulary)."""
     head = f"""
 WITH wn AS MATERIALIZED (
   SELECT word AS wid, count(*) AS n
@@ -1833,11 +1836,37 @@ tok{s + 1} AS MATERIALIZED (
     SELECT t.wid, t.pos, t.tok FROM tok{s} t
     WHERE NOT EXISTS (SELECT 1 FROM ch{s} c
                       WHERE c.wid = t.wid AND (c.pos = t.pos OR c.pos = t.pos - 1))))""")
+    return head + "".join(steps)
+
+
+def _bpe_oracle_sql(n_merges: int = 20) -> str:
+    """Trainer readout over _bpe_cte_chain: the per-step argmax rows."""
     tail = "\nSELECT * FROM (" + "\nUNION ALL ".join(
         f'SELECT {s} AS step, a AS "left", b AS "right", a || b AS merged, cnt AS pair_count FROM best{s}'
         for s in range(n_merges)
     ) + ") ORDER BY step"
-    return head + "".join(steps) + tail
+    return _bpe_cte_chain(n_merges) + tail
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 20) -> str:
+    """Encoder readout over _bpe_cte_chain: tok{n} IS every word type
+    encoded under the trained merges (train-time vocab update and
+    encode-by-rank agree because a merge of rank r only ever creates
+    tokens that participate in rules of rank > r — pinned by
+    tests/test_bpe.py), so per-doc subword counts are a word join away.
+    LEFT JOIN + coalesce keeps any zero-length word type (absent from
+    tok0 by construction) counted as 0 subwords, matching encode_word's
+    empty tokenization."""
+    tail = f""",
+wsub AS MATERIALIZED (
+  SELECT wid, CAST(count(*) AS BIGINT) AS n_sub FROM tok{n_merges} GROUP BY wid),
+docw AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS wid FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords
+FROM docw LEFT JOIN wsub USING (wid)
+GROUP BY doc_id"""
+    return _bpe_cte_chain(n_merges) + tail
 
 
 @query("bpe_merge_rules", _bpe_oracle_sql())
@@ -1881,6 +1910,25 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         F.sum(F.length("w")).cast("long").alias("n_chars"),
     )
+
+
+@query("bpe_encode_stats", _bpe_encode_oracle_sql())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY pass (operators.bpe.encode_token_counts):
+    train 20 merges on the corpus, then tokenize every document with
+    them — per-doc (n_words, n_subwords). This is the corpus-scale half
+    of BPE the trainer gate doesn't touch: Python encodes only DISTINCT
+    word types (Arrow-batched pandas UDF), and the per-document step is
+    a broadcast join of word -> subword count, so 100 TB of text never
+    meets a Python loop. Exact oracle: the trainer oracle's final token
+    table IS the encoded vocabulary (rank-order exhaustive application
+    equals priority-by-rank encoding — a merge can only create tokens
+    used by later-ranked rules), joined back onto the documents."""
+    from meteor_spark.operators.bpe import encode_token_counts, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    rules, _ = train_bpe(docs, n_merges=20)
+    return encode_token_counts(docs, rules)
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, round_to: int = 6) -> str:

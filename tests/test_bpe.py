@@ -72,3 +72,22 @@ def test_training_is_partitioning_invariant(spark, sf_dir):
     r1, _ = train_bpe(docs, n_merges=8)
     r2, _ = train_bpe(docs.repartition(7), n_merges=8)
     assert r1 == r2
+
+
+def test_encode_rank_priority_equals_rank_order_exhaustive(spark, sf_dir):
+    """The invariant the bpe_encode_stats oracle rests on: encoding by
+    lowest-rank-pair-first (encode_word) equals applying the rules in
+    rank order, each exhaustively left-to-right (_merge_word — what the
+    trainer's vocab update and the oracle's chained CTEs do). Holds
+    because a rank-r merge only creates tokens that appear in rules of
+    rank > r. Checked over EVERY word type in the fixture corpus."""
+    from meteor_spark.io import read_parquet_table
+
+    docs = read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+    rules, wt = train_bpe(docs, n_merges=20)
+    ranks = {(r[1], r[2]): r[0] for r in rules}
+    for row in wt:
+        toks = tuple(row["word"])
+        for _, a, b, _m, _c in rules:
+            toks = _merge_word(toks, a, b)
+        assert tuple(encode_word(row["word"], ranks)) == toks, row["word"]
