@@ -182,3 +182,60 @@ def truncation_budget_curve(
         )
         .orderBy("max_len")
     )
+
+
+def padding_waste_by_bucket(
+    df: DataFrame,
+    token_col,
+    min_cap: int = 16,
+    max_cap: int = 1 << 20,
+) -> DataFrame:
+    """Padding overhead under length-bucketed batching: one row per
+    power-of-two bucket cap with (bucket_cap, n_docs, total_tokens,
+    total_padding, pad_ppm).
+
+    The batching question this answers: "if sequences are grouped into
+    pow-2 length buckets and padded to the bucket cap (the standard
+    alternative to concat-and-chunk when document boundaries must
+    survive), how many tokens does each bucket burn as padding?" — the
+    planner reads pad_ppm to decide where packing (pack_manifest) beats
+    bucketing. One scan, map-side-combined groupBy of |buckets| rows.
+
+    Determinism: the cap is picked by a chained integer CASE over the
+    pow-2 ladder — no float log2 whose rounding could disagree across
+    engines at an exact boundary — and pad_ppm is exact integer
+    arithmetic (pad * 1e6 DIV capacity), bit-stable by construction.
+    Documents longer than max_cap land in the top bucket with padding
+    clamped at 0 (they'd be chunked upstream, truncation_budget_curve's
+    territory).
+    """
+    tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    caps = []
+    c = min_cap
+    while c < max_cap:
+        caps.append(c)
+        c <<= 1
+    caps.append(max_cap)
+    cap = F.lit(caps[-1])
+    for p in reversed(caps[:-1]):
+        cap = F.when(F.col("t") <= F.lit(p), F.lit(p)).otherwise(cap)
+    b = df.select(tokens.cast("long").alias("t")).select("t", cap.alias("bucket_cap"))
+    pad = F.greatest(F.col("bucket_cap") - F.col("t"), F.lit(0))
+    return (
+        b.groupBy("bucket_cap")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.sum(pad).alias("total_padding"),
+        )
+        .select(
+            F.col("bucket_cap").cast("int").alias("bucket_cap"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("total_padding").cast("long").alias("total_padding"),
+            F.expr(
+                "total_padding * 1000000L div (n_docs * bucket_cap)"
+            ).cast("long").alias("pad_ppm"),
+        )
+        .orderBy("bucket_cap")
+    )

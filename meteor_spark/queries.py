@@ -5297,6 +5297,47 @@ def truncation_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.truncation_budget_curve(tk, "n_tokens")
 
 
+def _padding_bucket_case(min_cap: int = 16, max_cap: int = 1 << 20) -> str:
+    whens, c = [], min_cap
+    while c < max_cap:
+        whens.append(f"WHEN t <= {c} THEN {c}")
+        c <<= 1
+    return "CASE " + " ".join(whens) + f" ELSE {max_cap} END"
+
+
+@query(
+    "packing_padding_waste",
+    f"""
+    WITH tk AS (
+      SELECT CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS t
+      FROM documents),
+    b AS (SELECT t, {_padding_bucket_case()} AS bucket_cap FROM tk)
+    SELECT CAST(bucket_cap AS INTEGER) AS bucket_cap,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(bucket_cap - t, 0)) AS BIGINT) AS total_padding,
+           CAST(CAST(sum(greatest(bucket_cap - t, 0)) AS BIGINT) * 1000000
+                // (count(*) * bucket_cap) AS BIGINT) AS pad_ppm
+    FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+    """,
+)
+def packing_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding overhead per pow-2 length bucket
+    (packing.padding_waste_by_bucket): the bucketed-batching counterpart
+    of sequence_packing's concat-and-chunk — pad_ppm per bucket tells
+    the trainer where bucketing burns enough tokens that packing wins.
+    Integer CASE-ladder bucket pick (no float log2 at pow-2 boundaries)
+    and exact DIV-by-capacity ppm, so the gate is bit-stable by
+    construction; one scan, |buckets|-row shuffle at any corpus size."""
+    from meteor_spark.operators import packing
+
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        text.token_count(text.normalize_text(F.col("text"))).alias("n_tokens")
+    )
+    return packing.padding_waste_by_bucket(tk, "n_tokens")
+
+
 @query(
     "char_entropy_quality",
     f"""

@@ -322,3 +322,30 @@ def test_next_fit_bins_null_tokens_zero_width(spark):
     )
     out = {r["doc_id"]: r for r in next_fit_bins(df, "n_tokens", capacity=512).collect()}
     assert out[2]["n_tokens"] == 0 and out[2]["bin_id"] == out[1]["bin_id"]
+
+
+def test_padding_waste_by_bucket_exact_counts(spark):
+    from meteor_spark.operators.packing import padding_waste_by_bucket
+
+    # caps (min 16): 10->16, 16->16, 17->32, 100->128
+    df = spark.createDataFrame([(10,), (16,), (17,), (100,)], "n_tokens long")
+    out = {r["bucket_cap"]: r for r in padding_waste_by_bucket(df, "n_tokens").collect()}
+    assert sorted(out) == [16, 32, 128]
+    assert out[16]["n_docs"] == 2 and out[16]["total_tokens"] == 26
+    assert out[16]["total_padding"] == 6  # (16-10) + (16-16)
+    assert out[16]["pad_ppm"] == 6 * 1_000_000 // 32
+    assert out[32]["total_padding"] == 15 and out[32]["pad_ppm"] == 15 * 1_000_000 // 32
+    assert out[128]["total_padding"] == 28
+
+
+def test_padding_waste_clamps_over_max_cap(spark):
+    from meteor_spark.operators.packing import padding_waste_by_bucket
+
+    df = spark.createDataFrame([(5,), (300,)], "n_tokens long")
+    out = {
+        r["bucket_cap"]: r
+        for r in padding_waste_by_bucket(df, "n_tokens", min_cap=8, max_cap=64).collect()
+    }
+    # 300 > max_cap: lands in the top bucket, padding clamped at 0
+    assert out[64]["total_padding"] == 0 and out[64]["total_tokens"] == 300
+    assert out[8]["total_padding"] == 3
