@@ -1205,6 +1205,10 @@ def dim_truncation_recall(
         .filter(F.col("rank") <= k)
         .select("trunc_dim", "query_id", F.col("neighbor_id").alias("hit_id"))
     )
+    # both join sides are |queries|·k·|dims| rows — broadcast the hits
+    # (the right side of the left join; only the non-preserved side can
+    # be broadcast) so the tiny reconciliation never plans a sort-merge
+    hits = F.broadcast(hits)
     fanned_truth = full.select("query_id", "neighbor_id", dimfan)
     joined = fanned_truth.join(
         hits,
