@@ -1912,6 +1912,45 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_oracle_sql(n_merges: int = 20) -> str:
+    """Per-language readout over the encode chain: fertility =
+    subwords per word (ppm, exact integer DIV) by document language."""
+    tail = f""",
+wsub AS MATERIALIZED (
+  SELECT wid, CAST(count(*) AS BIGINT) AS n_sub FROM tok{n_merges} GROUP BY wid),
+docw AS (
+  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS wid FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords,
+       CAST(CAST(sum(coalesce(n_sub, 0)) AS BIGINT) * 1000000
+            // count(*) AS BIGINT) AS fertility_ppm
+FROM docw LEFT JOIN wsub USING (wid)
+GROUP BY lang ORDER BY lang"""
+    return _bpe_cte_chain(n_merges) + tail
+
+
+@query("bpe_fertility_by_lang", _bpe_fertility_oracle_sql())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language (subwords per word, exact ppm):
+    the standard multilingual-vocab health metric — a language whose
+    fertility runs hot is being over-fragmented by the merge table and
+    needs vocab budget. Same corpus-scale shape as bpe_encode_stats
+    (Python touches only distinct word types; the per-language step is
+    the broadcast subword-count join + one groupBy); the oracle reads
+    the trainer chain's final token table per language."""
+    from meteor_spark.operators.bpe import encode_token_counts, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    rules, _ = train_bpe(docs, n_merges=20)
+    per_lang = encode_token_counts(docs, rules, id_col="lang")
+    return per_lang.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        F.expr("n_subwords * 1000000L div n_words").cast("long").alias("fertility_ppm"),
+    ).orderBy("lang")
+
+
 @query("bpe_encode_stats", _bpe_encode_oracle_sql())
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer APPLY pass (operators.bpe.encode_token_counts):

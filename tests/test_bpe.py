@@ -91,3 +91,14 @@ def test_encode_rank_priority_equals_rank_order_exhaustive(spark, sf_dir):
         for _, a, b, _m, _c in rules:
             toks = _merge_word(toks, a, b)
         assert tuple(encode_word(row["word"], ranks)) == toks, row["word"]
+
+
+def test_encode_token_counts_custom_id_col_groups_per_key(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb", "en", "s"), (1, "aa", "en", "s"), (2, "cc", "de", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rules, _ = train_bpe(docs, n_merges=2)
+    out = {r["lang"]: r for r in encode_token_counts(docs, rules, id_col="lang").collect()}
+    assert out["en"]["n_words"] == 3 and out["de"]["n_words"] == 1
+    assert out["de"]["n_subwords"] >= 1
