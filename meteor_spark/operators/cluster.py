@@ -128,3 +128,37 @@ def cluster_survivors(
     """
     cc = connected_components(pairs, src, dst)
     return survivors_from_labels(df, cc, id_col)
+
+
+def best_survivors_from_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup cluster keep the
+    HIGHEST-scoring member (ties to the lowest id) instead of the
+    min-id one — the production policy when near-dups differ in quality
+    (keep the longest / best-scored page, drop its truncated mirrors).
+
+    Scale shape: the ranking window runs over the LABELS table only
+    (clustered docs << corpus), joined to just the (id, score) columns;
+    the corpus-sized step stays the same left_anti join against the
+    loser id set that min-id selection uses. No corpus-wide window, no
+    corpus shuffle.
+    """
+    scored = labels.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
+        "node",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col("node")
+    )
+    losers = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

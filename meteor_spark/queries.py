@@ -2249,6 +2249,44 @@ def near_dup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors_from_labels(docs, labels).select("doc_id")
 
 
+_BEST_SURVIVOR_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
+reach(node, r) AS (
+  SELECT s AS node, s AS r FROM e2
+  UNION
+  SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
+),
+cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+ranked AS (
+  SELECT cc.node,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, cc.node) AS rk
+  FROM cc JOIN documents d ON d.doc_id = cc.node)
+SELECT d.doc_id FROM documents d
+LEFT JOIN (SELECT node FROM ranked WHERE rk > 1) l ON l.node = d.doc_id
+WHERE l.node IS NULL
+"""
+
+
+@query("near_dup_best_survivors", _BEST_SURVIVOR_ORACLE)
+def near_dup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup (cluster.best_survivors_from_labels):
+    per near-dup cluster keep the LONGEST member (n_chars, ties to the
+    lowest id) instead of the min-id one — the production policy when
+    near-dups differ in quality (keep the full page, drop its truncated
+    mirrors). The ranking window runs over the labels table only
+    (clustered docs << corpus); the corpus-sized step is the same
+    AQE-broadcast left_anti as min-id selection. Shares the session's
+    persisted cluster labels with the other near-dup gates."""
+    from meteor_spark.operators.cluster import best_survivors_from_labels
+
+    docs = _docs(spark, sf_dir)
+    labels = _cluster_labels(spark, sf_dir)
+    return best_survivors_from_labels(docs, labels, "n_chars").select("doc_id")
+
+
 _SIMHASH_ORACLE = f"""
 WITH w AS (
   SELECT DISTINCT doc_id, w

@@ -46,3 +46,43 @@ def test_connected_components_string_ids(spark):
         ).collect()
     }
     assert set(out.values()) == {"a"}  # one component, min-id representative
+
+
+def test_best_survivors_prefer_high_score_then_low_id(spark):
+    from meteor_spark.operators.cluster import (
+        best_survivors_from_labels,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 5), (9, 1)],
+        "doc_id long, n_chars long",
+    )
+    # cluster {1,2,3}: best score 99 held by 2 and 3 -> tie to id 2
+    # cluster {4,9}: 4 wins on score despite 9 being... (9 scores 1)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 9)], "a long, b long")
+    labels = connected_components(pairs)
+    out = sorted(
+        r["doc_id"]
+        for r in best_survivors_from_labels(docs, labels, "n_chars").collect()
+    )
+    assert out == [2, 4]
+
+
+def test_best_survivors_keep_unclustered_rows(spark):
+    from meteor_spark.operators.cluster import (
+        best_survivors_from_labels,
+        connected_components,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 1), (2, 2), (7, 0)], "doc_id long, n_chars long"
+    )
+    labels = connected_components(
+        spark.createDataFrame([(1, 2)], "a long, b long")
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in best_survivors_from_labels(docs, labels, "n_chars").collect()
+    )
+    assert out == [2, 7]  # 7 untouched by any edge survives untouched
