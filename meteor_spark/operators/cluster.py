@@ -147,7 +147,7 @@ def best_survivors_from_labels(
     loser id set that min-id selection uses. No corpus-wide window, no
     corpus shuffle.
     """
-    scored = labels.join(
+    scored = F.broadcast(labels).join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
         "node",
     )
