@@ -1869,6 +1869,21 @@ GROUP BY doc_id"""
     return _bpe_cte_chain(n_merges) + tail
 
 
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
+    """Session-shared 20-merge rule table: training is deterministic
+    (count desc, pair lexicographic ties), so the trainer, encoder, and
+    fertility gates reuse ONE training pass per (session, sf_dir) — the
+    same _SHARED discipline as the LSH pair state."""
+    from meteor_spark.operators.bpe import train_bpe
+
+    return _shared(
+        spark,
+        sf_dir,
+        "bpe_rules20",
+        lambda: train_bpe(_docs(spark, sf_dir), n_merges=20)[0],
+    )
+
+
 @query("bpe_merge_rules", _bpe_oracle_sql())
 def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training on the corpus (operators.bpe.train_bpe):
@@ -1878,10 +1893,9 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     with their weighted pair counts. Upgraded from rows-only in round
     4: _bpe_oracle_sql replays the whole training loop, so the gate has
     full value equality."""
-    from meteor_spark.operators.bpe import merge_rules_frame, train_bpe
+    from meteor_spark.operators.bpe import merge_rules_frame
 
-    rules, _ = train_bpe(_docs(spark, sf_dir), n_merges=20)
-    return merge_rules_frame(spark, rules)
+    return merge_rules_frame(spark, _bpe_rules(spark, sf_dir))
 
 
 @query(
@@ -1938,11 +1952,10 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Python touches only distinct word types; the per-language step is
     the broadcast subword-count join + one groupBy); the oracle reads
     the trainer chain's final token table per language."""
-    from meteor_spark.operators.bpe import encode_token_counts, train_bpe
+    from meteor_spark.operators.bpe import encode_token_counts
 
     docs = _docs(spark, sf_dir)
-    rules, _ = train_bpe(docs, n_merges=20)
-    per_lang = encode_token_counts(docs, rules, id_col="lang")
+    per_lang = encode_token_counts(docs, _bpe_rules(spark, sf_dir), id_col="lang")
     return per_lang.select(
         "lang",
         "n_words",
@@ -1963,11 +1976,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table IS the encoded vocabulary (rank-order exhaustive application
     equals priority-by-rank encoding — a merge can only create tokens
     used by later-ranked rules), joined back onto the documents."""
-    from meteor_spark.operators.bpe import encode_token_counts, train_bpe
+    from meteor_spark.operators.bpe import encode_token_counts
 
     docs = _docs(spark, sf_dir)
-    rules, _ = train_bpe(docs, n_merges=20)
-    return encode_token_counts(docs, rules)
+    return encode_token_counts(docs, _bpe_rules(spark, sf_dir))
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
