@@ -215,3 +215,26 @@ def test_compaction_on_seed_only_store(spark, sf_dir, tmp_path):
     rep = compact_neardup_store(spark, store)
     assert rep["bands"]["rows"][0] == rep["bands"]["rows"][1] == 200
     assert rep["shingles"]["rows"][0] == rep["shingles"]["rows"][1] == 50
+
+
+def test_round5_wave_on_empty(spark, empty_docs, empty_vecs):
+    from meteor_spark.operators.cluster import best_survivors_from_labels
+    from meteor_spark.operators.packing import padding_waste_by_bucket
+    from meteor_spark.operators.similarity import dim_truncation_recall
+
+    empty_tok = spark.createDataFrame([], "n_tokens long")
+    assert padding_waste_by_bucket(empty_tok, "n_tokens").count() == 0
+    # zero queries and zero corpus: no pairs, no rows, no throw
+    assert dim_truncation_recall(empty_vecs, empty_vecs, dims=(2, 4), k=3).count() == 0
+    # empty labels: every doc survives untouched
+    docs = spark.createDataFrame([(1, 5), (2, 6)], "doc_id long, n_chars long")
+    empty_labels = spark.createDataFrame([], "node long, cluster_id long")
+    out = sorted(
+        r["doc_id"]
+        for r in best_survivors_from_labels(docs, empty_labels, "n_chars").collect()
+    )
+    assert out == [1, 2]
+    # empty corpus + real labels: nothing to keep, nothing to throw
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, cluster_id long")
+    empty_scored = spark.createDataFrame([], "doc_id long, n_chars long")
+    assert best_survivors_from_labels(empty_scored, labels, "n_chars").count() == 0
