@@ -118,26 +118,37 @@ def encode_word(word: str, ranks: dict) -> list:
     return toks
 
 
-def encode_token_counts(
-    df: DataFrame,
-    rules: list,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Per-document subword token counts under a trained merge table:
-    (id, n_words, n_subwords). Python touches only DISTINCT word types
-    (Arrow-batched); the corpus-sized step is a broadcast join."""
+def word_subword_counts(df: DataFrame, rules: list, text_col: str = "text") -> DataFrame:
+    """(word, n_sub) over the corpus's DISTINCT word types — the one
+    Python (Arrow-batched) stage of encoding. Build once and share it
+    across every encode consumer: it depends only on (corpus, rules)."""
     ranks = {(r[1], r[2]): r[0] for r in rules}
 
     @F.pandas_udf("int")
     def n_subwords(ws: pd.Series) -> pd.Series:
         return ws.map(lambda w: len(encode_word(w, ranks)))
 
-    word_tok = (
+    return (
         df.select(F.explode(words(normalize_text(F.col(text_col)))).alias("word"))
         .distinct()
         .select("word", n_subwords(F.col("word")).alias("n_sub"))
     )
+
+
+def encode_token_counts(
+    df: DataFrame,
+    rules: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_tok: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document subword token counts under a trained merge table:
+    (id, n_words, n_subwords). Python touches only DISTINCT word types
+    (Arrow-batched); the corpus-sized step is a broadcast join. Pass a
+    prebuilt `word_tok` (word_subword_counts) to share the Python stage
+    across consumers."""
+    if word_tok is None:
+        word_tok = word_subword_counts(df, rules, text_col=text_col)
     tok = df.select(
         F.col(id_col), F.explode(words(normalize_text(F.col(text_col)))).alias("word")
     )

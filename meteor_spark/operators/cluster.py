@@ -147,7 +147,11 @@ def best_survivors_from_labels(
     loser id set that min-id selection uses. No corpus-wide window, no
     corpus shuffle.
     """
-    scored = F.broadcast(labels).join(
+    # labels are usually tiny relative to the corpus, but a dup-heavy
+    # crawl can make them corpus-sized — leave broadcasting to AQE's
+    # runtime size check (the same discipline as the min-id path's
+    # anti-join) instead of an unconditional hint that would OOM there
+    scored = labels.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_score")),
         "node",
     )

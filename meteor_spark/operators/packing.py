@@ -204,11 +204,15 @@ def padding_waste_by_bucket(
     Determinism: the cap is picked by a chained integer CASE over the
     pow-2 ladder — no float log2 whose rounding could disagree across
     engines at an exact boundary — and pad_ppm is exact integer
-    arithmetic (pad * 1e6 DIV capacity), bit-stable by construction.
+    arithmetic (functions.exactmath.ppm_expr: the overflow-free
+    expansion of pad * 1e6 DIV capacity — the naive multiply leaves
+    int64 at a few tens of TB of padding), bit-stable by construction.
     Documents longer than max_cap land in the top bucket with padding
     clamped at 0 (they'd be chunked upstream, truncation_budget_curve's
     territory).
     """
+    from meteor_spark.functions.exactmath import ppm_expr
+
     tokens = F.col(token_col) if isinstance(token_col, str) else token_col
     caps = []
     c = min_cap
@@ -233,9 +237,9 @@ def padding_waste_by_bucket(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("total_tokens").cast("long").alias("total_tokens"),
             F.col("total_padding").cast("long").alias("total_padding"),
-            F.expr(
-                "total_padding * 1000000L div (n_docs * bucket_cap)"
-            ).cast("long").alias("pad_ppm"),
+            F.expr(ppm_expr("total_padding", "n_docs * bucket_cap", "div"))
+            .cast("long")
+            .alias("pad_ppm"),
         )
         .orderBy("bucket_cap")
     )

@@ -1160,8 +1160,35 @@ def dim_truncation_recall(
     pruning. recall_ppm is exact integer arithmetic (hits * 1e6 DIV
     pairs) — bit-stable by construction.
     """
-    full = brute_force_topk(corpus, queries, vec_col, id_col, k, round_to).select(
-        "query_id", "neighbor_id"
+    # full-width ground truth through the SAME zero-norm guard as the
+    # truncated arms (cos = 0 for a zero-norm vector): an all-zero
+    # embedding would otherwise crash ANSI mode (0.0/0.0) or rank FIRST
+    # everywhere via NaN (NaN sorts greatest in Spark), while the
+    # DuckDB oracle's guarded full-width arm ranks it orthogonal
+    fq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("fqv"),
+    ).withColumn("fqn", norm(F.col("fqv")))
+    fc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("fcv"),
+    ).withColumn("fcn", norm(F.col("fcv")))
+    fdenom = F.col("fqn") * F.col("fcn")
+    fscored = fc.join(F.broadcast(fq), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(fdenom == 0, F.lit(0.0)).otherwise(
+                dot(F.col("fqv"), F.col("fcv")) / fdenom
+            ),
+            round_to,
+        ).alias("cos"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    full = (
+        fscored.withColumn("rank", F.row_number().over(fw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
     )
     dimfan = F.explode(F.array(*[F.lit(d) for d in dims])).alias("trunc_dim")
     q = (

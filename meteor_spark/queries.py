@@ -1848,25 +1848,41 @@ def _bpe_oracle_sql(n_merges: int = 20) -> str:
     return _bpe_cte_chain(n_merges) + tail
 
 
-def _bpe_encode_oracle_sql(n_merges: int = 20) -> str:
-    """Encoder readout over _bpe_cte_chain: tok{n} IS every word type
-    encoded under the trained merges (train-time vocab update and
+def _bpe_subword_tail(group_col: str, n_merges: int, with_ppm: bool) -> str:
+    """Shared encoder readout over _bpe_cte_chain: tok{n} IS every word
+    type encoded under the trained merges (train-time vocab update and
     encode-by-rank agree because a merge of rank r only ever creates
     tokens that participate in rules of rank > r — pinned by
-    tests/test_bpe.py), so per-doc subword counts are a word join away.
-    LEFT JOIN + coalesce keeps any zero-length word type (absent from
-    tok0 by construction) counted as 0 subwords, matching encode_word's
-    empty tokenization."""
-    tail = f""",
+    tests/test_bpe.py), so per-group subword counts are a word join
+    away. LEFT JOIN + coalesce keeps any zero-length word type (absent
+    from tok0 by construction) counted as 0 subwords, matching
+    encode_word's empty tokenization. Parameterized on the grouping
+    column (doc_id for the encode gate, lang for fertility) and the
+    optional exact-ppm ratio."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    ppm = (
+        f",\n       CAST({ppm_expr('n_subwords', 'n_words', '//')} AS BIGINT)"
+        " AS fertility_ppm"
+        if with_ppm
+        else ""
+    )
+    return f""",
 wsub AS MATERIALIZED (
   SELECT wid, CAST(count(*) AS BIGINT) AS n_sub FROM tok{n_merges} GROUP BY wid),
 docw AS (
-  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS wid FROM documents)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords
-FROM docw LEFT JOIN wsub USING (wid)
-GROUP BY doc_id"""
-    return _bpe_cte_chain(n_merges) + tail
+  SELECT {group_col}, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS wid FROM documents)
+SELECT {group_col}, n_words, n_subwords{ppm}
+FROM (
+  SELECT {group_col}, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords
+  FROM docw LEFT JOIN wsub USING (wid)
+  GROUP BY {group_col})
+ORDER BY {group_col}"""
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 20) -> str:
+    return _bpe_cte_chain(n_merges) + _bpe_subword_tail("doc_id", n_merges, False)
 
 
 def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
@@ -1881,6 +1897,23 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list:
         sf_dir,
         "bpe_rules20",
         lambda: train_bpe(_docs(spark, sf_dir), n_merges=20)[0],
+    )
+
+
+def _bpe_word_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared (word, n_sub) frame — the Arrow-batched encode of
+    every DISTINCT word type under the shared rules. Both encode-family
+    gates broadcast-join it; building it once halves the Python stage,
+    the dominant marginal cost per SCALING.md."""
+    from meteor_spark.operators.bpe import word_subword_counts
+
+    return _shared(
+        spark,
+        sf_dir,
+        "bpe_word_tok20",
+        lambda: word_subword_counts(
+            _docs(spark, sf_dir), _bpe_rules(spark, sf_dir)
+        ).persist(),
     )
 
 
@@ -1928,19 +1961,8 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_fertility_oracle_sql(n_merges: int = 20) -> str:
     """Per-language readout over the encode chain: fertility =
-    subwords per word (ppm, exact integer DIV) by document language."""
-    tail = f""",
-wsub AS MATERIALIZED (
-  SELECT wid, CAST(count(*) AS BIGINT) AS n_sub FROM tok{n_merges} GROUP BY wid),
-docw AS (
-  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS wid FROM documents)
-SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(coalesce(n_sub, 0)) AS BIGINT) AS n_subwords,
-       CAST(CAST(sum(coalesce(n_sub, 0)) AS BIGINT) * 1000000
-            // count(*) AS BIGINT) AS fertility_ppm
-FROM docw LEFT JOIN wsub USING (wid)
-GROUP BY lang ORDER BY lang"""
-    return _bpe_cte_chain(n_merges) + tail
+    subwords per word (exact overflow-free ppm) by document language."""
+    return _bpe_cte_chain(n_merges) + _bpe_subword_tail("lang", n_merges, True)
 
 
 @query("bpe_fertility_by_lang", _bpe_fertility_oracle_sql())
@@ -1955,12 +1977,18 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.bpe import encode_token_counts
 
     docs = _docs(spark, sf_dir)
-    per_lang = encode_token_counts(docs, _bpe_rules(spark, sf_dir), id_col="lang")
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    per_lang = encode_token_counts(
+        docs, _bpe_rules(spark, sf_dir), id_col="lang", word_tok=_bpe_word_tok(spark, sf_dir)
+    )
     return per_lang.select(
         "lang",
         "n_words",
         "n_subwords",
-        F.expr("n_subwords * 1000000L div n_words").cast("long").alias("fertility_ppm"),
+        F.expr(ppm_expr("n_subwords", "n_words", "div"))
+        .cast("long")
+        .alias("fertility_ppm"),
     ).orderBy("lang")
 
 
@@ -1979,7 +2007,9 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.bpe import encode_token_counts
 
     docs = _docs(spark, sf_dir)
-    return encode_token_counts(docs, _bpe_rules(spark, sf_dir))
+    return encode_token_counts(
+        docs, _bpe_rules(spark, sf_dir), word_tok=_bpe_word_tok(spark, sf_dir)
+    )
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 4, round_to: int = 6) -> str:
@@ -2209,16 +2239,19 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup clustering: transitive closure of the verified minhash pairs.
 # The fixpoint (min component id per node) is unique, so the DuckDB
 # recursive-CTE closure and Spark's iterative label propagation must agree
-# exactly.
-_CLUSTER_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CTES},
+# exactly. ONE copy of the closure CTEs (like _MINHASH_CTES) feeds the
+# cluster report and both survivor policies — edit it here only.
+_CC_CTES = f"""{_MINHASH_CTES},
 good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
 e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
 reach(node, r) AS (
   SELECT s AS node, s AS r FROM e2
   UNION
   SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
-)
+)"""
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_CC_CTES}
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -2233,14 +2266,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_SURVIVOR_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CTES},
-good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
-e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
-reach(node, r) AS (
-  SELECT s AS node, s AS r FROM e2
-  UNION
-  SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
-),
+WITH RECURSIVE {_CC_CTES},
 cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
 SELECT d.doc_id FROM documents d
 LEFT JOIN cc ON cc.node = d.doc_id AND cc.cluster_id <> cc.node
@@ -2262,14 +2288,7 @@ def near_dup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BEST_SURVIVOR_ORACLE = f"""
-WITH RECURSIVE {_MINHASH_CTES},
-good AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
-e2 AS (SELECT a AS s, b AS d FROM good UNION SELECT b AS s, a AS d FROM good),
-reach(node, r) AS (
-  SELECT s AS node, s AS r FROM e2
-  UNION
-  SELECT reach.node, e2.d FROM reach JOIN e2 ON reach.r = e2.s
-),
+WITH RECURSIVE {_CC_CTES},
 cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
 ranked AS (
   SELECT cc.node,
@@ -5394,20 +5413,28 @@ def _padding_bucket_case(min_cap: int = 16, max_cap: int = 1 << 20) -> str:
     return "CASE " + " ".join(whens) + f" ELSE {max_cap} END"
 
 
+from meteor_spark.functions.exactmath import ppm_expr as _ppm_expr  # noqa: E402
+
+_PAD_PPM = _ppm_expr("total_padding", "n_docs * bucket_cap", "//")
+
+
 @query(
     "packing_padding_waste",
     f"""
     WITH tk AS (
       SELECT CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS t
       FROM documents),
-    b AS (SELECT t, {_padding_bucket_case()} AS bucket_cap FROM tk)
-    SELECT CAST(bucket_cap AS INTEGER) AS bucket_cap,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(t) AS BIGINT) AS total_tokens,
-           CAST(sum(greatest(bucket_cap - t, 0)) AS BIGINT) AS total_padding,
-           CAST(CAST(sum(greatest(bucket_cap - t, 0)) AS BIGINT) * 1000000
-                // (count(*) * bucket_cap) AS BIGINT) AS pad_ppm
-    FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+    b AS (SELECT t, {_padding_bucket_case()} AS bucket_cap FROM tk),
+    agg AS (
+      SELECT bucket_cap,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t) AS BIGINT) AS total_tokens,
+             CAST(sum(greatest(bucket_cap - t, 0)) AS BIGINT) AS total_padding
+      FROM b GROUP BY bucket_cap)
+    SELECT CAST(bucket_cap AS INTEGER) AS bucket_cap, n_docs, total_tokens,
+           total_padding,
+           CAST({_PAD_PPM} AS BIGINT) AS pad_ppm
+    FROM agg ORDER BY bucket_cap
     """,
 )
 def packing_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -217,7 +217,7 @@ def test_compaction_on_seed_only_store(spark, sf_dir, tmp_path):
     assert rep["shingles"]["rows"][0] == rep["shingles"]["rows"][1] == 50
 
 
-def test_round5_wave_on_empty(spark, empty_docs, empty_vecs):
+def test_round5_wave_on_empty(spark, empty_vecs):
     from meteor_spark.operators.cluster import best_survivors_from_labels
     from meteor_spark.operators.packing import padding_waste_by_bucket
     from meteor_spark.operators.similarity import dim_truncation_recall
