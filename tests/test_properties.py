@@ -184,3 +184,27 @@ def test_bpe_merge_preserves_concatenation(toks, pair):
             # allowed only when the a came from an overlap skip (a == b
             # run of odd length) — re-merging must then make progress
             assert a == b or _merge_word(out, a, b) != out
+
+
+def _py_ppm(expr_builder, x, n):
+    """Evaluate ppm_expr's expansion with Python ints standing in for
+    int64 (asserting no intermediate leaves the int64 range)."""
+    q, r = divmod(x, n)
+    terms = [q * 1_000_000, (r * 1000 // n) * 1000, ((r * 1000) % n) * 1000 // n]
+    for t in (q * 1_000_000, r * 1000, ((r * 1000) % n) * 1000):
+        assert -(2**63) <= t < 2**63, "intermediate leaves int64"
+    return sum(terms)
+
+
+@given(st.integers(min_value=1, max_value=9_200_000_000_000_000), st.data())
+@settings(max_examples=300, deadline=None)
+def test_ppm_expr_identity_and_int64_bounds(n, data):
+    # quotient bound: ratio metrics bound x/n by construction (padding
+    # per doc <= bucket_cap, subwords per word <= word length)
+    x = data.draw(st.integers(min_value=0, max_value=min(n * (2**20), 2**63 - 1)))
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    assert _py_ppm(ppm_expr, x, n) == (x * 1_000_000) // n
+    # and the generated SQL references each operand verbatim
+    s = ppm_expr("x_col", "n_col", "div")
+    assert "x_col" in s and "n_col" in s and " div " in s
