@@ -35,11 +35,12 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 174 entries, 170 with exact DuckDB oracles (r5 adds
-                 neardup_store_compaction — band-store maintenance:
-                 at-least-once duplicate-append dedup + prefix-
-                 partitioned rewrite with partition-pruned batch
-                 joins).
+                 179 entries, 175 with exact DuckDB oracles as of the
+                 r5 record (CORRECTNESS_r01-r05 union: every gate
+                 sampled at least once, all oracle-bearing gates green
+                 at latest status; the 4 rows-only gates wrap
+                 engine-internal approximate state and each names its
+                 exact-gated twin).
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
                  KMeans init, HLL registers, APPROX_* sketches) are
@@ -77,75 +78,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-sampling priority (the harness samples a prefix of registration
 # order). Three tiers:
-#   1. _FAILED_LATEST — red at their most recent driver check (r4: the
-#      six hash-only reds; root cause found r5 — every one of the six,
-#      and only those six, published a DuckDB HUGEINT column, which
-#      renders as float64 via pandas/arrow fetch while Spark publishes
-#      bigint; fixed with CAST(..AS BIGINT) in all six oracles and a
-#      fetch-path-safe type gate in tools/check_parity.py). Sort FIRST
-#      so CORRECTNESS_r05 records the green.
-#   2. never-checked — no driver row yet in any round.
-#   3. _CHECKED_GREEN — green at latest driver status; re-sampled last.
+#   1. _FAILED_LATEST — red at their most recent driver check. Empty as
+#      of the r5 record: the six r4 hash-only reds went green after the
+#      HUGEINT->float64 pandas-fetch root cause was fixed (CAST(..AS
+#      BIGINT) in the oracles + the type gate in tools/check_parity.py).
+#   2. never-checked — no driver row yet in any round; new gates land
+#      here and therefore sort AHEAD of re-samples automatically.
+#   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
+#      r05 union: all 179 gates, incl. the 4 rows-only ones, which have
+#      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
-_FAILED_LATEST = {
-    "corpus_tfidf_terms", "embedding_kmeans_profile",
-    "event_value_drift_psi", "events_portable_hll_rollup",
-    "q12_late_priority_counts", "sequence_packing",
-}
+# Post-round hygiene (documented process): refresh these sets from the
+# new CORRECTNESS_r{N}.json before adding round-{N+1} gates.
+_FAILED_LATEST: set[str] = set()
 
 _CHECKED_GREEN = {
-    "ann_cosine_topk", "audio_silence_segments", "benchmark_contamination",
-    "bm25_search_topk", "bpe_merge_rules", "bpe_token_stats",
+    "ann_cosine_topk", "ann_recall_report", "audio_silence_segments",
+    "benchmark_contamination", "bm25_search_topk", "bpe_encode_stats",
+    "bpe_fertility_by_lang", "bpe_merge_rules", "bpe_token_stats",
     "building_segment_small_spenders", "catalog_assets",
     "catalog_snapshot_diff", "cdc_shared_chunks", "char_entropy_quality",
     "click_purchase_funnel", "corpus_holdout_split", "corpus_pmi_bigrams",
-    "corpus_top_bigrams", "corpus_word_heavy_hitters", "corpus_zipf_fit",
-    "curation_pipeline", "customer_balance_quartiles",
+    "corpus_tfidf_terms", "corpus_top_bigrams", "corpus_word_heavy_hitters",
+    "corpus_zipf_fit", "curation_pipeline", "customer_balance_quartiles",
     "customer_order_set_ops", "customers_without_orders",
-    "dedup_exact_survivors", "doc_bigram_perplexity",
-    "doc_containment_pairs", "doc_novelty_scores", "doc_repetition_quality",
-    "doc_similarity_topk", "document_chunks", "dsir_importance_weights",
-    "duplicated_span_report", "embedding_label_stats",
-    "embedding_near_dup_pairs", "enrich_catalog", "event_join_pairs",
-    "event_key_skew_report", "event_transition_matrix",
-    "event_type_count_min", "event_value_outliers",
-    "event_value_percentiles", "event_value_quantile_sketch_rollup",
-    "events_asof_purchase", "events_hourly_rollup", "events_multi_rollup",
-    "events_session_windows", "events_trailing_window", "events_usage",
-    "events_usage_salted", "exact_dup_groups", "gopher_quality_gate",
-    "hot_passage_scrub", "hybrid_search_rrf", "incremental_dedup",
-    "ivf_ann_topk", "kcenter_coreset", "latest_event_per_user",
-    "lineitem_measure_unpivot", "lineitem_price_histogram",
+    "dedup_exact_survivors", "dedup_rate_by_source",
+    "doc_bigram_perplexity", "doc_containment_pairs", "doc_novelty_scores",
+    "doc_repetition_quality", "doc_similarity_topk", "document_chunks",
+    "dsir_importance_weights", "duplicated_span_report",
+    "embedding_kmeans_profile", "embedding_label_stats",
+    "embedding_near_dup_pairs", "enrich_catalog", "event_hourly_autocorr",
+    "event_join_pairs", "event_key_skew_report",
+    "event_seasonality_residuals", "event_transition_entropy",
+    "event_transition_matrix", "event_type_count_min",
+    "event_type_lift_matrix", "event_value_drift_psi",
+    "event_value_outliers", "event_value_percentiles",
+    "event_value_quantile_sketch_rollup", "event_value_winsorized_stats",
+    "events_asof_purchase", "events_distinct_sketch_rollup",
+    "events_hourly_rollup", "events_multi_rollup",
+    "events_portable_hll_rollup", "events_session_windows",
+    "events_trailing_window", "events_usage", "events_usage_salted",
+    "exact_dup_groups", "gopher_quality_gate", "hot_passage_scrub",
+    "hybrid_search_rrf", "image_ahash_pairs", "incremental_dedup",
+    "ivf_ann_topk", "ivf_kmeans_ann_topk", "join_cardinality_estimate",
+    "kcenter_coreset", "label_centroid_similarity",
+    "language_confidence_report", "latest_event_per_user",
+    "lineitem_footer_stats", "lineitem_measure_unpivot",
+    "lineitem_numeric_correlations", "lineitem_price_histogram",
+    "lineitem_weighted_median_price", "lineitem_weighted_percentiles",
+    "matryoshka_recall_curve", "minhash_eval_report",
     "minhash_near_duplicates", "multimodal_features",
-    "multimodal_resize_dims", "near_dup_cluster_survivors",
-    "near_dup_clusters", "next_fit_bin_packing", "ngram_jaccard_pairs",
-    "order_price_percentile_ranks", "order_priority_late_ships",
-    "orders_priority_status_pivot", "orders_rollup", "orders_running_total",
-    "orders_with_returns", "passage_dedup_survivors", "pq_ann_topk",
-    "prefix_filter_jaccard_pairs", "preview_lineitem", "profile_lineitem",
-    "profile_orders", "props_json_agg", "props_variant_agg",
-    "purchase_click_attribution", "q10_returned_items",
-    "q11_part_value_share", "q13_customer_distribution",
+    "multimodal_resize_dims", "nation_functional_dependencies",
+    "near_dup_best_survivors", "near_dup_cluster_survivors",
+    "near_dup_clusters", "neardup_store_compaction", "next_fit_bin_packing",
+    "ngram_jaccard_pairs", "order_price_percentile_ranks",
+    "order_priority_late_ships", "orders_priority_status_pivot",
+    "orders_rollup", "orders_running_total", "orders_with_returns",
+    "packing_padding_waste", "passage_dedup_survivors", "pq_ann_topk",
+    "pq_kmeans_ann_topk", "prefix_filter_jaccard_pairs", "preview_lineitem",
+    "profile_lineitem", "profile_lineitem_approx", "profile_orders",
+    "props_json_agg", "props_variant_agg", "purchase_click_attribution",
+    "q10_returned_items", "q11_part_value_share",
+    "q12_late_priority_counts", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_part_supplier_counts",
     "q18_large_volume_customers", "q19_bracket_revenue",
     "q1_pricing_summary", "q20_heavy_part_suppliers",
     "q21_sole_late_supplier", "q22_dormant_customers",
     "q2_min_cost_supplier", "q3_top_orders", "q5_nation_revenue",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "row_counts", "scrub_documents",
-    "semantic_dedup_pairs", "semantic_dedup_survivors", "simhash_docs",
-    "simhash_hamming_pairs", "small_quantity_part_revenue",
-    "source_diversity_metrics", "source_lexical_kl", "source_mix_weights",
-    "source_overlap_matrix", "source_quota_cap", "sql_api_revenue",
-    "sql_condition_mining", "srp_ann_topk", "stratified_sample",
-    "streaming_click_attribution", "streaming_hourly_rollup",
-    "streaming_incremental_dedup", "streaming_incremental_neardup",
-    "streaming_quantile_rollup", "streaming_segment_counts",
-    "streaming_word_heavy_hitters", "temperature_mix_weights",
-    "text_analysis", "top_customers", "top_docs_per_lang",
-    "training_order_interleave", "truncation_budget_curve",
-    "user_event_grants", "user_retention_cohorts", "user_sessions",
-    "video_frame_sample", "weighted_sample_docs", "winnowing_fingerprints",
+    "q9_product_profit", "referential_integrity_report",
+    "retrieval_rank_agreement", "row_counts", "scrub_documents",
+    "semantic_dedup_pairs", "semantic_dedup_survivors", "sequence_packing",
+    "simhash_docs", "simhash_hamming_pairs", "small_quantity_part_revenue",
+    "sorted_neighborhood_pairs", "source_diversity_metrics",
+    "source_lexical_kl", "source_mix_weights", "source_overlap_matrix",
+    "source_quota_cap", "source_token_gini", "split_balance_chi2",
+    "split_leakage_report", "sql_api_revenue", "sql_condition_mining",
+    "srp_ann_topk", "stratified_sample", "streaming_click_attribution",
+    "streaming_hourly_rollup", "streaming_incremental_dedup",
+    "streaming_incremental_neardup", "streaming_quantile_rollup",
+    "streaming_segment_counts", "streaming_word_heavy_hitters",
+    "temperature_mix_weights", "text_analysis", "top_customers",
+    "top_docs_per_lang", "training_order_interleave",
+    "truncation_budget_curve", "user_activity_gini", "user_event_grants",
+    "user_path_trigrams", "user_retention_cohorts", "user_sessions",
+    "video_frame_sample", "video_scene_segments", "vocab_coverage_curve",
+    "weighted_sample_docs", "winnowing_fingerprints",
     "workload_graph_triangles", "workload_lineage_closure",
     "workload_table_pagerank",
 }

@@ -323,7 +323,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_hamming_pairs(
-    sh: DataFrame, threshold: int = 1, bits: int = 32, id_col: str = "doc_id"
+    sh: DataFrame,
+    threshold: int = 1,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    drop_degenerate: bool = True,
 ) -> DataFrame:
     """All pairs within hamming distance `threshold` of each other's
     simhash — EXACT, via pigeonhole blocking (Charikar-style): split the
@@ -332,46 +336,86 @@ def simhash_hamming_pairs(
     O(n^2) self-join becomes threshold+1 equi-joins on (chunk_id,
     chunk_value) + a verification of the candidates. No recall loss.
 
-    At 100 TB the bucket join shuffles n*(t+1) small rows on chunk
-    values (2^(bits/(t+1)) buckets spread the load); the quadratic blow-up
-    is confined to same-bucket groups. A hot bucket (e.g. all-zero
-    sketches from empty docs) is the one skew risk — salt or drop
-    degenerate sketches upstream if a corpus has them.
+    Skew hardening (the 100-TB shape). Real corpora concentrate mass on
+    a few sketches — boilerplate pages hash identically, and empty /
+    single-token docs produce saturated sketches (popcount 0 or `bits`).
+    Two defenses, both on by default:
+
+    1. The pigeonhole join runs on DISTINCT sketches, never on docs: a
+       million boilerplate-identical docs contribute ONE row per chunk
+       to the bucket join, so a hot (chunk_id, value) bucket is bounded
+       by sketch DIVERSITY, not corpus size. Doc ids are joined back
+       only onto verified near-dup sketch pairs; identical-sketch doc
+       groups pair up in a separate same-key equi-join whose output IS
+       the answer (every such pair has hamming 0).
+    2. drop_degenerate=True removes saturated sketches (popcount 0 or
+       `bits` — every bit-sum tied one way: empty or ~single-token docs)
+       BEFORE pairing. Their "near-dup" pairs are noise — a no-signal
+       sketch sits within hamming `threshold` of nothing meaningful and
+       its group alone can re-quadratify the output (100k empty docs =
+       5e9 true hamming-0 pairs that say nothing about content).
+       Exact-fingerprint dedup is the right tool for those docs.
     """
     chunks = threshold + 1
     width = bits // chunks
+
+    base = sh.select(F.col(id_col), "simhash")
+    if drop_degenerate:
+        pc = F.bit_count(F.col("simhash").bitwiseAND(F.lit((1 << bits) - 1)))
+        base = base.filter((pc > 0) & (pc < bits))
+    base = base.persist()  # distinct sketches + id expansion both read it
+
+    # identical-sketch groups: their pairs are the answer (hamming 0),
+    # produced by one same-key equi-join, no pigeonhole needed
+    ga = base.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    gb = base.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    intra = (
+        ga.join(gb, F.col("ha") == F.col("hb"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).alias("hamming"))
+    )
 
     def chunk_expr(i: int):
         lo = i * width
         w = bits - lo if i == chunks - 1 else width
         return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
 
-    ex = (
-        sh.select(
-            F.col(id_col),
-            "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(i).alias("ci"), chunk_expr(i).alias("cv"))
-                        for i in range(chunks)
-                    ]
-                )
-            ).alias("ch"),
-        )
-        .select(id_col, "simhash", "ch.ci", "ch.cv")
-        .persist()  # both sides of the bucket self-join read this once
-    )
-    a = ex.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "ci", "cv")
-    b = ex.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "ci", "cv")
-    cand = (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ha", "hb")
-        .dropDuplicates(["a", "b"])  # a pair can match on several chunks
-    )
+    ds = base.select("simhash").distinct()
+    ex = ds.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), chunk_expr(i).alias("cv"))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("simhash", "ch.ci", "ch.cv")
+    sa = ex.select(F.col("simhash").alias("ha"), "ci", "cv")
+    sb = ex.select(F.col("simhash").alias("hb"), "ci", "cv")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= threshold)
+    near_sketches = (
+        sa.join(sb, ["ci", "cv"])
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
+        .dropDuplicates(["ha", "hb"])  # a pair can match on several chunks
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= threshold)
+    )
+    # expand verified sketch pairs back to doc pairs; each unordered doc
+    # pair appears under exactly one unordered sketch pair, so ordering
+    # by id is a projection, not a dedup
+    inter = (
+        near_sketches.join(ga, "ha")
+        .join(gb, "hb")
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(inter)
 
 
 # -------------------------------------------------- incremental dedup

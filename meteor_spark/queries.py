@@ -3509,7 +3509,9 @@ _SIMHASH_HAM_T = 1
 @query(
     "simhash_hamming_pairs",
     f"""
-    WITH sh AS ({_SIMHASH_ORACLE.strip()})
+    WITH sh0 AS ({_SIMHASH_ORACLE.strip()}),
+    sh AS (SELECT * FROM sh0
+           WHERE bit_count(simhash) > 0 AND bit_count(simhash) < 32)
     SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -3520,8 +3522,11 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS: hamming distance over the 32-bit sketches
     (bit_count(xor)) <= {t}, computed with EXACT pigeonhole blocking
     (dedup.simhash_hamming_pairs): t+1 disjoint sketch chunks, bucket
-    equi-join per chunk, hamming verification of candidates only — never
-    the O(n^2) cross join the oracle spells out."""
+    equi-join per chunk over DISTINCT sketches, hamming verification of
+    candidates only — never the O(n^2) cross join the oracle spells out.
+    Saturated no-signal sketches (popcount 0 or 32 — empty/single-token
+    docs whose pairs would re-quadratify the output) are dropped by
+    default; the oracle applies the same filter."""
     docs = _docs(spark, sf_dir)
     sh = dedup.simhash(docs)
     return dedup.simhash_hamming_pairs(sh, threshold=_SIMHASH_HAM_T)
@@ -6830,10 +6835,12 @@ _AHASH_HAM_T = 2
                i -> CAST(ascii(substr(text, CAST(t * 4 + i AS INT), 1)) AS DOUBLE))) AS m
       FROM tiles),
     gm AS (SELECT doc_id, avg(m) AS g FROM tm GROUP BY doc_id),
-    ah AS (
+    ah0 AS (
       SELECT tm.doc_id,
              CAST(sum(CASE WHEN tm.m > gm.g THEN 1 << t ELSE 0 END) AS BIGINT) AS ahash
-      FROM tm JOIN gm USING (doc_id) GROUP BY tm.doc_id)
+      FROM tm JOIN gm USING (doc_id) GROUP BY tm.doc_id),
+    ah AS (SELECT * FROM ah0
+           WHERE bit_count(ahash) > 0 AND bit_count(ahash) < 32)
     SELECT a.doc_id AS a, b.doc_id AS b,
            CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
     FROM ah a JOIN ah b ON a.doc_id < b.doc_id

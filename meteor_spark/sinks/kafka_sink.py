@@ -36,6 +36,82 @@ from meteor_spark.plugins_base import Field, Sink
 from meteor_spark.registry import register_sink
 
 
+def _resolve_session_tz(tz_name: str):
+    """Resolve a Spark session timezone string to a tzinfo, at PLAN
+    time (driver side) so a bad zone fails with a clear message instead
+    of inside a mapInPandas task on every executor.
+
+    Spark accepts java.time.ZoneId forms the IANA database does not:
+    fixed offsets ('+08:00', '-0330', '+8') and prefixed offsets
+    ('UTC+2', 'GMT-08:00', 'UT+05:30') raise ZoneInfoNotFoundError in
+    zoneinfo. Parse those into a datetime.timezone; everything else
+    goes through ZoneInfo."""
+    import re
+    from datetime import timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    s = (tz_name or "UTC").strip()
+    if s in ("Z", "z"):
+        return timezone.utc
+    m = re.fullmatch(
+        r"(?:UTC|GMT|UT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?", s
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        return timezone(sign * delta)
+    if s in ("UTC", "GMT", "UT"):
+        return timezone.utc
+    try:
+        return ZoneInfo(s)
+    except Exception as exc:  # noqa: BLE001 - re-raise with plan-time context
+        raise ValueError(
+            f"protobuf kafka sink: cannot resolve session timezone {tz_name!r} "
+            "(spark.sql.session.timeZone) to a tzinfo for timestamp encoding"
+        ) from exc
+
+
+def _schema_has_timestamp(dt) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_timestamp(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_timestamp(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_timestamp(dt.keyType) or _schema_has_timestamp(dt.valueType)
+    return False
+
+
+def _check_pandas_tz(tz_name: str, schema) -> None:
+    """PySpark's Arrow->pandas serializer localizes TimestampType
+    columns with pandas/pytz, which rejects some ZoneId forms Spark
+    itself accepts ('GMT+08:00', 'UTC+2') — the task would then die in
+    every executor with an opaque UnknownTimeZoneError. Probe the exact
+    operation at PLAN time and fail with an actionable message."""
+    if not _schema_has_timestamp(schema):
+        return
+    import pandas as pd
+
+    try:
+        pd.Timestamp(0).tz_localize(tz_name or "UTC")
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"protobuf kafka sink: session timezone {tz_name!r} "
+            "(spark.sql.session.timeZone) is not understood by the "
+            "Arrow-to-pandas serializer that feeds the protobuf encoder; "
+            "set an equivalent IANA zone (e.g. 'Etc/GMT-8' for +08:00 — "
+            "note Etc/GMT signs are inverted) or a bare offset like "
+            "'+08:00' before writing"
+        ) from exc
+
+
 def _key_message(key_path: str, key: str, asset_type: str) -> bytes:
     """Protobuf record key per reference kafka/sink.go:121-150: a message
     of the SAME descriptor with only the key field populated, marshaled.
@@ -77,12 +153,15 @@ def kafka_rows(
         # executors encode the correct absolute instant (a non-UTC
         # session would otherwise shift every encoded Timestamp).
         tz_name = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+        # resolved on the DRIVER: offset-style zones Spark accepts
+        # ('GMT+08:00', '+08:00', 'UTC+2') are not IANA names and would
+        # crash ZoneInfo inside every executor task; tzinfo objects
+        # pickle cleanly into the closure
+        naive_tz = _resolve_session_tz(tz_name)
+        _check_pandas_tz(tz_name, df.schema)
         single_desc = len(protowire._ASSET_DESCS) == 1
 
         def encode(batches):
-            from zoneinfo import ZoneInfo
-
-            naive_tz = ZoneInfo(tz_name)
             for pdf in batches:
                 keys, values = [], []
                 for rec in pdf.to_dict("records"):

@@ -318,17 +318,30 @@ def _compact_dataset(
     hive-partition by (1-char buckets for small sets, 2 past ~100k
     rows, length encoded in the partition column name); range_col:
     range-partition instead (point-lookup-by-id access path)."""
+    import os
     import shutil
 
     from meteor_spark.io import list_data_files
 
     n = max(spark.sparkContext.defaultParallelism, 1)
     tmp = f"{live.rstrip('/')}__compacting"
+    old = f"{live.rstrip('/')}__pre_compact"
     shutil.rmtree(tmp, ignore_errors=True)
+    # crash recovery: the swap below is two renames, and a crash
+    # between them leaves the data only at __pre_compact. Restore it
+    # before touching anything. (Compaction is an OFFLINE maintenance
+    # op — stop the stream first; a reader racing the swap can see a
+    # missing or half-swapped directory.)
+    if not os.path.isdir(live) and os.path.isdir(old):
+        shutil.move(old, live)
     df = spark.read.parquet(live)
     # a re-compaction drops the old partition column; the key column
     # carries the full information
     df = df.drop(*[c for c in df.columns if _store_pfx_col([c])])
+    # tolerate stores written before an identity column existed (e.g.
+    # a pre-__corpus shingle store): a missing key column can't
+    # distinguish rows, so it can't make the dedup lossy either
+    key_cols = [c for c in key_cols if c in df.columns]
     rows_before = df.count()
     files_before = len(list_data_files(spark, live))
     deduped = df.dropDuplicates(key_cols).persist()
@@ -355,7 +368,6 @@ def _compact_dataset(
             f"compaction of {live} lost rows ({rows_after} != {expect}); "
             "live store untouched"
         )
-    old = f"{live.rstrip('/')}__pre_compact"
     shutil.rmtree(old, ignore_errors=True)
     shutil.move(live, old)
     shutil.move(tmp, live)
@@ -395,21 +407,32 @@ def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict
          incremental_neardup_stream then prunes each batch's
          candidate join to the partitions its own keys hash into
          (pruned_store_bands);
-      2. shingles/: drop duplicate ids, range-partition by id (the
-         verify join's access path);
+      2. shingles/: drop duplicate (id, __corpus) rows — NOT bare ids:
+         the corpus and stream doc_id spaces are independent (that's
+         why the __corpus origin marker exists), so a collision holds
+         two legitimate rows per id and a bare-id dedup would silently
+         drop one of them, either erasing a stream survivor from the
+         final readout or verifying later candidates against the wrong
+         shingle set. At-least-once duplicate appends are FULL-ROW
+         duplicates, so the (id, __corpus) key still removes them all.
+         Range-partition by id (the verify join's access path);
       3. verify losslessness (distinct contents unchanged) BEFORE
          atomically swapping the live directories.
 
     Returns per-dataset (files_before, files_after, rows_before,
     rows_after). Run it like any table-maintenance job — off the hot
-    path, whenever file count or duplicate ratio crosses a threshold.
+    path, whenever file count or duplicate ratio crosses a threshold,
+    and with the stream STOPPED: the directory swap is two renames,
+    not atomic to a concurrent reader. A compaction that crashes
+    mid-swap is self-repairing — the next call restores the live dir
+    from __pre_compact before doing anything else.
     """
     return {
         "bands": _compact_dataset(
             spark, f"{store_dir}/bands", [id_col, "band", "band_key"], prefix_col="band_key"
         ),
         "shingles": _compact_dataset(
-            spark, f"{store_dir}/shingles", [id_col], range_col=id_col
+            spark, f"{store_dir}/shingles", [id_col, "__corpus"], range_col=id_col
         ),
     }
 

@@ -177,7 +177,9 @@ def test_blocked_hamming_pairs_equal_naive(spark, sf_dir):
     sh = dedup.simhash(docs).persist()
     blocked = {
         (r["a"], r["b"], r["hamming"])
-        for r in dedup.simhash_hamming_pairs(sh, threshold=2).collect()
+        for r in dedup.simhash_hamming_pairs(
+            sh, threshold=2, drop_degenerate=False
+        ).collect()
     }
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
@@ -190,6 +192,49 @@ def test_blocked_hamming_pairs_equal_naive(spark, sf_dir):
     }
     sh.unpersist()
     assert blocked == naive
+
+
+def test_simhash_pairs_degenerate_and_hot_sketches_stay_bounded(spark):
+    """deliberate worst case: 100k no-signal docs (all-zero sketches —
+    what a crawl's empty/boilerplate pages produce) plus two hot
+    identical-sketch groups one bit apart. Pre-mitigation this put 100k
+    rows into one (chunk, value) bucket and the candidate join exploded
+    to ~5e9 rows (the pipeline never finished); now degenerate sketches
+    are dropped by default and the pigeonhole join runs on DISTINCT
+    sketches, so the only quadratic term left is the true answer."""
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators import dedup
+
+    n_dead, n1, n2 = 100_000, 3_000, 2_000
+    s1, s2 = 0b1010_1100_0011, 0b1010_1100_0010  # hamming(s1, s2) = 1
+    sh = spark.range(n_dead + n1 + n2).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_dead, F.lit(0))
+        .when(F.col("id") < n_dead + n1, F.lit(s1))
+        .otherwise(F.lit(s2))
+        .cast("long")
+        .alias("simhash"),
+    )
+    out = dedup.simhash_hamming_pairs(sh, threshold=1).persist()
+    want = n1 * (n1 - 1) // 2 + n2 * (n2 - 1) // 2 + n1 * n2
+    assert out.count() == want
+    # no pair touches a degenerate doc
+    assert out.filter((F.col("a") < n_dead) | (F.col("b") < n_dead)).count() == 0
+    # spot-check the hamming labels: intra-group 0, cross-group 1
+    assert out.filter(F.col("hamming") == 0).count() == want - n1 * n2
+    assert out.filter(F.col("hamming") == 1).count() == n1 * n2
+    out.unpersist()
+    # saturated-ones sketches are degenerate too
+    allones = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit((1 << 32) - 1).cast("long").alias("simhash")
+    )
+    assert dedup.simhash_hamming_pairs(allones, threshold=1).count() == 0
+    # opt-out keeps the old every-pair semantics
+    assert (
+        dedup.simhash_hamming_pairs(allones, threshold=1, drop_degenerate=False).count()
+        == 45
+    )
 
 
 def test_duplicated_spans_planted_boilerplate(spark):

@@ -335,6 +335,86 @@ def test_enc_timestamp_naive_uses_given_zone():
     assert ny_bytes == pw.enc_varint_field(1, utc_secs + 4 * 3600)
 
 
+def test_resolve_session_tz_offset_and_region_forms():
+    # Spark accepts java.time.ZoneId forms zoneinfo does not: fixed and
+    # prefixed offsets previously crashed executors mid-task via
+    # ZoneInfoNotFoundError in the protobuf (default) kafka path
+    from datetime import timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    import pytest
+
+    from meteor_spark.sinks.kafka_sink import _resolve_session_tz
+
+    assert _resolve_session_tz("GMT+08:00").utcoffset(None) == timedelta(hours=8)
+    assert _resolve_session_tz("+08:00").utcoffset(None) == timedelta(hours=8)
+    assert _resolve_session_tz("UTC+2").utcoffset(None) == timedelta(hours=2)
+    assert _resolve_session_tz("UT+05:30").utcoffset(None) == timedelta(hours=5, minutes=30)
+    assert _resolve_session_tz("-0330").utcoffset(None) == -timedelta(hours=3, minutes=30)
+    assert _resolve_session_tz("Z") == timezone.utc
+    assert _resolve_session_tz("GMT") == timezone.utc
+    assert _resolve_session_tz("") == timezone.utc
+    assert isinstance(_resolve_session_tz("America/New_York"), ZoneInfo)
+    # bad zones fail at PLAN time with context, not inside the task
+    with pytest.raises(ValueError, match="cannot resolve session timezone"):
+        _resolve_session_tz("Not/AZone")
+
+
+def test_kafka_rows_protobuf_offset_session_timezone(spark):
+    # e2e: a bare-offset session zone ('+08:00' — accepted by Spark and
+    # by the Arrow serializer but NOT by zoneinfo) must not crash the
+    # encode, and the absolute instant must survive the round trip:
+    # 04:00Z stored -> surfaces in pandas as naive 12:00 session-local
+    # -> encoder re-anchors at +08:00 -> 04:00Z on the wire
+    from datetime import datetime, timezone
+
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    a["resource"] = {
+        "urn": "urn:a", "name": "t", "service": "parquet",
+        "type": "table", "url": None, "description": None,
+    }
+    a["timestamps"] = {
+        "create_time": datetime(2026, 8, 14, 4, 0, 0, tzinfo=timezone.utc),
+        "update_time": None,
+    }
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "+08:00")
+        df = spark.createDataFrame([a], ASSET_SCHEMA)
+        value = bytes(kafka_rows(df, key_path=None, value_format="protobuf").collect()[0]["value"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    secs = int(datetime(2026, 8, 14, 4, 0, 0, tzinfo=timezone.utc).timestamp())
+    assert pw.enc_varint_field(1, secs) in value
+
+
+def test_kafka_rows_protobuf_serializer_hostile_tz_fails_at_plan_time(spark):
+    # 'GMT+08:00' is a valid Spark ZoneId but PySpark's Arrow->pandas
+    # serializer (pytz) rejects it — without the plan-time probe every
+    # executor task dies with an opaque UnknownTimeZoneError
+    import pytest
+
+    from meteor_spark.model import ASSET_SCHEMA
+    from meteor_spark.model.schema import empty_asset
+    from meteor_spark.sinks.kafka_sink import kafka_rows
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+        df = spark.createDataFrame([a], ASSET_SCHEMA)
+        with pytest.raises(ValueError, match="Etc/GMT-8"):
+            kafka_rows(df, key_path=None, value_format="protobuf")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_kafka_rows_protobuf_missing_asset_type_raises(spark):
     # with >1 registered descriptor, silently defaulting to Table would
     # emit wrong-typed bytes for a non-Table asset — must fail instead

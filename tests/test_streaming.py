@@ -347,6 +347,76 @@ def test_incremental_stream_continues_on_compacted_store(spark, sf_dir, tmp_path
     assert bands.filter(F.col("doc_id") == 200).count() == 4
 
 
+def test_compaction_preserves_corpus_stream_id_collision(spark, tmp_path):
+    """regression: shingles/ was compacted on [doc_id] alone, so a
+    corpus doc and a stream survivor sharing an id (independent id
+    spaces — the reason __corpus exists) collapsed to one arbitrary
+    row: either the stream survivor vanished from the final readout
+    (filter ~__corpus) or later candidates verified Jaccard against
+    the wrong shingle set. The key is now (doc_id, __corpus); the
+    row-count losslessness gate alone cannot catch this, since the
+    dropDuplicates IS the lossy step."""
+    import os
+
+    from meteor_spark.streaming.pipeline import (
+        compact_neardup_store,
+        incremental_neardup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(7, "completely different content about spark structured streaming state stores")],
+        "doc_id long, text string",
+    )
+    watch = tmp_path / "cc_in"
+    watch.mkdir()
+    d = str(tmp_path / "cc_b0")
+    b1.coalesce(1).write.parquet(d)
+    src = next(p for p in os.listdir(d) if p.startswith("part-") and p.endswith(".parquet"))
+    (watch / "batch_0.parquet").write_bytes((tmp_path / "cc_b0" / src).read_bytes())
+    store = str(tmp_path / "cc_store")
+    incremental_neardup_stream(
+        spark, str(watch), corpus, store, str(tmp_path / "cc_ckpt"), threshold=0.5
+    )
+    sh_before = spark.read.parquet(f"{store}/shingles")
+    assert sh_before.filter(F.col("doc_id") == 7).count() == 2  # both origins
+
+    compact_neardup_store(spark, store)
+
+    sh = spark.read.parquet(f"{store}/shingles")
+    # both rows survive compaction, one per origin
+    assert sh.filter(F.col("doc_id") == 7).count() == 2
+    assert (
+        sh.filter(F.col("doc_id") == 7).select("__corpus").distinct().count() == 2
+    )
+    # and the final readout still shows the stream survivor
+    assert [
+        r[0] for r in sh.filter(~F.col("__corpus")).select("doc_id").collect()
+    ] == [7]
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """a crash between the two swap renames leaves the data only at
+    __pre_compact; the next compaction call must restore and proceed
+    instead of failing on a missing live path."""
+    import shutil
+
+    from meteor_spark.streaming.pipeline import compact_neardup_store
+
+    store = str(tmp_path / "store")
+    _seed_store(spark, sf_dir, store, dup_appends=2)
+    rep1 = compact_neardup_store(spark, store)
+    # simulate the crash window: live moved away, replacement not yet in
+    shutil.move(f"{store}/bands", f"{store}/bands__pre_compact")
+    rep2 = compact_neardup_store(spark, store)
+    assert rep2["bands"]["rows"] == (rep1["bands"]["rows"][1],) * 2
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.count() == rep1["bands"]["rows"][1]
+
+
 def test_compaction_is_idempotent(spark, sf_dir, tmp_path):
     from meteor_spark.streaming.pipeline import compact_neardup_store
 
