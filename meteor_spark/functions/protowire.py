@@ -398,6 +398,14 @@ def encode_asset(asset, asset_type: str | None = None, naive_tz=timezone.utc) ->
     maps (resource, profile, schema, preview, ownership, lineage,
     properties, timestamps, event); Topic maps its own facet numbering.
     """
+    at, desc, plain = asset_plain(asset, asset_type)
+    return enc_message(desc, plain, naive_tz)
+
+
+def asset_plain(asset, asset_type: str | None = None) -> tuple[str, dict, dict]:
+    """The (asset_type, descriptor, message-shaped dict) an asset row
+    encodes as — the model->message mapping shared by encode_asset and
+    the round-trip tests."""
     plain = _row_to_plain(asset)
     at = asset_type or plain.get("asset_type") or "Table"
     desc = _ASSET_DESCS.get(at)
@@ -414,4 +422,159 @@ def encode_asset(asset, asset_type: str | None = None, naive_tz=timezone.utc) ->
     if plain.get("ownership") is not None:
         plain = dict(plain)
         plain["ownership"] = {"owners": plain["ownership"]}
-    return enc_message(desc, plain, naive_tz)
+    return at, desc, plain
+
+
+# ---------------------------------------------------------------------------
+# wire-format DECODER — the round-trip proof for the encoder above.
+#
+# google.protobuf is not installed in this container, so the encoder was
+# validated by hand-derived golden bytes only. This minimal decoder
+# parses the encoder's output back to plain Python per the same public
+# wire spec (and the same descriptors), so tests can assert
+# encode -> decode -> equal over the full asset fixture set without any
+# new dependency. It is deliberately strict: unknown field numbers or
+# wire types raise instead of being skipped, so a descriptor drift
+# between the two directions cannot pass silently.
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 10 bytes")
+
+
+def _to_signed64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def _wire_fields(buf: bytes):
+    """Yield (field_no, wire_type, raw) — raw is an int for wire type 0,
+    bytes for 1 (8 bytes), 2 (len-delimited payload), 5 (4 bytes)."""
+    i = 0
+    while i < len(buf):
+        t, i = _read_varint(buf, i)
+        no, wt = t >> 3, t & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            v, i = buf[i : i + ln], i + ln
+            if len(v) != ln:
+                raise ValueError("truncated len-delimited field")
+        elif wt == 5:
+            v, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield no, wt, v
+
+
+def dec_timestamp(buf: bytes) -> datetime:
+    seconds = nanos = 0
+    for no, _wt, v in _wire_fields(buf):
+        if no == 1:
+            seconds = _to_signed64(v)
+        elif no == 2:
+            nanos = v
+        else:
+            raise ValueError(f"unknown Timestamp field {no}")
+    return datetime.fromtimestamp(seconds, tz=timezone.utc).replace(
+        microsecond=nanos // 1000
+    )
+
+
+def dec_value(buf: bytes):
+    for no, _wt, v in _wire_fields(buf):
+        if no == 1:
+            return None
+        if no == 2:
+            return _struct.unpack("<d", v)[0]
+        if no == 3:
+            return v.decode("utf-8")
+        if no == 4:
+            return bool(v)
+        if no == 5:
+            return dec_struct(v)
+        if no == 6:
+            return dec_list_value(v)
+        raise ValueError(f"unknown Value field {no}")
+    return None  # empty Value == null (proto3 zero enum omitted)
+
+
+def dec_struct(buf: bytes) -> dict:
+    d: dict = {}
+    for no, _wt, entry in _wire_fields(buf):
+        if no != 1:
+            raise ValueError(f"unknown Struct field {no}")
+        k, val = None, None
+        for eno, _ewt, ev in _wire_fields(entry):
+            if eno == 1:
+                k = ev.decode("utf-8")
+            elif eno == 2:
+                val = dec_value(ev)
+            else:
+                raise ValueError(f"unknown Struct entry field {eno}")
+        d[k if k is not None else ""] = val
+    return d
+
+
+def dec_list_value(buf: bytes) -> list:
+    return [dec_value(v) for no, _wt, v in _wire_fields(buf) if no == 1]
+
+
+def decode_message(desc: dict, buf: bytes) -> dict:
+    """Inverse of enc_message against the same descriptor: returns a
+    plain dict holding only the fields present on the wire (proto3
+    omitted zero-values simply don't appear). struct_json / list_json
+    fields decode to the parsed object (dict / list), not the original
+    JSON string — compare via json.loads."""
+    by_no = {spec[0]: (name, spec) for name, spec in desc.items()}
+    out: dict = {}
+    for no, _wt, v in _wire_fields(buf):
+        if no not in by_no:
+            raise ValueError(f"field number {no} not in descriptor")
+        name, spec = by_no[no]
+        kind = spec[1]
+        if kind == "string":
+            out[name] = v.decode("utf-8")
+        elif kind == "int64":
+            out[name] = _to_signed64(v)
+        elif kind == "bool":
+            out[name] = bool(v)
+        elif kind == "double":
+            out[name] = _struct.unpack("<d", v)[0]
+        elif kind == "timestamp":
+            out[name] = dec_timestamp(v)
+        elif kind == "struct_json":
+            out[name] = dec_struct(v)
+        elif kind == "list_json":
+            out[name] = dec_list_value(v)
+        elif kind == "message":
+            out[name] = decode_message(spec[2], v)
+        elif kind == "repeated_message":
+            out.setdefault(name, []).append(decode_message(spec[2], v))
+        elif kind == "repeated_string":
+            out.setdefault(name, []).append(v.decode("utf-8"))
+        elif kind == "map_str":
+            k = mv = ""
+            for eno, _ewt, ev in _wire_fields(v):
+                if eno == 1:
+                    k = ev.decode("utf-8")
+                elif eno == 2:
+                    mv = ev.decode("utf-8")
+                else:
+                    raise ValueError(f"unknown map entry field {eno}")
+            out.setdefault(name, {})[k] = mv
+        else:  # pragma: no cover - descriptor authoring error
+            raise ValueError(f"unknown kind {kind}")
+    return out

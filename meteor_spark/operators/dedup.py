@@ -365,22 +365,14 @@ def simhash_hamming_pairs(
         base = base.filter((pc > 0) & (pc < bits))
     base = base.persist()  # distinct sketches + id expansion both read it
 
-    # identical-sketch groups: their pairs are the answer (hamming 0),
-    # produced by one same-key equi-join, no pigeonhole needed
-    ga = base.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
-    gb = base.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
-    intra = (
-        ga.join(gb, F.col("ha") == F.col("hb"))
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(0).alias("hamming"))
-    )
-
     def chunk_expr(i: int):
         lo = i * width
         w = bits - lo if i == chunks - 1 else width
         return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
 
-    ds = base.select("simhash").distinct()
+    # persisted: both sides of the chunk self-join read the distinct
+    # set, and without the cache the distinct shuffle would run twice
+    ds = base.select("simhash").distinct().persist()
     ex = ds.select(
         "simhash",
         F.explode(
@@ -395,27 +387,33 @@ def simhash_hamming_pairs(
     sa = ex.select(F.col("simhash").alias("ha"), "ci", "cv")
     sb = ex.select(F.col("simhash").alias("hb"), "ci", "cv")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    # ha <= hb keeps the diagonal: the ha == hb rows carry the
+    # identical-sketch groups (hamming 0) through the SAME expansion
+    # joins, so no separate intra-group pass is needed
     near_sketches = (
         sa.join(sb, ["ci", "cv"])
-        .filter(F.col("ha") < F.col("hb"))
+        .filter(F.col("ha") <= F.col("hb"))
         .select("ha", "hb")
         .dropDuplicates(["ha", "hb"])  # a pair can match on several chunks
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= threshold)
     )
-    # expand verified sketch pairs back to doc pairs; each unordered doc
-    # pair appears under exactly one unordered sketch pair, so ordering
-    # by id is a projection, not a dedup
-    inter = (
+    # expand verified sketch pairs back to doc pairs. For ha < hb each
+    # unordered doc pair appears exactly once (under its one unordered
+    # sketch pair); on the diagonal the join yields both orientations,
+    # so keep a < b there — together: no duplicates, no dedup needed.
+    ga = base.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    gb = base.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (
         near_sketches.join(ga, "ha")
         .join(gb, "hb")
+        .filter((F.col("ha") < F.col("hb")) | (F.col("a") < F.col("b")))
         .select(
             F.least("a", "b").alias("a"),
             F.greatest("a", "b").alias("b"),
             "hamming",
         )
     )
-    return intra.unionByName(inter)
 
 
 # -------------------------------------------------- incremental dedup

@@ -434,3 +434,183 @@ def test_kafka_rows_protobuf_missing_asset_type_raises(spark):
     df = spark.createDataFrame([a], ASSET_SCHEMA)
     with pytest.raises(PythonException, match="no asset_type"):
         kafka_rows(df, key_path=None, value_format="protobuf").collect()
+
+
+# ---------------------------------------------------------------------------
+# wire round trip: encode -> decode -> equal (no google.protobuf needed)
+# ---------------------------------------------------------------------------
+
+
+def _jsonf(v):
+    """Struct/ListValue carry only doubles — normalize parsed-JSON ints
+    (except bools) to float for comparison."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return float(v)
+    if isinstance(v, dict):
+        return {k: _jsonf(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_jsonf(x) for x in v]
+    return v
+
+
+def _expected(desc, row, naive_tz=timezone.utc):
+    """What decode_message must return for enc_message(desc, row):
+    enc_message's own proto3 omission rules, mirrored."""
+    import json as _json
+
+    out = {}
+    for name, spec in desc.items():
+        kind = spec[1]
+        v = row.get(name)
+        if v is None or (isinstance(v, (float, datetime)) and v != v):
+            continue
+        if kind == "string":
+            if v != "":
+                out[name] = v
+        elif kind == "int64":
+            if int(v) != 0:
+                out[name] = int(v)
+        elif kind == "bool":
+            if v:
+                out[name] = True
+        elif kind == "double":
+            if float(v) != 0.0:
+                out[name] = float(v)
+        elif kind == "timestamp":
+            dt = v if v.tzinfo else v.replace(tzinfo=naive_tz)
+            out[name] = dt.astimezone(timezone.utc)
+        elif kind == "struct_json":
+            if v:
+                out[name] = _jsonf(_json.loads(v))
+        elif kind == "list_json":
+            if v:
+                out[name] = _jsonf(_json.loads(v))
+        elif kind == "message":
+            vv = {"attributes": v} if isinstance(v, str) else v
+            out[name] = _expected(spec[2], vv, naive_tz)
+        elif kind == "repeated_message":
+            if v:
+                out[name] = [_expected(spec[2], i, naive_tz) for i in v]
+        elif kind == "repeated_string":
+            if v:
+                out[name] = [s or "" for s in v]
+        elif kind == "map_str":
+            items = v.items() if isinstance(v, dict) else v
+            d = {k: (mv or "") for k, mv in items}
+            if d:
+                out[name] = d
+    return out
+
+
+def _full_table_asset():
+    from meteor_spark.model.schema import empty_asset
+
+    a = empty_asset()
+    a["asset_type"] = "Table"
+    a["resource"] = {
+        "urn": "urn:x", "name": "t1", "service": "parquet",
+        "type": "table", "url": "s3a://b/t1", "description": "d",
+    }
+    a["profile"] = {
+        "total_rows": 12345, "partition_key": "dt", "partition_value": "2026-08-01",
+        "usage_count": 7,
+        "joins": [{"urn": "urn:y", "count": 3, "conditions": ["a.id = b.id", ""]}],
+        "filters": ["x > 0"],
+    }
+    a["schema"] = [
+        {
+            "name": "c1", "description": None, "data_type": "bigint",
+            "is_nullable": True, "length": 0,
+            "profile": {"min": "1", "max": "9", "avg": 4.5, "med": 0.0,
+                        "unique": 9, "count": 10, "top": "1"},
+            "properties": '{"pii": true, "note": "x", "n": 3}',
+        },
+        {
+            "name": "c2", "description": "二", "data_type": "string",
+            "is_nullable": False, "length": -5, "profile": None,
+            "properties": None,
+        },
+    ]
+    a["preview"] = {"fields": ["c1", "c2"], "rows": '[[1, "a"], [2, null]]'}
+    a["ownership"] = [
+        {"urn": "u:1", "name": "o", "role": "owner", "email": "o@x.io"},
+        {"urn": "", "name": None, "role": "viewer", "email": None},
+    ]
+    a["lineage"] = {
+        "upstreams": [{"urn": "urn:up", "name": None, "service": "bq",
+                       "type": "table", "url": None, "description": None}],
+        "downstreams": [],
+    }
+    a["properties"] = {
+        "tags": ["gold", ""],
+        "labels": {"team": "data", "tier": None},
+        "attributes": '{"k": {"nested": [1, false, null]}}',
+    }
+    a["timestamps"] = {
+        "create_time": datetime(1969, 12, 31, 23, 59, 59, 750000, tzinfo=timezone.utc),
+        "update_time": datetime(2026, 8, 14, 12, 0, 0, 123456),
+    }
+    a["event"] = {"timestamp": datetime(1970, 1, 1, tzinfo=timezone.utc),
+                  "action": "create", "description": ""}
+    return a
+
+
+def _topic_asset():
+    from meteor_spark.model.schema import empty_asset
+
+    a = empty_asset()
+    a["asset_type"] = "Topic"
+    a["resource"] = {"urn": "urn:topic", "name": "clicks", "service": "kafka",
+                     "type": "topic", "url": None, "description": None}
+    a["topic_profile"] = {"throughput": "100/s", "number_of_partitions": 12}
+    a["topic_schema"] = {"schema_url": "http://reg/1", "format": "AVRO"}
+    a["ownership"] = [{"urn": "u:2", "name": "s", "role": None, "email": None}]
+    a["properties"] = {"tags": None, "labels": {"env": "prod"}, "attributes": None}
+    a["timestamps"] = None
+    return a
+
+
+def test_wire_round_trip_full_fixture_set():
+    """encode -> decode -> equal over every registered descriptor and
+    every field kind (string/int64/bool/double/timestamp pre- and
+    post-epoch/struct/list/map/repeated, empty strings, None map values,
+    negative int64, non-ASCII, nested Struct values). The decoder is
+    strict — unknown field numbers raise — so this also proves the two
+    directions share one descriptor truth."""
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo("America/New_York")
+    for asset in (_full_table_asset(), _topic_asset()):
+        at, desc, plain = pw.asset_plain(asset)
+        got = pw.decode_message(desc, pw.encode_asset(asset, naive_tz=tz))
+        assert got == _expected(desc, plain, naive_tz=tz), at
+
+
+def test_wire_round_trip_negative_int64_and_unknown_field():
+    import pytest
+
+    desc = {"n": (3, "int64"), "s": (5, "string")}
+    enc = pw.enc_message(desc, {"n": -42, "s": "neg"})
+    assert pw.decode_message(desc, enc) == {"n": -42, "s": "neg"}
+    # strictness: bytes carrying a field number outside the descriptor fail
+    stray = pw.enc_varint_field(9, 1)
+    with pytest.raises(ValueError, match="field number 9"):
+        pw.decode_message(desc, enc + stray)
+
+
+def test_wire_round_trip_catalog_extraction(spark):
+    """the real extractor output (parquet_catalog over sf0.001) survives
+    the wire round trip row-for-row — the closest in-container analogue
+    of 'a Go consumer can read what the sink publishes'."""
+    from meteor_spark.registry import extractors
+
+    ex = extractors.get("parquet_catalog")
+    ex.init({"path": "/root/testdata/sf0.001", "include_row_count": True})
+    rows = ex.extract(spark).collect()
+    assert rows
+    for r in rows:
+        at, desc, plain = pw.asset_plain(r)
+        got = pw.decode_message(desc, pw.encode_asset(r))
+        assert got == _expected(desc, plain), plain["resource"]["urn"]
