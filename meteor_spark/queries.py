@@ -3140,7 +3140,12 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     pure-SQL md5-register HLL whose DuckDB oracle is bit-exact; this
     gate stays rows-only because Datasketches register state is
     engine-internal, and test_sketches.py pins the two gates' estimates
-    against each other and the exact count."""
+    against each other and the exact count. Register-level cross-twin
+    equality cannot hold — the two sketches use different hash families
+    (xxhash64 vs md5) by design — but
+    test_datasketches_register_state_vs_md5_twin pins what can: the
+    serialized preamble (serVer/family/lgK) and byte-identical
+    merge-determinism across partitionings."""
     from meteor_spark.operators import sketches
 
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))

@@ -305,3 +305,72 @@ def test_pq_pivot_codebook_and_queries_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan     # enc x queries (inequality cond)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# plan-shape budgets for the most expensive gates (VERDICT r5 #6):
+# operator-count snapshots so a change that swaps a broadcast join for a
+# shuffle join (or adds an exchange) fails CI instead of surfacing as a
+# bench mystery two rounds later. Budgets are the observed counts at the
+# test SF: max shuffles (more = a regression), min broadcast joins
+# (fewer = a dim stopped broadcasting), and hard zeros for
+# SortMergeJoin/CartesianProduct. Selection = top-20 BENCH_r05 entries
+# (streaming gates excluded — foreachBatch plans aren't inspectable
+# pre-execution; their shape is pinned by tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+_PLAN_BUDGETS = {
+    # name: (max_shuffle, min_bhj, max_bnlj)
+    "embedding_kmeans_profile": (3, 1, 0),
+    "simhash_hamming_pairs": (11, 3, 0),
+    "curation_pipeline": (7, 3, 0),
+    "workload_table_pagerank": (1, 0, 0),
+    "audio_silence_segments": (2, 0, 0),
+    "profile_lineitem": (6, 1, 0),
+    "hybrid_search_rrf": (10, 1, 2),
+    "minhash_near_duplicates": (5, 3, 0),
+    "doc_containment_pairs": (7, 4, 0),
+    "dsir_importance_weights": (16, 3, 1),
+    "doc_bigram_perplexity": (13, 2, 1),
+    "lineitem_weighted_median_price": (2, 0, 0),
+    "duplicated_span_report": (5, 1, 0),
+    "events_asof_purchase": (1, 0, 0),
+    "ivf_ann_topk": (2, 1, 0),
+    "sorted_neighborhood_pairs": (12, 3, 0),
+    "kcenter_coreset": (1, 0, 0),
+    "passage_dedup_survivors": (5, 1, 0),
+    "source_diversity_metrics": (9, 2, 0),
+    "bm25_search_topk": (8, 1, 1),
+}
+
+
+def _plan_counts(plan: str) -> dict:
+    import re
+
+    return {
+        "shuffle": len(re.findall(r"(?<!Broadcast)Exchange", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cart": plan.count("CartesianProduct"),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_BUDGETS))
+def test_plan_budget(spark, name):
+    got = _plan_counts(_plan(spark, name))
+    max_shuffle, min_bhj, max_bnlj = _PLAN_BUDGETS[name]
+    assert got["cart"] == 0, f"{name}: CartesianProduct appeared"
+    assert got["smj"] == 0, f"{name}: SortMergeJoin appeared (broadcast lost?)"
+    assert got["shuffle"] <= max_shuffle, (
+        f"{name}: {got['shuffle']} shuffles > budget {max_shuffle} — a new "
+        "exchange entered the plan; re-baseline only if it's deliberate"
+    )
+    assert got["bhj"] >= min_bhj, (
+        f"{name}: {got['bhj']} broadcast joins < budget {min_bhj} — a dim "
+        "stopped broadcasting"
+    )
+    assert got["bnlj"] <= max_bnlj, (
+        f"{name}: {got['bnlj']} BNLJ > budget {max_bnlj} — only one-row "
+        "scalar joins may nested-loop"
+    )

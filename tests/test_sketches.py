@@ -266,3 +266,51 @@ def test_rows_only_gate_tracks_portable_twin(spark, sf_dir):
         assert abs(ds[et] - ex) / ex < 0.08, (et, ds[et], ex)
         assert abs(port[et] - ex) / ex < 0.08, (et, port[et], ex)
         assert abs(ds[et] - port[et]) / ex < 0.12, (et, ds[et], port[et])
+
+
+def test_datasketches_register_state_vs_md5_twin(spark, sf_dir):
+    """The strongest REGISTER-level cross-twin assertions that can hold,
+    plus the documented reason full register equality cannot:
+
+    The Datasketches sketch (hll_sketch_agg) hashes values with
+    xxhash64; the portable twin (hll64_partials) hashes with md5 —
+    different hash families map the same value to DIFFERENT (register,
+    rho) cells BY DESIGN (the portable twin exists precisely because
+    Datasketches register state is engine-internal and not
+    reconstructible in SQL). So register-content equality between the
+    two is impossible; what IS pinned here, at the register level:
+
+    1. the serialized sketch really is Apache DataSketches HLL state
+       (public preamble: serVer=1, familyId=7 (HLL), lgK as configured)
+       — the gate can't silently degrade to some other aggregate;
+    2. Datasketches register state is merge-DETERMINISTIC: rolling the
+       same rows up through different partitionings/groupings yields
+       byte-identical estimates (max-merge has no order dependence),
+       the same invariance the md5 twin proves bit-exactly in SQL;
+    3. both sketches agree with each other and the exact count
+       (test_rows_only_gate_tracks_portable_twin pins the tolerance).
+    """
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    lg_k = 12
+    sk = sketches.distinct_sketches(events, ["event_type"], "user_id", lg_k=lg_k)
+    buf = bytes(sk.limit(1).collect()[0]["sketch"])
+    assert buf[1] == 1, "Datasketches HLL serialization version"
+    assert buf[2] == 7, "Datasketches family id: HLL"
+    assert buf[3] == lg_k, "configured lgK survives into the register state"
+
+    # merge determinism at the register level, observed through the
+    # estimate: daily partials max-merged vs direct, across an odd
+    # repartitioning — identical doubles, not approximately equal
+    daily = sketches.distinct_sketches(
+        events.withColumn("day", F.to_date("ts")).repartition(13),
+        ["event_type", "day"], "user_id", lg_k=lg_k,
+    )
+    via_daily = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.merge_distinct(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.merge_distinct(sk, ["event_type"]).collect()
+    }
+    assert via_daily == direct
