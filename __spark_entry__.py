@@ -35,12 +35,15 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 179 entries, 175 with exact DuckDB oracles as of the
-                 r5 record (CORRECTNESS_r01-r05 union: every gate
-                 sampled at least once, all oracle-bearing gates green
-                 at latest status; the 4 rows-only gates wrap
-                 engine-internal approximate state and each names its
-                 exact-gated twin).
+                 183 entries, 179 with exact DuckDB oracles (r6 adds
+                 leakage_free_split — near-dup-cluster-aware holdout,
+                 embedding_dimension_profile — fixed-point whitening
+                 stats, event_value_mad_outliers — robust MAD census,
+                 events_sliding_distinct — trailing-window distinct
+                 from mergeable register partials). The 4 rows-only
+                 gates wrap engine-internal approximate state and each
+                 names its exact-gated twin; all r1-r5 gates green at
+                 latest driver status.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
                  KMeans init, HLL registers, APPROX_* sketches) are

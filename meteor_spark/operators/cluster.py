@@ -166,3 +166,45 @@ def best_survivors_from_labels(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Leakage-free holdout: assign train/val/test by hashing the
+    near-dup CLUSTER representative, not the document id, so an entire
+    near-dup cluster lands in one split by construction. Hashing doc
+    ids (sampling.holdout_split) is right for i.i.d. corpora, but with
+    near-duplicates it leaks: a train doc's 95%-identical twin in val
+    inflates eval scores exactly like benchmark contamination
+    (split_leakage_report MEASURES that leakage; this op removes it).
+
+    Unclustered docs are their own representative. The join against the
+    labels frame is small-side (clustered docs << corpus after LSH),
+    so AQE broadcasts it; the split label stays a pure per-row md5
+    expression — deterministic across runs, engines, and corpus growth,
+    exactly reproducible in SQL for the oracle.
+    """
+    from meteor_spark.operators.sampling import bucket_threshold, hash_bucket
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    rep = labels.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__rep")
+    )
+    out = df.join(rep, id_col, "left").withColumn(
+        "group_rep", F.coalesce(F.col("__rep"), F.col(id_col))
+    ).drop("__rep")
+    bucket = hash_bucket(F.col("group_rep"))
+    label = F.lit(None).cast("string")
+    lo = 0
+    cases = []
+    for name, rate in splits.items():
+        hi = lo + bucket_threshold(rate)
+        cases.append((name, lo, hi))
+        lo = hi
+    for name, lo_b, hi_b in reversed(cases):
+        label = F.when((bucket >= lo_b) & (bucket < hi_b), F.lit(name)).otherwise(label)
+    return out.withColumn("split", label)

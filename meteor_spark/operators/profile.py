@@ -416,3 +416,55 @@ def footer_stats(spark, path: str, columns: list[str]):
         rows,
         "column string, n_rows long, min_value double, max_value double, null_count long",
     )
+
+
+def mad_outlier_report(
+    df: DataFrame, key_col: str, value_col: str, z_crit: float = 3.5
+) -> DataFrame:
+    """Robust per-group outlier census via the median absolute
+    deviation: med = median(x), mad = median(|x - med|), and a value is
+    an outlier when 0.6745·|x - med| / mad > z_crit (the standard
+    consistency constant making MAD comparable to sigma under
+    normality). Unlike mean/stddev censors (event_value_outliers'
+    z-score twin), a few extreme values cannot drag the threshold —
+    the breakdown point is 50%.
+
+    Two exact interpolated-percentile passes (Spark `percentile` ==
+    DuckDB `quantile_cont`, parity proven by the percentile gates) with
+    a broadcast join of the per-group (med, mad) frame back onto the
+    values — group-count-sized state, two shuffles on the group key at
+    any corpus size. mad == 0 (constant-majority groups) yields zero
+    outliers rather than a division blow-up: the comparison is kept in
+    product form |x-med|·0.6745 > z_crit·mad, which is also where the
+    engines stay bit-identical (one multiply each side, no divide).
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), key_col).select(
+        key_col, value_col, "med",
+        F.abs(F.col(value_col) - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+    out = (
+        dev.select(key_col, "adev")
+        .join(F.broadcast(mad.select(key_col, "mad")), key_col)
+        .filter(F.col("adev") * 0.6745 > z_crit * F.col("mad"))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    stable = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        mad.join(out, key_col, "left")
+        .select(
+            key_col,
+            stable(F.col("med")).alias("med"),
+            stable(F.col("mad")).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+            F.col("n"),
+        )
+    )

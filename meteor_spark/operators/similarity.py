@@ -1258,3 +1258,35 @@ def dim_truncation_recall(
         )
         .orderBy("trunc_dim")
     )
+
+
+def dimension_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension statistics of an embedding column — the input a
+    whitening / normalization / dead-dimension audit needs: n, mean,
+    spread, extremes for every coordinate.
+
+    posexplode keeps dimension order (0-based `dim`); one combine-
+    friendly groupBy on the ~dim-count keys is the whole shuffle. The
+    published aggregates follow the bit-stable discipline
+    (docs: fixed-point int64, not float sums): each value is widened
+    float->double (exact), scaled once, and floor(x·s + 0.5)'d — a
+    single IEEE multiply+add+floor both engines compute identically —
+    then SUMMED AS INT64, so association order cannot move an ulp.
+      sum_micro     = Σ round(x·1e6)        (micro-units; mean = /1e6/n)
+      sum_sq_milli  = Σ round(x·1e3)²       (milli² units; var derivable)
+    min/max are exact order statistics of exact doubles — safe as-is.
+    Scale bound: |x| ≤ 10 ⇒ micro terms ≤ 1e7 → int64 holds to ~9e11
+    rows per dimension; the milli² terms ≤ 1e8 → ~9e10 rows. Past that,
+    re-scale or shard the sum (same ppm_expr playbook)."""
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    micro = F.floor(F.col("x") * 1e6 + F.lit(0.5)).cast("long")
+    milli = F.floor(F.col("x") * 1e3 + F.lit(0.5)).cast("long")
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(micro).alias("sum_micro"),
+        F.sum(milli * milli).alias("sum_sq_milli"),
+        F.min("x").alias("min_val"),
+        F.max("x").alias("max_val"),
+    )

@@ -340,3 +340,33 @@ def count_min_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").alias("cm_estimate"))
     )
+
+
+def sliding_hll64(
+    partials: DataFrame,
+    keys: list[str],
+    time_col: str,
+    window: int,
+    lg_k: int = 10,
+) -> DataFrame:
+    """Trailing-window distinct counts from mergeable register partials
+    WITHOUT rescanning raw data: each per-period partial row (keys...,
+    time, reg, rho) serves every window that covers its period, so a
+    `window`-period trailing rollup is one constant-width explode
+    (period t -> windows t .. t+window-1) followed by the same max-merge
+    groupBy as merge_hll64. The classic sliding-distinct problem needs
+    either a rescan per window or this: sketch state linear in
+    (periods x m), merge cost independent of raw N — the 100-TB shape
+    for "distinct users over the trailing 3 hours, every hour".
+
+    Windows are labeled by their LAST period and only windows whose
+    label is an observed period are kept (no phantom trailing windows
+    past the data's end).
+    """
+    lab = F.explode(
+        F.sequence(F.col(time_col), F.col(time_col) + (window - 1))
+    ).alias("win_end")
+    expanded = partials.select(*keys, lab, "reg", "rho", "n_rows")
+    observed = partials.select(*keys, F.col(time_col).alias("win_end")).distinct()
+    merged = merge_hll64(expanded, [*keys, "win_end"], lg_k=lg_k)
+    return merged.join(observed, [*keys, "win_end"])

@@ -4251,12 +4251,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           floor(CAST(sum(amount_e4) AS DOUBLE) / 100 + 0.5) / 100 AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount)
-                 - p.p_retailprice * l.l_quantity AS amount
+               CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+               - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) * 100
+                 * CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS amount_e4
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN part p     ON l.l_partkey = p.p_partkey
@@ -4273,7 +4276,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_name LIKE filter lands in the part scan BEFORE the broadcast, so
     the lineitem-part join prunes ~90% of the fact early; supplier and
     nation broadcast too. The only shuffle joins the two facts
-    (lineitem-orders) plus the final small rollup."""
+    (lineitem-orders) plus the final small rollup.
+
+    Bit-stable publish (caught by the FIRST 10x strict sweep, r6: one
+    round(,2) boundary flipped on a float-sum ulp at 10x magnitude —
+    invisible at sf0.1, same class as the q2 rounding flip): prices,
+    discounts, and quantities are cents-exact in the fixtures, so the
+    profit is summed as EXACT int64 in 1e-4 dollar units (per-group sum
+    bounded ~6e15 at 10x, far under int64) and published through a
+    single identical divide+floor on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     p = (
@@ -4283,9 +4294,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("p_retailprice") * F.col(
-        "l_quantity"
-    )
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_p = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    rp_c = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    amount_e4 = ep_c * (100 - disc_p) - rp_c * 100 * qty
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -4295,7 +4308,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.floor(F.sum(amount_e4).cast("double") / 100 + F.lit(0.5)) / 100
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -6606,8 +6623,10 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT event_type,
-             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
-             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+             floor(percentile_cont(0.05) WITHIN GROUP (ORDER BY value)
+                   * 1e4 + 0.5) / 1e4 AS lo,
+             floor(percentile_cont(0.95) WITHIN GROUP (ORDER BY value)
+                   * 1e4 + 0.5) / 1e4 AS hi
       FROM events GROUP BY event_type)
     SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
            round(avg(e.value), 4) + 0.0 AS mean_raw,
@@ -6619,15 +6638,24 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics per key: means before/after clipping
-    to the exact [p5, p95] band — the standard heavy-tail treatment
-    before a value column feeds drift thresholds or reward models
-    (complements the median/MAD outlier gate). Exact interpolated
-    percentiles (Spark F.percentile == SQL percentile_cont) broadcast
-    back over one more scan."""
+    to the [p5, p95] band — the standard heavy-tail treatment before a
+    value column feeds drift thresholds or reward models (complements
+    the median/MAD outlier gate).
+
+    The clip bounds are the interpolated percentiles ROUNDED bit-stably
+    to 4 decimals before any comparison. Caught by the first 10x strict
+    sweep (r6): duplicated values put IDENTICAL neighbors at the
+    percentile index, where Spark's `a + f*(b-a)` returns a exactly but
+    the two-product `a*(1-f) + a*f` form can land an ulp off — every
+    copy of the boundary value then flips n_clipped (50 rows at 10x).
+    A 4-decimal-rounded bound is one identical floor on both engines,
+    and a data value colliding with the ROUNDED bound to the last ulp
+    is no longer tied to the interpolation formula."""
     ev = _t(spark, sf_dir, "events")
+    stable = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     q = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("lo"),
-        F.percentile("value", F.lit(0.95)).alias("hi"),
+        stable(F.percentile("value", F.lit(0.05))).alias("lo"),
+        stable(F.percentile("value", F.lit(0.95))).alias("hi"),
     )
     clipped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
     return (
@@ -7129,3 +7157,176 @@ def language_confidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top - second).cast("long").alias("margin"),
         ((top > 0) & ((top - second) >= 2)).alias("confident"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------- round 6 wave
+
+
+@query(
+    "leakage_free_split",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    cc AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    g AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_rep
+          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+    b AS (SELECT group_rep,
+                 ('0x' || substr(md5(CAST(group_rep AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS bucket
+          FROM g)
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT group_rep) AS n_groups
+    FROM b GROUP BY split
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-AWARE holdout split (cluster.cluster_aware_split): the
+    split label hashes the near-dup cluster REPRESENTATIVE, so an
+    entire cluster lands in one split by construction — the leakage
+    that split_leakage_report measures (train docs with 95%-identical
+    twins in val inflating eval) is removed at assignment time, not
+    audited after. Unclustered docs hash their own id; the md5 bucket
+    math is the holdout_split contract, so a doc's split is stable as
+    the corpus grows. Reuses the session's one CC materialization
+    (_cluster_labels); the oracle rebuilds closure + buckets in SQL."""
+    from meteor_spark.operators.cluster import cluster_aware_split
+
+    docs = _docs(spark, sf_dir)
+    labels = _cluster_labels(spark, sf_dir)
+    out = cluster_aware_split(docs, labels)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("group_rep").alias("n_groups"),
+    )
+
+
+@query(
+    "embedding_dimension_profile",
+    """
+    WITH dims AS (SELECT unnest(range(0, 9999)) AS dim),
+    ex AS (
+      SELECT t.dim AS dim, CAST(embedding[t.dim + 1] AS DOUBLE) AS x
+      FROM embeddings, dims t
+      WHERE t.dim < len(embedding))
+    SELECT dim, count(*) AS n,
+           CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+           CAST(sum(CAST(floor(x * 1e3 + 0.5) AS BIGINT)
+                    * CAST(floor(x * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS sum_sq_milli,
+           min(x) AS min_val, max(x) AS max_val
+    FROM ex GROUP BY dim
+    """,
+)
+def embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (similarity.dimension_profile)
+    — the whitening / dead-dimension audit: n, fixed-point mean and
+    second-moment sums, exact min/max per coordinate. Published sums
+    are int64 over floor(x·scale + 0.5) of exactly-widened doubles, so
+    association order cannot move an ulp (the PSI discipline); the
+    oracle enumerates dimensions by index since DuckDB lacks WITH
+    ORDINALITY (the 9999 range is a cap, pruned by len())."""
+    from meteor_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.dimension_profile(emb, "embedding").withColumn(
+        "dim", F.col("dim").cast("long")
+    )
+
+
+@query(
+    "event_value_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, any_value(med) AS med,
+             quantile_cont(adev, 0.5) AS mad, count(*) AS n
+      FROM dev GROUP BY event_type),
+    outl AS (
+      SELECT d.event_type, count(*) AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE d.adev * 0.6745 > 3.5 * m.mad
+      GROUP BY d.event_type)
+    SELECT m.event_type,
+           floor(m.med * 1e4 + 0.5) / 1e4 AS med,
+           floor(m.mad * 1e4 + 0.5) / 1e4 AS mad,
+           CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+           m.n
+    FROM mad m LEFT JOIN outl o USING (event_type)
+    """,
+)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census via the median absolute deviation
+    (profile.mad_outlier_report): med, MAD, and the count of values with
+    robust z > 3.5 — the censor a few extreme points cannot drag,
+    unlike the mean/stddev twin (event_value_outliers). Interpolated
+    medians match quantile_cont (parity proven by the percentile
+    gates); the outlier test stays in product form (one multiply per
+    side, no divide) and the published med/mad use the bit-stable
+    floor(x·1e4 + 0.5)/1e4 publish."""
+    from meteor_spark.operators import profile
+
+    e = _t(spark, sf_dir, "events")
+    return profile.mad_outlier_report(e, "event_type", "value")
+
+
+_SLIDE_H1 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+_SLIDE_H2 = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT"
+
+
+@query(
+    "events_sliding_distinct",
+    f"""
+    WITH h AS (
+      -- floor, not CAST: duckdb's double->bigint cast ROUNDS, so an
+      -- event in the last sub-second of an hour would jump windows
+      -- (spark's unix_timestamp truncates)
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             {_SLIDE_H1} % {_HLL64_M} AS reg,
+             CASE WHEN {_SLIDE_H2} = 0 THEN 33
+                  ELSE 33 - len(bin({_SLIDE_H2})) END AS rho
+      FROM events),
+    p AS (SELECT event_type, hr, reg, max(rho) AS rho, count(*) AS nr
+          FROM h GROUP BY 1, 2, 3),
+    win AS (SELECT unnest(range(0, 3)) AS o),
+    exp AS (SELECT event_type, hr + w.o AS win_end, reg, rho, nr
+            FROM p, win w),
+    obs AS (SELECT DISTINCT event_type, hr AS win_end FROM p),
+    regs AS (SELECT event_type, win_end, reg, max(rho) AS rho, sum(nr) AS nr
+             FROM exp GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT event_type, win_end,
+             sum(CAST(1 AS BIGINT) << (50 - rho))
+               + ({_HLL64_M} - count(rho)) * (CAST(1 AS BIGINT) << 50) AS s,
+             {_HLL64_M} - count(rho) AS v,
+             CAST(sum(nr) AS BIGINT) AS n_rows
+      FROM regs GROUP BY 1, 2)
+    SELECT a.event_type, a.win_end,
+           round(CASE WHEN {_HLL64_ALPHA_NUM!r} / s <= 2.5 * {_HLL64_M} AND v > 0
+                      THEN {float(_HLL64_M)!r} * ln({float(_HLL64_M)!r} / v)
+                      ELSE {_HLL64_ALPHA_NUM!r} / s END, 4) AS approx_distinct,
+           a.n_rows
+    FROM agg a JOIN obs USING (event_type, win_end)
+    """,
+)
+def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-hour distinct users per (event_type, hour) from
+    mergeable register partials (sketches.sliding_hll64): hourly
+    portable-HLL partials are exploded into the <=3 windows each hour
+    serves and max-merged — the sliding-distinct rollup WITHOUT a
+    rescan per window, the shape that makes trailing uniques viable at
+    100 TB (state is periods x m registers, merge cost independent of
+    raw N). Same md5-register family as events_portable_hll_rollup, so
+    the DuckDB oracle rebuilds the estimates bit-for-bit."""
+    from meteor_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600")
+    )
+    hourly = sketches.hll64_partials(e, ["event_type", "hr"], "user_id", lg_k=_HLL64_LGK)
+    return sketches.sliding_hll64(hourly, ["event_type"], "hr", window=3, lg_k=_HLL64_LGK)

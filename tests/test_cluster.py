@@ -86,3 +86,50 @@ def test_best_survivors_keep_unclustered_rows(spark):
         for r in best_survivors_from_labels(docs, labels, "n_chars").collect()
     )
     assert out == [2, 7]  # 7 untouched by any edge survives untouched
+
+
+def test_cluster_aware_split_keeps_clusters_together(spark):
+    from meteor_spark.operators.cluster import cluster_aware_split
+    from meteor_spark.operators.sampling import hash_bucket
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # two clusters: {1,2,3} rep 1 and {50,51} rep 50; rest unclustered
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (50, 50), (51, 50)], ["node", "cluster_id"]
+    )
+    out = cluster_aware_split(docs, labels).persist()
+    rows = {r["doc_id"]: (r["group_rep"], r["split"]) for r in out.collect()}
+    # every cluster member shares its representative's split
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[50] == rows[51]
+    assert rows[1][0] == 1 and rows[50][0] == 50
+    # unclustered docs hash their own id — identical to holdout_split
+    b = docs.select(hash_bucket(F.col("doc_id")).alias("b"), "doc_id").collect()
+    for r in b:
+        if r["doc_id"] in (1, 2, 3, 50, 51):
+            continue
+        want = "train" if r["b"] < 9000 else ("val" if r["b"] < 9500 else "test")
+        assert rows[r["doc_id"]][1] == want, r["doc_id"]
+    # no cluster spans splits (the property the op exists for)
+    leak = (
+        out.groupBy("group_rep")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert leak == 0
+    out.unpersist()
+
+
+def test_cluster_aware_split_rates_respected_roughly(spark):
+    from meteor_spark.operators.cluster import cluster_aware_split
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    labels = spark.createDataFrame([(0, 0)], ["node", "cluster_id"])
+    got = {
+        r["split"]: r["n"]
+        for r in cluster_aware_split(docs, labels)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["train"] > 8500 and got["val"] > 200 and got["test"] > 200
+    assert sum(got.values()) == 10_000

@@ -238,3 +238,27 @@ def test_round5_wave_on_empty(spark, empty_vecs):
     labels = spark.createDataFrame([(1, 1), (2, 1)], "node long, cluster_id long")
     empty_scored = spark.createDataFrame([], "doc_id long, n_chars long")
     assert best_survivors_from_labels(empty_scored, labels, "n_chars").count() == 0
+
+
+def test_round6_wave_on_empty(spark, empty_docs, empty_vecs):
+    from meteor_spark.operators import similarity, sketches
+    from meteor_spark.operators.cluster import cluster_aware_split
+    from meteor_spark.operators.profile import mad_outlier_report
+
+    empty_labels = spark.createDataFrame([], "node long, cluster_id long")
+    out = cluster_aware_split(empty_docs, empty_labels)
+    assert out.count() == 0 and "split" in out.columns
+    # empty labels on a real frame: everyone is their own representative
+    docs = spark.createDataFrame([(1, "a", "en", "s")], empty_docs.schema)
+    row = cluster_aware_split(docs, empty_labels).collect()[0]
+    assert row["group_rep"] == 1 and row["split"] in ("train", "val", "test")
+
+    assert similarity.dimension_profile(empty_vecs).count() == 0
+
+    empty_ev = spark.createDataFrame([], "k string, v double")
+    assert mad_outlier_report(empty_ev, "k", "v").count() == 0
+
+    empty_p = spark.createDataFrame(
+        [], "k string, hr long, reg long, rho int, n_rows long"
+    )
+    assert sketches.sliding_hll64(empty_p, ["k"], "hr", window=3).count() == 0

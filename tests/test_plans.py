@@ -358,6 +358,13 @@ def _plan_counts(plan: str) -> dict:
 
 @pytest.mark.parametrize("name", sorted(_PLAN_BUDGETS))
 def test_plan_budget(spark, name):
+    # budgets are COLD-plan counts: shared persisted state left behind
+    # by earlier tests swaps subtrees for InMemoryTableScans and shifts
+    # join strategies, making the counts order-dependent
+    from meteor_spark.queries import _SHARED
+
+    _SHARED.clear()
+    spark.catalog.clearCache()
     got = _plan_counts(_plan(spark, name))
     max_shuffle, min_bhj, max_bnlj = _PLAN_BUDGETS[name]
     assert got["cart"] == 0, f"{name}: CartesianProduct appeared"

@@ -175,3 +175,20 @@ def test_footer_stats_match_scanned_data(spark, sf_dir, tmp_path):
     row = footer_stats(spark, p, ["x"]).collect()[0]
     assert row["n_rows"] == 6 and row["null_count"] == 2
     assert row["min_value"] == -2.0 and row["max_value"] == 8.0
+
+
+def test_mad_outliers_hand_checked(spark):
+    from meteor_spark.operators.profile import mad_outlier_report
+
+    # group a: med=3, adevs {2,1,0,1,2,97} -> mad=1.5;
+    # 100 is an outlier (0.6745*97 > 3.5*1.5), the rest are not
+    vals = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]]
+    # group b: constant -> mad=0 -> no outliers, no div blow-up
+    vals += [("b", 7.0)] * 5
+    df = spark.createDataFrame(vals, "k string, v double")
+    rows = {r["k"]: r for r in mad_outlier_report(df, "k", "v").collect()}
+    a = rows["a"]
+    assert a["med"] == 3.5 and a["mad"] == 1.5 and a["n"] == 6
+    assert a["n_outliers"] == 1
+    b = rows["b"]
+    assert b["med"] == 7.0 and b["mad"] == 0.0 and b["n_outliers"] == 0

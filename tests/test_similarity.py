@@ -408,3 +408,21 @@ def test_dim_truncation_recall_detects_late_dim_signal(spark):
     # 1-dim prefix sees all three as identical -> tie broken by id, still
     # deterministic; recall is whatever the tie gives but bounded by full
     assert out[1]["n_hits"] <= out[4]["n_hits"]
+
+
+def test_dimension_profile_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5]), (1, [0.25, 2.0]), (2, [0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim"]: r for r in similarity.dimension_profile(df).collect()}
+    assert set(rows) == {0, 1}
+    d0 = rows[0]
+    assert d0["n"] == 3
+    assert d0["sum_micro"] == 1_000_000 + 250_000 + 0
+    assert d0["sum_sq_milli"] == 1000**2 + 250**2 + 0
+    assert d0["min_val"] == 0.0 and d0["max_val"] == 1.0
+    d1 = rows[1]
+    assert d1["sum_micro"] == -500_000 + 2_000_000 - 1_000_000
+    assert d1["sum_sq_milli"] == 500**2 + 2000**2 + 1000**2
+    assert d1["min_val"] == -1.0 and d1["max_val"] == 2.0

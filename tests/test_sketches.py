@@ -314,3 +314,31 @@ def test_datasketches_register_state_vs_md5_twin(spark, sf_dir):
         for r in sketches.merge_distinct(sk, ["event_type"]).collect()
     }
     assert via_daily == direct
+
+
+def test_sliding_hll64_equals_direct_merge_of_covered_hours(spark):
+    # window estimate == direct hll64 over the union of its hours
+    # (register max-merge), and only observed periods label windows
+    rows = []
+    for hr, users in [(100, range(0, 50)), (101, range(25, 80)), (103, range(0, 10))]:
+        rows += [(hr, u) for u in users]
+    df = spark.createDataFrame(rows, "hr long, user_id long").withColumn(
+        "k", F.lit("x")
+    )
+    p = sketches.hll64_partials(df, ["k", "hr"], "user_id")
+    out = {
+        r["win_end"]: r
+        for r in sketches.sliding_hll64(p, ["k"], "hr", window=3).collect()
+    }
+    assert set(out) == {100, 101, 103}  # 102 unobserved -> no phantom window
+    # window 101 covers hours 99..101 -> users 0..79; compare to direct
+    direct = sketches.merge_hll64(
+        sketches.hll64_partials(
+            df.filter(F.col("hr").isin(100, 101)), ["k"], "user_id"
+        ),
+        ["k"],
+    ).collect()[0]
+    assert out[101]["approx_distinct"] == direct["approx_distinct"]
+    assert out[101]["n_rows"] == 105  # 50 + 55 events
+    # window 103 covers 101..103: hour 102 absent, union of 101 and 103
+    assert out[103]["n_rows"] == 65
