@@ -35,15 +35,20 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 183 entries, 179 with exact DuckDB oracles (r6 adds
+                 186 entries, 182 with exact DuckDB oracles (r6 adds
                  leakage_free_split — near-dup-cluster-aware holdout,
                  embedding_dimension_profile — fixed-point whitening
                  stats, event_value_mad_outliers — robust MAD census,
-                 events_sliding_distinct — trailing-window distinct
-                 from mergeable register partials). The 4 rows-only
-                 gates wrap engine-internal approximate state and each
-                 names its exact-gated twin; all r1-r5 gates green at
-                 latest driver status.
+                 events_sliding_distinct + streaming_sliding_distinct
+                 — trailing-window distinct from mergeable register
+                 partials, batch and live, one bit-exact oracle,
+                 token_budget_allocation — all-integer mix/epoch
+                 planner, embedding_pc1_power_iteration — exact-int64
+                 quantized power iteration, oracle replays all 8
+                 iterations). The 4 rows-only gates wrap
+                 engine-internal approximate state and each names its
+                 exact-gated twin; all r1-r5 gates green at latest
+                 driver status.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
                  KMeans init, HLL registers, APPROX_* sketches) are

@@ -29,3 +29,26 @@ def ppm_expr(x: str, n: str, div: str) -> str:
         f" + (({r} * 1000) {div} ({n})) * 1000"
         f" + ((({r} * 1000) % ({n})) * 1000) {div} ({n})"
     )
+
+
+def fixed_div_expr(x: str, n: str, digits: int, div: str) -> str:
+    """floor(x * 10^digits / n) with every intermediate bounded by
+    10·n — the digit-at-a-time long-division expansion of ppm_expr,
+    for divisors too large for its 1000-wide steps (ppm_expr needs
+    n <= 9.2e15; this needs only 10·n <= 9.2e18).
+
+        q = (x div n)·10^digits + Σ_k ((r_{k-1}·10) div n)·10^(digits-k)
+        r_k = (r_{k-1}·10) mod n,   r_0 = x mod n
+
+    Cost is an expression tree quadratic in `digits` (each r_k nests the
+    previous) — fine for the 4-6 digit scales these metrics use; both
+    engines fold it in whole-stage codegen / expression execution.
+    ``div`` is the engine's integer-division token (``div`` Spark,
+    ``//`` DuckDB)."""
+    terms = [f"(({x}) {div} ({n})) * {10 ** digits}"]
+    r = f"(({x}) % ({n}))"
+    for k in range(1, digits + 1):
+        r10 = f"({r} * 10)"
+        terms.append(f"(({r10}) {div} ({n})) * {10 ** (digits - k)}")
+        r = f"(({r10}) % ({n}))"
+    return " + ".join(terms)

@@ -403,3 +403,55 @@ def temperature_mix_weights(
         F.round(F.col("pa") / F.col("z"), round_to).alias("target_share"),
         F.round((F.col("pa") / F.col("z")) / F.col("share"), round_to).alias("mix_factor"),
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget_factor: int = 2,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-budget planner: given the corpus's per-source token counts
+    and a global training budget (budget_factor x total corpus tokens),
+    allocate budget tokens per source under a sqrt-temperature mix
+    (alpha = 0.5) and report the implied epoch count — "how many passes
+    over each source does this mix actually mean", the question a
+    data-mixing plan has to answer before a run is priced.
+
+    Bit-stable by construction, no float sums anywhere:
+      weight_milli = floor(sqrt(n_tokens)·1e3 + 0.5)   — sqrt is IEEE
+        correctly-rounded (unlike pow), so both engines produce the
+        identical double, and the one multiply+floor is identical too;
+      share_ppm    = floor(weight·1e6 / Σweights)       — ppm_expr keeps
+        every intermediate in int64;
+      alloc_tokens = budget·share_ppm / 1e6             — exact int64 for
+        budgets to ~9.2e12 tokens (tens of TB); past that, shard or
+        rescale per the ppm_expr playbook;
+      epochs_ppm   = floor(alloc·1e6 / n_tokens)        — ppm again.
+    The plan is one corpus groupBy plus broadcast one-row scalars —
+    nothing corpus-sized shuffles twice (same shape as
+    temperature_mix_weights)."""
+    from meteor_spark.functions.exactmath import ppm_expr
+    from meteor_spark.operators.text import normalize_text, words
+
+    s = df.groupBy(group_col).agg(
+        F.sum(F.size(words(normalize_text(F.col(text_col))))).cast("long").alias("n_tokens"),
+    )
+    w = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e3 + F.lit(0.5)).cast("long")
+    s = s.withColumn("weight_milli", w)
+    z = s.agg(
+        F.sum("weight_milli").alias("z"),
+        (F.sum("n_tokens") * budget_factor).cast("long").alias("budget"),
+    )
+    out = s.crossJoin(F.broadcast(z))
+    share_ppm = F.expr(ppm_expr("weight_milli", "z", "div")).cast("long")
+    out = out.withColumn("share_ppm", share_ppm)
+    # integer floor, not double division: budget*share_ppm stays int64
+    # (budget <= 9.2e12 bound documented above)
+    alloc = F.expr("(budget * share_ppm) div 1000000").cast("long")
+    out = out.withColumn("alloc_tokens", alloc)
+    epochs = F.expr(ppm_expr("alloc_tokens", "n_tokens", "div")).cast("long")
+    return out.select(
+        group_col, "n_tokens", "weight_milli", "share_ppm",
+        "alloc_tokens", epochs.alias("epochs_ppm"),
+    )

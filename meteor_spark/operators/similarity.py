@@ -1290,3 +1290,84 @@ def dimension_profile(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.min("x").alias("min_val"),
         F.max("x").alias("max_val"),
     )
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the (uncentered) second-moment matrix
+    by QUANTIZED power iteration — the dominant anisotropy axis that
+    embedding whitening removes first, computed with EXACT integer
+    arithmetic end to end so a SQL oracle replays it bit-for-bit.
+
+    The float version of power iteration is unpublishable across
+    engines (every iteration is a float matrix-vector product whose
+    association order differs), so the operator iterates on an exact
+    0.01-grid copy of the data instead:
+
+      xm_d   = floor(x_d·100 + 0.5)              (int64, exact per value)
+      dot_i  = Σ_d xm_id·v_d                     (int64 fold, JVM-side)
+      s_d    = Σ_i xm_id·dot_i                   (one groupBy per iter)
+      v'_d   = sign·floor(|s_d|·1e4 / max|s|)    (L∞ normalization via
+               fixed_div_expr-equivalent integer math; sign makes the
+               largest-|s| component positive, ties to the lowest dim)
+
+    Integer overflow bounds (documented, not silent): with |x| <= 10
+    and dims <= 64, s_d <= rows·1e3·(64·1e3·1e4) — int64-safe to ~1e7
+    rows per... ~1.4e7 rows; past that, quantize to 0.1 or shard the
+    row sum. The returned direction is exact for the quantized matrix
+    and within quantization error of the float one (pinned by a unit
+    test against numpy on the same grid).
+
+    Distribution shape: the corpus never moves — each iteration is one
+    Arrow-free JVM fold for the dots plus one 64-key groupBy; only the
+    64-int state vector is collected per iteration (the kmeans/kcenter
+    bounded-collect pattern).
+    """
+    xm = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 100 + F.lit(0.5)).cast("long")
+    )
+    base = df.select(F.col(id_col), xm.alias("xm")).persist()
+    first = base.select(F.size("xm").alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "dim long, pc1_fixed long")
+    n_dim = first["d"]
+    v = [10_000] * n_dim
+
+    for _ in range(iters):
+        varr = F.array(*[F.lit(x).cast("long") for x in v])
+        dot = F.aggregate(
+            F.zip_with("xm", varr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        s_rows = (
+            base.withColumn("dot", dot)
+            .select(F.posexplode("xm").alias("dim", "xval"), "dot")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xval") * F.col("dot")).alias("s"))
+            .collect()
+        )
+        s = [0] * n_dim
+        for r in s_rows:
+            s[r["dim"]] = r["s"]
+        # deterministic sign: component with the largest |s| (ties ->
+        # lowest dim) must be positive; all-integer comparisons
+        lead = min(range(n_dim), key=lambda d: (-abs(s[d]), d))
+        sgn = -1 if s[lead] < 0 else 1
+        mx = abs(s[lead])
+        if mx == 0:
+            v = [0] * n_dim
+            break
+        # magnitude-only division (floor vs trunc agree on non-negatives)
+        v = [
+            (-1 if sd * sgn < 0 else 1) * ((abs(sd) * 10_000) // mx)
+            for sd in s
+        ]
+    base.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(d, int(v[d])) for d in range(n_dim)], "dim long, pc1_fixed long"
+    )

@@ -78,7 +78,9 @@ def hll64_partials(
     )
 
 
-def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFrame:
+def merge_hll64(
+    partials: DataFrame, keys: list[str], lg_k: int = 10, flag_col: str | None = None
+) -> DataFrame:
     """Roll portable-HLL partials up to coarser keys and read off the
     estimate: (keys..., approx_distinct, n_rows).
 
@@ -98,9 +100,15 @@ def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFra
         raise ValueError(f"lg_k must be in [4, 12], got {lg_k}")
     m = 1 << lg_k
     alpha = 0.7213 / (1 + 1.079 / m)
-    merged = partials.groupBy(*keys, "reg").agg(
-        F.max("rho").alias("rho"), F.sum("n_rows").alias("nr")
-    )
+    # flag_col: optional boolean rider max-merged alongside the
+    # registers (sliding_hll64 marks each window's OWN period with it —
+    # keeps "observed window" a by-product of the merge instead of a
+    # self-join, which also trips Spark's memory-sink self-join
+    # resolution on streaming state readouts)
+    agg1 = [F.max("rho").alias("rho"), F.sum("n_rows").alias("nr")]
+    if flag_col:
+        agg1.append(F.max(flag_col).alias(flag_col))
+    merged = partials.groupBy(*keys, "reg").agg(*agg1)
     # count("rho"), not count("*"): NULL values hash to a NULL register
     # (md5(NULL) is NULL) whose rho is NULL — count_distinct semantics
     # ignore NULLs, so that row must not occupy a register slot (it
@@ -112,11 +120,15 @@ def merge_hll64(partials: DataFrame, keys: list[str], lg_k: int = 10) -> DataFra
         ).alias("s"),
         (F.lit(m) - F.count("rho")).alias("v"),
         F.sum("nr").alias("n_rows"),
+        *([F.max(flag_col).alias(flag_col)] if flag_col else []),
     )
     raw = F.lit(alpha * m * m * float(1 << 50)) / F.col("s")
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v"))
     est = F.round(F.when((raw <= 2.5 * m) & (F.col("v") > 0), lc).otherwise(raw), 4)
-    return per_key.select(*keys, est.alias("approx_distinct"), F.col("n_rows"))
+    out_cols = [*keys, est.alias("approx_distinct"), F.col("n_rows")]
+    if flag_col:
+        out_cols.append(F.col(flag_col))
+    return per_key.select(*out_cols)
 
 
 def quantile_bin_partials(
@@ -361,12 +373,21 @@ def sliding_hll64(
 
     Windows are labeled by their LAST period and only windows whose
     label is an observed period are kept (no phantom trailing windows
-    past the data's end).
+    past the data's end) — tracked by an "own period" flag max-merged
+    WITH the registers, not by a self-join back onto the partials (one
+    less shuffle, and streaming memory-sink state cannot self-join).
     """
-    lab = F.explode(
-        F.sequence(F.col(time_col), F.col(time_col) + (window - 1))
-    ).alias("win_end")
-    expanded = partials.select(*keys, lab, "reg", "rho", "n_rows")
-    observed = partials.select(*keys, F.col(time_col).alias("win_end")).distinct()
-    merged = merge_hll64(expanded, [*keys, "win_end"], lg_k=lg_k)
-    return merged.join(observed, [*keys, "win_end"])
+    structs = F.array(
+        *[
+            F.struct(
+                (F.col(time_col) + i).alias("win_end"),
+                F.lit(i == 0).alias("__own"),
+            )
+            for i in range(window)
+        ]
+    )
+    expanded = partials.select(
+        *keys, F.explode(structs).alias("w"), "reg", "rho", "n_rows"
+    ).select(*keys, "w.win_end", "w.__own", "reg", "rho", "n_rows")
+    merged = merge_hll64(expanded, [*keys, "win_end"], lg_k=lg_k, flag_col="__own")
+    return merged.filter(F.col("__own")).drop("__own")

@@ -7330,3 +7330,142 @@ def events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = sketches.hll64_partials(e, ["event_type", "hr"], "user_id", lg_k=_HLL64_LGK)
     return sketches.sliding_hll64(hourly, ["event_type"], "hr", window=3, lg_k=_HLL64_LGK)
+
+
+from meteor_spark.functions.exactmath import ppm_expr as _ppm  # noqa: E402
+
+
+@query(
+    "token_budget_allocation",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e3 + 0.5) AS BIGINT)
+               AS weight_milli
+      FROM s),
+    z AS (SELECT CAST(sum(weight_milli) AS BIGINT) AS z,
+                 CAST(sum(n_tokens) * 2 AS BIGINT) AS budget
+          FROM w),
+    sh AS (
+      SELECT w.source, w.n_tokens, w.weight_milli,
+             CAST({_ppm("w.weight_milli", "z.z", "//")} AS BIGINT) AS share_ppm,
+             z.budget
+      FROM w, z),
+    al AS (
+      SELECT source, n_tokens, weight_milli, share_ppm,
+             CAST((budget * share_ppm) // 1000000 AS BIGINT) AS alloc_tokens
+      FROM sh)
+    SELECT source, n_tokens, weight_milli, share_ppm, alloc_tokens,
+           CAST({_ppm("alloc_tokens", "n_tokens", "//")} AS BIGINT) AS epochs_ppm
+    FROM al
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix planner (sampling.token_budget_allocation): a
+    2x-corpus training budget allocated across sources under a
+    sqrt-temperature mix, with the implied per-source epoch counts —
+    the pre-run answer to "what does this mixture actually replay".
+    All-integer publish (sqrt is the one float op — IEEE
+    correctly-rounded, hence engine-identical; shares/allocations/
+    epochs via ppm_expr int64 arithmetic)."""
+    from meteor_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.token_budget_allocation(docs, budget_factor=2)
+
+
+from meteor_spark.functions.exactmath import fixed_div_expr as _fdiv  # noqa: E402
+
+
+def _pc1_oracle(iters: int = 8) -> str:
+    """Unrolled quantized power iteration (the kmeans oracle pattern:
+    one MATERIALIZED CTE chain per iteration — inlining would re-expand
+    each level multiplicatively)."""
+    ctes = [
+        "dims AS (SELECT unnest(range(0, 9999)) AS dim)",
+        "base AS MATERIALIZED ("
+        " SELECT vec_id, t.dim AS dim,"
+        "        CAST(floor(CAST(embedding[t.dim + 1] AS DOUBLE) * 100 + 0.5)"
+        "             AS BIGINT) AS xm"
+        " FROM embeddings, dims t WHERE t.dim < len(embedding))",
+        "v0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(10000 AS BIGINT) AS v FROM base)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(
+            f"d{k} AS MATERIALIZED ("
+            f" SELECT b.vec_id, CAST(sum(b.xm * v.v) AS BIGINT) AS dot"
+            f" FROM base b JOIN v{p} v USING (dim) GROUP BY b.vec_id)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED ("
+            f" SELECT b.dim, CAST(sum(b.xm * d.dot) AS BIGINT) AS s"
+            f" FROM base b JOIN d{k} d USING (vec_id) GROUP BY b.dim)"
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED ("
+            f" SELECT max(abs(s)) AS mx,"
+            f" (SELECT CASE WHEN s < 0 THEN -1 ELSE 1 END FROM s{k}"
+            f"  ORDER BY abs(s) DESC, dim LIMIT 1) AS sgn"
+            f" FROM s{k})"
+        )
+        q = _fdiv("abs(s.s)", "m.mx", 4, "//")
+        ctes.append(
+            f"v{k} AS MATERIALIZED ("
+            f" SELECT s.dim,"
+            f" CAST(CASE WHEN m.mx = 0 THEN 0 ELSE"
+            f"  (CASE WHEN s.s * m.sgn < 0 THEN -1 ELSE 1 END) * ({q})"
+            f" END AS BIGINT) AS v"
+            f" FROM s{k} s, m{k} m)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CAST(dim AS BIGINT) AS dim, v AS pc1_fixed FROM v{iters}"
+    )
+
+
+@query("embedding_pc1_power_iteration", _pc1_oracle(8))
+def embedding_pc1_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant anisotropy axis of the embedding corpus
+    (similarity.power_iteration_pc1): quantized power iteration on the
+    uncentered second moment, EXACT int64 arithmetic per iteration
+    (0.01-grid data copy, JVM fold dots, 64-key groupBy, L-infinity
+    normalization via digit-wise long division, deterministic sign) —
+    so the 8-iteration fixpoint is replayable and the DuckDB oracle
+    rebuilds it bit-for-bit. Complements embedding_dimension_profile:
+    together they are the whitening recipe (what to subtract, which
+    axis dominates). Scale note: the corpus never shuffles; only the
+    dim-count state vector is collected per iteration (kmeans/kcenter
+    bounded-collect pattern); int64-safe to ~1.4e7 rows at the 0.01
+    grid, shard-or-coarsen beyond (docstring bound in the operator)."""
+    from meteor_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.power_iteration_pc1(emb, "embedding", iters=8)
+
+
+@query("streaming_sliding_distinct", ORACLES["events_sliding_distinct"])
+def streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding_distinct: the events STREAM
+    maintains the per-(type, hour, register) max-rho partials in state
+    (complete mode — registers are the mergeable sketch, updated
+    incrementally per microbatch, state size periods x m regardless of
+    raw N), and the finished state feeds the SAME sliding_hll64
+    window-explode readout. Register max-merge is exact and
+    order-insensitive, so the bounded stream must equal the batch gate
+    — and therefore the batch gate's bit-exact DuckDB oracle — to the
+    last digit. The production shape for "trailing-3h uniques, updated
+    live": no rescan per window, no rescan per batch."""
+    from meteor_spark.operators import sketches
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    ev = stream_events(spark, sf_dir).withColumn(
+        "hr", F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600")
+    )
+    partials = sketches.hll64_partials(ev, ["event_type", "hr"], "user_id", lg_k=_HLL64_LGK)
+    state = run_stream_to_batch(partials, output_mode="complete")
+    return sketches.sliding_hll64(state, ["event_type"], "hr", window=3, lg_k=_HLL64_LGK)

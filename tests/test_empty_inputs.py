@@ -262,3 +262,11 @@ def test_round6_wave_on_empty(spark, empty_docs, empty_vecs):
         [], "k string, hr long, reg long, rho int, n_rows long"
     )
     assert sketches.sliding_hll64(empty_p, ["k"], "hr", window=3).count() == 0
+
+
+def test_round6_wave2_on_empty(spark, empty_docs, empty_vecs):
+    from meteor_spark.operators.sampling import token_budget_allocation
+    from meteor_spark.operators.similarity import power_iteration_pc1
+
+    assert token_budget_allocation(empty_docs).count() == 0
+    assert power_iteration_pc1(empty_vecs).count() == 0

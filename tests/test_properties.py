@@ -208,3 +208,54 @@ def test_ppm_expr_identity_and_int64_bounds(n, data):
     # and the generated SQL references each operand verbatim
     s = ppm_expr("x_col", "n_col", "div")
     assert "x_col" in s and "n_col" in s and " div " in s
+
+
+def test_fixed_div_expr_matches_exact_rational():
+    # property: fixed_div_expr == floor(x * 10^digits / n) for values
+    # where the naive product would overflow int64, on BOTH engines
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from meteor_spark.functions.exactmath import fixed_div_expr
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        x=st.integers(min_value=0, max_value=9_000_000_000_000_000_000 // 10),
+        n=st.integers(min_value=1, max_value=9_000_000_000_000_000_000 // 10),
+        digits=st.integers(min_value=1, max_value=6),
+    )
+    def check(x, n, digits):
+        want = (x * 10**digits) // n
+        if want >= 2**63:  # quotient itself must fit int64
+            return
+        got = duckdb.sql(
+            "SELECT "
+            + fixed_div_expr(
+                f"CAST({x} AS BIGINT)", f"CAST({n} AS BIGINT)", digits, "//"
+            )
+        ).fetchone()[0]
+        assert got == want, (x, n, digits)
+
+    check()
+
+
+def test_fixed_div_expr_spark_duckdb_agree(spark):
+    import duckdb
+
+    from meteor_spark.functions.exactmath import fixed_div_expr
+
+    cases = [
+        (1_300_000_000_000_000_0, 9_200_000_000_000_000, 4),
+        (7, 3, 6),
+        (0, 5, 4),
+        (8_999_999_999_999_999_99, 9_000_000_000_000_000_00, 4),
+    ]
+    for x, n, d in cases:
+        s = spark.sql(
+            f"SELECT {fixed_div_expr(f'CAST({x} AS BIGINT)', f'CAST({n} AS BIGINT)', d, 'div')} AS q"
+        ).collect()[0]["q"]
+        k = duckdb.sql(
+            f"SELECT {fixed_div_expr(f'CAST({x} AS BIGINT)', f'CAST({n} AS BIGINT)', d, '//')}"
+        ).fetchone()[0]
+        assert s == k == (x * 10**d) // n, (x, n, d)

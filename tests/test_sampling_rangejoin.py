@@ -349,3 +349,33 @@ def test_padding_waste_clamps_over_max_cap(spark):
     # 300 > max_cap: lands in the top bucket, padding clamped at 0
     assert out[64]["total_padding"] == 0 and out[64]["total_tokens"] == 300
     assert out[8]["total_padding"] == 3
+
+
+def test_token_budget_allocation_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.sampling import token_budget_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b", "s1"), (3, "x " * 50, "s2"), (4, "y", "s3")],
+        "doc_id long, text string, source string",
+    )
+    out = token_budget_allocation(docs, budget_factor=2).collect()
+    rows = {r["source"]: r for r in out}
+    total_tokens = sum(r["n_tokens"] for r in out)
+    budget = 2 * total_tokens
+    # exact integer recomputation in python (same rationals)
+    import math
+
+    ws = {s: math.floor(math.sqrt(r["n_tokens"]) * 1e3 + 0.5) for s, r in rows.items()}
+    z = sum(ws.values())
+    for s, r in rows.items():
+        assert r["weight_milli"] == ws[s]
+        assert r["share_ppm"] == (ws[s] * 10**6) // z
+        assert r["alloc_tokens"] == (budget * r["share_ppm"]) // 10**6
+        assert r["epochs_ppm"] == (r["alloc_tokens"] * 10**6) // r["n_tokens"]
+    # allocations never exceed budget; shares never exceed 1e6
+    assert sum(r["alloc_tokens"] for r in out) <= budget
+    assert sum(r["share_ppm"] for r in out) <= 10**6
+    # sqrt-temperature boosts the low-resource source's epoch count
+    assert rows["s3"]["epochs_ppm"] > rows["s2"]["epochs_ppm"]

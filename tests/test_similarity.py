@@ -426,3 +426,38 @@ def test_dimension_profile_hand_checked(spark):
     assert d1["sum_micro"] == -500_000 + 2_000_000 - 1_000_000
     assert d1["sum_sq_milli"] == 500**2 + 2000**2 + 1000**2
     assert d1["min_val"] == -1.0 and d1["max_val"] == 2.0
+
+
+def test_power_iteration_pc1_matches_numpy_on_same_grid(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant direction ~ (3, 1, 0.2, 0)-ish
+    basis = np.array([3.0, 1.0, 0.2, 0.0])
+    X = np.outer(rng.normal(size=400), basis) + 0.1 * rng.normal(size=(400, 4))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["dim"]: r["pc1_fixed"] for r in similarity.power_iteration_pc1(df).collect()}
+    v = np.array([got[d] for d in range(4)], dtype=float)
+    # numpy eigenvector of the SAME quantized second moment
+    Xq = np.floor(X.astype(np.float32).astype(np.float64) * 100 + 0.5)
+    w, vecs = np.linalg.eigh(Xq.T @ Xq)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.9999, cos
+    # published scale and sign conventions
+    assert max(abs(x) for x in v) == 10_000
+    lead = max(range(4), key=lambda d: (abs(v[d]), -d))
+    assert v[lead] > 0
+
+
+def test_power_iteration_pc1_empty_and_degenerate(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.power_iteration_pc1(empty).count() == 0
+    zeros = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = similarity.power_iteration_pc1(zeros).collect()
+    assert sorted(r["pc1_fixed"] for r in rows) == [0, 0]
