@@ -194,7 +194,10 @@ def cluster_aware_split(
     rep = labels.select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("__rep")
     )
-    out = df.join(rep, id_col, "left").withColumn(
+    # explicit broadcast: the labels frame is localCheckpointed CC
+    # output whose size statistics are opaque to the pre-AQE planner —
+    # without the hint the initial plan sort-merge-joins the corpus
+    out = df.join(F.broadcast(rep), id_col, "left").withColumn(
         "group_rep", F.coalesce(F.col("__rep"), F.col(id_col))
     ).drop("__rep")
     bucket = hash_bucket(F.col("group_rep"))

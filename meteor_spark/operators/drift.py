@@ -212,3 +212,67 @@ def hourly_autocorrelation(
         F.count("*").cast("long").alias("n_hours"),
         (F.round(F.corr("n", "prev"), round_to) + F.lit(0.0)).alias("lag1_autocorr"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per key, EXACT-integer: the
+    value distribution of the EARLY half of the time range vs the LATE
+    half (split at the integer midpoint of [min, max] of `time_col` —
+    a deterministic corpus property, not a sampled one). KS is the max
+    CDF gap; PSI (psi_drift) needs binning and misses shape changes
+    inside a bin — KS is the binning-free complement.
+
+        D = max_v |F_early(v) - F_late(v)|
+          = max_v |cum1(v)·n2 - cum2(v)·n1| / (n1·n2)
+
+    The numerator is pure int64 (bounded by n1·n2 — safe to ~3e9 rows
+    per side; shard counts past that), built from one (key, value)
+    groupBy and one ordered cumulative window per key; the published
+    ks_ppm divides the exact integers digit-wise (fixed_div_expr), so
+    both engines agree to the last ppm. Ordering ties are a non-issue:
+    cumulative counts are per DISTINCT value, and both engines order
+    identical doubles identically."""
+    from meteor_spark.functions.exactmath import fixed_div_expr
+
+    b = df.agg(
+        F.min(time_col).cast("long").alias("mn"),
+        F.max(time_col).cast("long").alias("mx"),
+    )
+    early = F.col(time_col).cast("long") <= F.expr("(mn + mx) div 2")
+    g = (
+        df.crossJoin(F.broadcast(b))
+        .groupBy(key_col, value_col)
+        .agg(
+            F.sum(early.cast("long")).alias("c1"),
+            F.sum((~early).cast("long")).alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(key_col)
+    d = g.select(
+        key_col,
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(wk).alias("n1"),
+        F.sum("c2").over(wk).alias("n2"),
+    )
+    per_key = d.groupBy(key_col).agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias(
+            "d_num"
+        ),
+        F.first("n1").alias("n_early"),
+        F.first("n2").alias("n_late"),
+    )
+    ks = F.expr(fixed_div_expr("d_num", "n_early * n_late", 6, "div")).cast("long")
+    return per_key.select(
+        key_col, "n_early", "n_late", ks.alias("ks_ppm")
+    )

@@ -7469,3 +7469,52 @@ def streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = sketches.hll64_partials(ev, ["event_type", "hr"], "user_id", lg_k=_HLL64_LGK)
     state = run_stream_to_batch(partials, output_mode="complete")
     return sketches.sliding_hll64(state, ["event_type"], "hr", window=3, lg_k=_HLL64_LGK)
+
+
+@query(
+    "event_value_ks_drift",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS mn,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS mx
+      FROM events),
+    g AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                <= (b.mn + b.mx) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                <= (b.mn + b.mx) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM events, b GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type,
+             CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum2,
+             CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+             CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+      FROM g),
+    agg AS (
+      SELECT event_type,
+             CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+             CAST(any_value(n1) AS BIGINT) AS n_early,
+             CAST(any_value(n2) AS BIGINT) AS n_late
+      FROM cum GROUP BY event_type)
+    SELECT event_type, n_early, n_late,
+           CAST(((d_num) // (n_early * n_late)) * 1000000 + (((((d_num) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 100000 + ((((((((d_num) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 10000 + (((((((((((d_num) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 1000 + ((((((((((((((d_num) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 100 + (((((((((((((((((d_num) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 10 + ((((((((((((((((((((d_num) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) % (n_early * n_late)) * 10)) // (n_early * n_late)) * 1 AS BIGINT) AS ks_ppm
+    FROM agg
+    """,
+)
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning-free distribution drift per event type (drift.ks_drift):
+    exact-integer two-sample Kolmogorov-Smirnov between the EARLY and
+    LATE halves of the time range (integer-midpoint split — a corpus
+    property, not a sample). Complements event_value_drift_psi: PSI is
+    binned and misses within-bin shape changes; KS is the max CDF gap.
+    The numerator stays int64 (cum-count cross products), the ppm
+    publish is digit-wise long division (exactmath.fixed_div_expr), so
+    the oracle agrees to the last ppm at any SF."""
+    from meteor_spark.operators import drift
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "t", F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    )
+    return drift.ks_drift(e, "event_type", "value", "t")

@@ -146,3 +146,29 @@ def test_psi_ignores_null_values(spark):
     b = psi_drift(nulled, "v", "g", F.col("act")).collect()[0]
     assert a["psi"] == b["psi"]
     assert b["n_actual"] == a["n_actual"]  # NULL rows are not observations
+
+
+def test_ks_drift_hand_checked(spark):
+    from meteor_spark.operators.drift import ks_drift
+
+    # early half (t<=5): values {1,2,3,4}; late half: values {3,4,5,6}
+    rows = [("a", float(v), t) for t, v in [(1, 1), (2, 2), (3, 3), (4, 4)]]
+    rows += [("a", float(v), t) for t, v in [(7, 3), (8, 4), (9, 5), (10, 6)]]
+    df = spark.createDataFrame(rows, "k string, value double, t long")
+    out = ks_drift(df, "k", "value", "t").collect()[0]
+    assert out["n_early"] == 4 and out["n_late"] == 4
+    # F_early(2)=0.5, F_late(2)=0 -> D = 0.5 exactly
+    assert out["ks_ppm"] == 500_000
+    # identical halves -> D = 0
+    same = spark.createDataFrame(
+        [("b", 1.0, 1), ("b", 2.0, 2), ("b", 1.0, 9), ("b", 2.0, 10)],
+        "k string, value double, t long",
+    )
+    assert ks_drift(same, "k", "value", "t").collect()[0]["ks_ppm"] == 0
+
+
+def test_ks_drift_empty(spark):
+    from meteor_spark.operators.drift import ks_drift
+
+    empty = spark.createDataFrame([], "k string, value double, t long")
+    assert ks_drift(empty, "k", "value", "t").count() == 0

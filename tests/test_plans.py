@@ -341,6 +341,13 @@ _PLAN_BUDGETS = {
     "passage_dedup_survivors": (5, 1, 0),
     "source_diversity_metrics": (9, 2, 0),
     "bm25_search_topk": (8, 1, 1),
+    # round-6 additions (same method: observed cold counts at test SF)
+    "events_sliding_distinct": (3, 0, 0),
+    "event_value_ks_drift": (3, 0, 1),
+    "event_value_mad_outliers": (6, 5, 0),
+    "leakage_free_split": (3, 1, 0),
+    "embedding_dimension_profile": (1, 0, 0),
+    "token_budget_allocation": (3, 0, 1),
 }
 
 
