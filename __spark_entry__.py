@@ -35,7 +35,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins) —
-                 186 entries, 182 with exact DuckDB oracles (r6 adds
+                 187 entries, 183 with exact DuckDB oracles (r6 adds
                  leakage_free_split — near-dup-cluster-aware holdout,
                  embedding_dimension_profile — fixed-point whitening
                  stats, event_value_mad_outliers — robust MAD census,
@@ -45,7 +45,8 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  token_budget_allocation — all-integer mix/epoch
                  planner, embedding_pc1_power_iteration — exact-int64
                  quantized power iteration, oracle replays all 8
-                 iterations). The 4 rows-only gates wrap
+                 iterations, event_value_ks_drift — exact-integer
+                 two-sample Kolmogorov-Smirnov drift). The 4 rows-only gates wrap
                  engine-internal approximate state and each names its
                  exact-gated twin; all r1-r5 gates green at latest
                  driver status.

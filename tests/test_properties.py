@@ -259,3 +259,35 @@ def test_fixed_div_expr_spark_duckdb_agree(spark):
             f"SELECT {fixed_div_expr(f'CAST({x} AS BIGINT)', f'CAST({n} AS BIGINT)', d, '//')}"
         ).fetchone()[0]
         assert s == k == (x * 10**d) // n, (x, n, d)
+
+
+def test_ks_drift_matches_python_reference(spark):
+    # property: ks_ppm == floor(D * 1e6) for the exact two-sample KS
+    # computed by a python reference on the same integers
+    import random
+
+    from meteor_spark.operators.drift import ks_drift
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):
+        rows.append(
+            ("k", float(rng.choice([1, 2, 3, 5, 8]) + rng.randint(0, 3)), rng.randint(0, 99))
+        )
+    df = spark.createDataFrame(rows, "k string, value double, t long")
+    got = ks_drift(df, "k", "value", "t").collect()[0]
+
+    mid = (0 + 99) // 2  # min/max of t in the fixture span the full range
+    ts = sorted({t for _, _, t in rows})
+    mid = (min(ts) + max(ts)) // 2
+    early = sorted(v for _, v, t in rows if t <= mid)
+    late = sorted(v for _, v, t in rows if t > mid)
+    n1, n2 = len(early), len(late)
+    values = sorted(set(early) | set(late))
+    best = 0
+    for v in values:
+        c1 = sum(1 for x in early if x <= v)
+        c2 = sum(1 for x in late if x <= v)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    assert got["n_early"] == n1 and got["n_late"] == n2
+    assert got["ks_ppm"] == (best * 10**6) // (n1 * n2)
