@@ -1330,7 +1330,13 @@ def power_iteration_pc1(
     xm = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * 100 + F.lit(0.5)).cast("long")
     )
-    base = df.select(F.col(id_col), xm.alias("xm")).persist()
+    # NULL vectors carry no direction information; dropping them also
+    # keeps the dim probe below from landing on a NULL row
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), xm.alias("xm"))
+        .persist()
+    )
     first = base.select(F.size("xm").alias("d")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "dim long, pc1_fixed long")

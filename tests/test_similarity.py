@@ -461,3 +461,12 @@ def test_power_iteration_pc1_empty_and_degenerate(spark):
     )
     rows = similarity.power_iteration_pc1(zeros).collect()
     assert sorted(r["pc1_fixed"] for r in rows) == [0, 0]
+
+
+def test_power_iteration_pc1_ignores_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim"]: r["pc1_fixed"] for r in similarity.power_iteration_pc1(df).collect()}
+    assert rows == {0: 10_000, 1: 0}
