@@ -94,7 +94,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r05 union: all 179 gates, incl. the 4 rows-only ones, which have
+#      r06 union: all 187 gates, incl. the 4 rows-only ones, which have
 #      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 # Post-round hygiene (documented process): refresh these sets from the
@@ -112,6 +112,7 @@ _CHECKED_GREEN = {
     "corpus_zipf_fit", "curation_pipeline", "customer_balance_quartiles",
     "customer_order_set_ops", "customers_without_orders",
     "dedup_exact_survivors", "dedup_rate_by_source",
+    "embedding_dimension_profile", "embedding_pc1_power_iteration",
     "doc_bigram_perplexity", "doc_containment_pairs", "doc_novelty_scores",
     "doc_repetition_quality", "doc_similarity_topk", "document_chunks",
     "dsir_importance_weights", "duplicated_span_report",
@@ -121,16 +122,18 @@ _CHECKED_GREEN = {
     "event_seasonality_residuals", "event_transition_entropy",
     "event_transition_matrix", "event_type_count_min",
     "event_type_lift_matrix", "event_value_drift_psi",
+    "event_value_ks_drift", "event_value_mad_outliers",
     "event_value_outliers", "event_value_percentiles",
     "event_value_quantile_sketch_rollup", "event_value_winsorized_stats",
     "events_asof_purchase", "events_distinct_sketch_rollup",
     "events_hourly_rollup", "events_multi_rollup",
     "events_portable_hll_rollup", "events_session_windows",
+    "events_sliding_distinct",
     "events_trailing_window", "events_usage", "events_usage_salted",
     "exact_dup_groups", "gopher_quality_gate", "hot_passage_scrub",
     "hybrid_search_rrf", "image_ahash_pairs", "incremental_dedup",
     "ivf_ann_topk", "ivf_kmeans_ann_topk", "join_cardinality_estimate",
-    "kcenter_coreset", "label_centroid_similarity",
+    "kcenter_coreset", "label_centroid_similarity", "leakage_free_split",
     "language_confidence_report", "latest_event_per_user",
     "lineitem_footer_stats", "lineitem_measure_unpivot",
     "lineitem_numeric_correlations", "lineitem_price_histogram",
@@ -166,8 +169,10 @@ _CHECKED_GREEN = {
     "srp_ann_topk", "stratified_sample", "streaming_click_attribution",
     "streaming_hourly_rollup", "streaming_incremental_dedup",
     "streaming_incremental_neardup", "streaming_quantile_rollup",
-    "streaming_segment_counts", "streaming_word_heavy_hitters",
-    "temperature_mix_weights", "text_analysis", "top_customers",
+    "streaming_segment_counts", "streaming_sliding_distinct",
+    "streaming_word_heavy_hitters",
+    "temperature_mix_weights", "text_analysis", "token_budget_allocation",
+    "top_customers",
     "top_docs_per_lang", "training_order_interleave",
     "truncation_budget_curve", "user_activity_gini", "user_event_grants",
     "user_path_trigrams", "user_retention_cohorts", "user_sessions",

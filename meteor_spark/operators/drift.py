@@ -230,13 +230,19 @@ def ks_drift(
         D = max_v |F_early(v) - F_late(v)|
           = max_v |cum1(v)·n2 - cum2(v)·n1| / (n1·n2)
 
-    The numerator is pure int64 (bounded by n1·n2 — safe to ~3e9 rows
-    per side; shard counts past that), built from one (key, value)
-    groupBy and one ordered cumulative window per key; the published
-    ks_ppm divides the exact integers digit-wise (fixed_div_expr), so
-    both engines agree to the last ppm. Ordering ties are a non-issue:
-    cumulative counts are per DISTINCT value, and both engines order
-    identical doubles identically."""
+    The arithmetic is pure int64. The binding bound is the PUBLISH
+    step, not the numerator: fixed_div_expr needs 10·(n1·n2) ≤ 9.2e18,
+    i.e. n1·n2 ≤ 9.2e17 — ~9.6e8 rows per balanced side (the numerator
+    alone, |cum·n|, would tolerate ~3e9). Shard counts past that.
+    Built from one (key, value) groupBy and one ordered cumulative
+    window per key; the published ks_ppm divides the exact integers
+    digit-wise (fixed_div_expr), so both engines agree to the last
+    ppm. Ordering ties are a non-issue: cumulative counts are per
+    DISTINCT value, and both engines order identical doubles
+    identically. NULL values are not observations (matching
+    psi_drift): they are filtered before counting — otherwise Spark
+    (NULLS FIRST) and DuckDB (NULLS LAST) would place the NULL group
+    at opposite ends of the CDF."""
     from meteor_spark.functions.exactmath import fixed_div_expr
 
     b = df.agg(
@@ -245,7 +251,8 @@ def ks_drift(
     )
     early = F.col(time_col).cast("long") <= F.expr("(mn + mx) div 2")
     g = (
-        df.crossJoin(F.broadcast(b))
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(b))
         .groupBy(key_col, value_col)
         .agg(
             F.sum(early.cast("long")).alias("c1"),

@@ -7484,7 +7484,7 @@ def streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 <= (b.mn + b.mx) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
              CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                                 <= (b.mn + b.mx) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS c2
-      FROM events, b GROUP BY event_type, value),
+      FROM events, b WHERE value IS NOT NULL GROUP BY event_type, value),
     cum AS (
       SELECT event_type,
              CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS cum1,

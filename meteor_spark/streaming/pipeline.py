@@ -338,10 +338,19 @@ def _compact_dataset(
     # a re-compaction drops the old partition column; the key column
     # carries the full information
     df = df.drop(*[c for c in df.columns if _store_pfx_col([c])])
-    # tolerate stores written before an identity column existed (e.g.
-    # a pre-__corpus shingle store): a missing key column can't
-    # distinguish rows, so it can't make the dedup lossy either
+    # tolerate ONLY the optional __corpus origin marker going missing
+    # (stores written before it existed): any other absent key column
+    # means this directory is not the store we were pointed at, and
+    # dropDuplicates([]) would collapse it to one row — refuse instead
+    # of destroying it (the losslessness gate below can't catch this:
+    # `expect` derives from the same deduped frame).
+    missing = [c for c in key_cols if c not in df.columns and c != "__corpus"]
     key_cols = [c for c in key_cols if c in df.columns]
+    if missing or not key_cols:
+        raise RuntimeError(
+            f"compaction of {live} refused: key column(s) {missing or key_cols!r} "
+            f"absent from store schema {df.columns}; live store untouched"
+        )
     rows_before = df.count()
     files_before = len(list_data_files(spark, live))
     deduped = df.dropDuplicates(key_cols).persist()

@@ -167,6 +167,28 @@ def test_ks_drift_hand_checked(spark):
     assert ks_drift(same, "k", "value", "t").collect()[0]["ks_ppm"] == 0
 
 
+def test_ks_drift_ignores_null_values(spark):
+    """NULL values are not observations (psi_drift semantics); without
+    the filter Spark (NULLS FIRST) and DuckDB (NULLS LAST) would place
+    the NULL group at opposite CDF ends and diverge."""
+    from meteor_spark.operators.drift import ks_drift
+
+    rows = [("a", float(v), t) for t, v in [(1, 1), (2, 2), (7, 3), (8, 4)]]
+    clean = spark.createDataFrame(rows, "k string, value double, t long")
+    nulled = clean.union(
+        spark.createDataFrame(
+            [("a", None, 1), ("a", None, 9)], "k string, value double, t long"
+        )
+    )
+    a = ks_drift(clean, "k", "value", "t").collect()[0]
+    b = ks_drift(nulled, "k", "value", "t").collect()[0]
+    assert (a["ks_ppm"], a["n_early"], a["n_late"]) == (
+        b["ks_ppm"],
+        b["n_early"],
+        b["n_late"],
+    )
+
+
 def test_ks_drift_empty(spark):
     from meteor_spark.operators.drift import ks_drift
 

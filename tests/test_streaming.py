@@ -428,6 +428,34 @@ def test_compaction_is_idempotent(spark, sf_dir, tmp_path):
     assert rep2["shingles"]["rows"][0] == rep2["shingles"]["rows"][1]
 
 
+def test_compaction_refuses_foreign_store(spark, tmp_path):
+    """pointing compaction at a parquet dir that lacks the key columns
+    must refuse, not dropDuplicates([])-collapse it to one row and swap
+    the wreckage in (the losslessness gate can't catch this: `expect`
+    derives from the same deduped frame). Only the optional __corpus
+    origin marker may be absent."""
+    import pytest
+
+    from meteor_spark.streaming.pipeline import (
+        _compact_dataset,
+        compact_fingerprint_store,
+    )
+
+    foreign = str(tmp_path / "foreign")
+    spark.range(50).selectExpr("id", "id * 2 AS other").write.parquet(foreign)
+    with pytest.raises(RuntimeError, match="refused"):
+        compact_fingerprint_store(spark, foreign)
+    kept = spark.read.parquet(foreign)
+    assert kept.count() == 50 and set(kept.columns) == {"id", "other"}
+
+    # a pre-__corpus store (only the marker missing) still compacts
+    legacy = str(tmp_path / "legacy")
+    df = spark.range(20).selectExpr("CAST(id % 10 AS BIGINT) AS doc_id")
+    df.union(df).write.parquet(legacy)
+    rep = _compact_dataset(spark, legacy, ["doc_id", "__corpus"], range_col="doc_id")
+    assert rep["rows"] == (40, 10)
+
+
 def test_fingerprint_store_compaction_and_pruned_continuation(spark, sf_dir, tmp_path):
     import glob
     import os
