@@ -5,6 +5,23 @@ oracle_sql() twin on DuckDB at the given sf dir, then compares
 row count, sorted column names, and an order-insensitive value hash.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       [--cache PATH] [--record PATH] [--skip name,name,...]
+
+--cache PATH   Slow-oracle tier: JSON file of cached DuckDB oracle
+               results (cols, rowcount, value hash) keyed by
+               (fixture digest, md5 of the oracle SQL). The ~1000s
+               recursive-CC oracles (leakage_free_split,
+               dedup_rate_by_source) and the pair-exploding family
+               run ONCE per (fixture, SQL) and are replayed from the
+               cache on every later sweep; ANY edit to the oracle SQL
+               or the fixture files invalidates the entry. The Spark
+               side is never cached — it is the thing under test.
+--record PATH  Strict-certification registry (e.g. docs/CERT10X.json):
+               every PASS upserts {gate: {fixture, rows, spark_sec,
+               oracle_sec|"cached"}}. This is the machine-readable
+               ledger behind COVERAGE.md's "N gates 10x-certified".
+--skip a,b     Gate names to leave out of this sweep (documented
+               exclusions; they stay absent from --record).
 """
 
 from __future__ import annotations
@@ -78,9 +95,53 @@ def unsafe_oracle_types(rel) -> dict[str, str]:
     }
 
 
+def fixture_digest(sf_dir: str) -> str:
+    """Digest of the fixture's table files by (name, size). Size-only —
+    no mtime — so a byte-identical rebuild of /tmp/scale10 keeps its
+    cache entries; a content change of any table almost surely changes
+    a parquet file size and invalidates them."""
+    parts = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        parts.append(f"{t}:{os.path.getsize(p) if os.path.exists(p) else -1}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _load_json(path: str) -> dict:
+    import json
+
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _dump_json(path: str, obj: dict) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.001"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    argv = list(sys.argv[1:])
+    cache_path = record_path = None
+    skip: set[str] = set()
+    for flag in ("--cache", "--record", "--skip"):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i : i + 2]
+            if flag == "--cache":
+                cache_path = val
+            elif flag == "--record":
+                record_path = val
+            else:
+                skip = set(val.split(","))
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
+    only = set(a for a in argv if not os.path.isdir(a))
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     from meteor_spark.session import get_spark
@@ -96,9 +157,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    fdig = fixture_digest(sf_dir)
+    cache = _load_json(cache_path) if cache_path else None
+    record = _load_json(record_path) if record_path else None
+    fixture_label = os.path.basename(sf_dir.rstrip("/"))
     failures = []
+    n_skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"skip {name} (--skip)")
+            n_skipped += 1
             continue
         t0 = time.time()
         try:
@@ -114,55 +184,92 @@ def main() -> int:
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
-        try:
-            rel = con.sql(oracles[name])
-            dcols = [c for c in rel.columns]
-            unsafe = unsafe_oracle_types(rel)
-            drows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
+        t_spark = time.time() - t0
+        ckey = f"{fdig}:{hashlib.md5(oracles[name].encode()).hexdigest()}"
+        hit = cache.get(ckey) if cache is not None else None
+        t_oracle: float | str
+        if hit is not None:
+            dcols, n_drows, dh, unsafe = (
+                hit["cols"], hit["nrows"], hit["hash"], hit.get("unsafe", {})
+            )
+            drows = None
+            t_oracle = "cached"
+        else:
+            t1 = time.time()
+            try:
+                rel = con.sql(oracles[name])
+                dcols = [c for c in rel.columns]
+                unsafe = unsafe_oracle_types(rel)
+                drows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: duckdb error: {e}")
+                failures.append(name)
+                continue
+            n_drows = len(drows)
+            dh = frame_hash(dcols, drows)
+            t_oracle = round(time.time() - t1, 1)
+            if cache is not None:
+                cache[ckey] = {
+                    "gate": name, "fixture": fixture_label, "cols": dcols,
+                    "nrows": n_drows, "hash": dh, "unsafe": unsafe,
+                }
+                _dump_json(cache_path, cache)
         ok = True
         if unsafe:
             print(f"FAIL {name}: fetch-path-unsafe oracle types {unsafe} "
                   f"(CAST to BIGINT/DOUBLE — HUGEINT et al. hash differently via pandas)")
             ok = False
-        if len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+        if len(srows) != n_drows:
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={n_drows}")
             ok = False
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
             ok = False
         if ok:
-            sh, dh = frame_hash(scols, srows), frame_hash(dcols, drows)
+            sh = frame_hash(scols, srows)
             if sh != dh:
                 print(f"FAIL {name}: value hash mismatch ({len(srows)} rows)")
-                # show first differing rows for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                aset = sorted("|".join(normalize_cell(r[i]) for i in order_s) for r in srows)
-                bset = sorted("|".join(normalize_cell(r[i]) for i in order_d) for r in drows)
-                for a, b in zip(aset, bset):
-                    if a != b:
-                        print(f"  spark : {a[:200]}\n  duckdb: {b[:200]}")
-                        break
-                only_a = set(aset) - set(bset)
-                only_b = set(bset) - set(aset)
-                for x in list(only_a)[:2]:
-                    print(f"  only-spark : {x[:200]}")
-                for x in list(only_b)[:2]:
-                    print(f"  only-duckdb: {x[:200]}")
+                if drows is None:
+                    print("  (oracle side from cache — rerun without --cache "
+                          "or delete the entry to see row diffs)")
+                else:
+                    # show first differing rows for debugging
+                    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                    aset = sorted("|".join(normalize_cell(r[i]) for i in order_s) for r in srows)
+                    bset = sorted("|".join(normalize_cell(r[i]) for i in order_d) for r in drows)
+                    for a, b in zip(aset, bset):
+                        if a != b:
+                            print(f"  spark : {a[:200]}\n  duckdb: {b[:200]}")
+                            break
+                    only_a = set(aset) - set(bset)
+                    only_b = set(bset) - set(aset)
+                    for x in list(only_a)[:2]:
+                        print(f"  only-spark : {x[:200]}")
+                    for x in list(only_b)[:2]:
+                        print(f"  only-duckdb: {x[:200]}")
                 ok = False
         if ok:
-            print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"PASS {name} ({len(srows)} rows, spark {t_spark:.1f}s, "
+                f"oracle {t_oracle}{'' if t_oracle == 'cached' else 's'})"
+            )
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
+            if record is not None:
+                record[name] = {
+                    "fixture": fixture_label,
+                    "rows": len(srows),
+                    "spark_sec": round(t_spark, 1),
+                    "oracle_sec": t_oracle,
+                }
+                _dump_json(record_path, record)
         else:
             failures.append(name)
 
-    n_run = len([n for n in qs if not only or n in only])
-    print(f"\n{n_run - len(failures)}/{n_run} ok ({len(qs)} registered); failures: {failures}")
+    n_run = len([n for n in qs if (not only or n in only) and n not in skip])
+    print(f"\n{n_run - len(failures)}/{n_run} ok ({len(qs)} registered, "
+          f"{n_skipped} skipped); failures: {failures}")
     return 1 if failures else 0
 
 
