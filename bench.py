@@ -152,7 +152,37 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"bench error timing cold shared builds: {e}", file=sys.stderr)
 
-    total = round(sum(t for k, t in timings.items() if t >= 0 and not k.endswith("_cold")), 3)
+    # Amortized store-lifecycle line items (informational, excluded
+    # from the total like the *_cold entries): the two multi-microbatch
+    # pipeline gates report one number that mixes per-batch fixed cost
+    # with state growth; these split out cost per microbatch and per MB
+    # of store compacted, from instrumentation of the gates' final run.
+    try:
+        from meteor_spark.streaming.pipeline import LAST_STATS
+
+        if timings.get("streaming_incremental_neardup", -1) > 0 and LAST_STATS.get(
+            "neardup_stream_batches"
+        ):
+            timings["streaming_incremental_neardup_per_batch"] = round(
+                LAST_STATS["neardup_stream_sec"]
+                / LAST_STATS["neardup_stream_batches"],
+                3,
+            )
+        if timings.get("neardup_store_compaction", -1) > 0 and LAST_STATS.get(
+            "compact_bytes_in"
+        ):
+            timings["neardup_store_compaction_per_mb"] = round(
+                LAST_STATS["compact_sec"] / (LAST_STATS["compact_bytes_in"] / 1e6),
+                3,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"bench error deriving amortized entries: {e}", file=sys.stderr)
+
+    _informational = ("_cold", "_per_batch", "_per_mb")
+    total = round(
+        sum(t for k, t in timings.items() if t >= 0 and not k.endswith(_informational)),
+        3,
+    )
     failed = sorted(k for k, t in timings.items() if t < 0)
     # Full per-query timings go to a side file; the stdout line must stay
     # SHORT — the driver keeps only the last ~2KB of stdout, and a JSON
@@ -261,6 +291,10 @@ def main() -> None:
         "hot_passage_scrub",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
+        "streaming_incremental_neardup",
+        "streaming_incremental_neardup_per_batch",
+        "neardup_store_compaction",
+        "neardup_store_compaction_per_mb",
     ]
     print(compact_line(timings, headline, failed, total, sf))
     spark.stop()

@@ -306,6 +306,14 @@ def _partitioned_append(df: DataFrame, pcol: str, key: str, path: str) -> None:
     )
 
 
+# Amortization stats from the latest store-lifecycle run in this
+# process (bench.py reads these to publish per-microbatch / per-MB
+# line items alongside the raw gate timings — the raw numbers measure
+# a whole multi-microbatch pipeline as one figure, which hides whether
+# growth is per-batch fixed cost or state-size cost).
+LAST_STATS: dict[str, float] = {}
+
+
 def _compact_dataset(
     spark,
     live: str,
@@ -352,7 +360,8 @@ def _compact_dataset(
             f"absent from store schema {df.columns}; live store untouched"
         )
     rows_before = df.count()
-    files_before = len(list_data_files(spark, live))
+    in_files = list_data_files(spark, live)
+    files_before, bytes_before = len(in_files), sum(sz for _, sz in in_files)
     deduped = df.dropDuplicates(key_cols).persist()
     expect = deduped.count()
     if prefix_col is not None:
@@ -381,8 +390,10 @@ def _compact_dataset(
     shutil.move(live, old)
     shutil.move(tmp, live)
     shutil.rmtree(old, ignore_errors=True)
+    out_files = list_data_files(spark, live)
     return {
-        "files": (files_before, len(list_data_files(spark, live))),
+        "files": (files_before, len(out_files)),
+        "bytes": (bytes_before, sum(sz for _, sz in out_files)),
         "rows": (rows_before, rows_after),
     }
 
@@ -436,7 +447,10 @@ def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict
     mid-swap is self-repairing — the next call restores the live dir
     from __pre_compact before doing anything else.
     """
-    return {
+    import time
+
+    t0 = time.time()
+    rep = {
         "bands": _compact_dataset(
             spark, f"{store_dir}/bands", [id_col, "band", "band_key"], prefix_col="band_key"
         ),
@@ -444,6 +458,11 @@ def compact_neardup_store(spark, store_dir: str, id_col: str = "doc_id") -> dict
             spark, f"{store_dir}/shingles", [id_col, "__corpus"], range_col=id_col
         ),
     }
+    LAST_STATS["compact_sec"] = time.time() - t0
+    LAST_STATS["compact_bytes_in"] = (
+        rep["bands"]["bytes"][0] + rep["shingles"]["bytes"][0]
+    )
+    return rep
 
 
 def incremental_neardup_stream(
@@ -527,7 +546,11 @@ def incremental_neardup_stream(
         _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
         corpus_sh.unpersist()
 
+    n_batches = 0
+
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
         s = batch_df.sparkSession
         sh_b = shingle_frame(batch_df, text_col, id_col, k).persist()
         b_b = _bands_of(sh_b).persist()
@@ -593,7 +616,12 @@ def incremental_neardup_stream(
         .option("maxFilesPerTrigger", "1")
         .parquet(watch_dir)
     )
+    import time
+
+    t0 = time.time()
     _run_foreach_batch(stream, _merge, checkpoint_dir, shuffle_partitions)
+    LAST_STATS["neardup_stream_sec"] = time.time() - t0
+    LAST_STATS["neardup_stream_batches"] = n_batches
     return (
         spark.read.parquet(f"{store_dir}/shingles")
         .filter(~F.col("__corpus"))

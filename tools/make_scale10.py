@@ -23,7 +23,16 @@ stay meaningful and every oracle remains well-defined):
   scale with fact data).
 
 Usage: python tools/make_scale10.py [base_sf_dir] [out_dir]
-Defaults: /root/testdata/sf0.1 -> /tmp/scale10
+       [--copies N] [--scale-tables t1,t2,...]
+Defaults: /root/testdata/sf0.1 -> /tmp/scale10, 10 copies, all tables.
+
+--copies 100 builds the 100x-direction probe (the next rung of the
+ladder that caught q9 and winsorized-stats at 10x). --scale-tables
+keeps the fixture sparse: only the named fact tables are multiplied;
+everything else is copied 1x from the base dir so BOTH engines' view
+contracts still resolve every table. Key strides are sized for up to
+100 copies of sf0.1 (largest base key ~6e6 x stride-multiplier 100
+stays far below int64).
 """
 
 from __future__ import annotations
@@ -45,7 +54,8 @@ S_DOC = 1_000_000
 S_VEC = 1_000_000
 
 
-def build(spark, base: str, out: str) -> None:
+def build(spark, base: str, out: str, copies: int = COPIES,
+          scale_tables: set[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out, exist_ok=True)
@@ -65,7 +75,7 @@ def build(spark, base: str, out: str) -> None:
         shutil.move(part, f"{out}/{t}.parquet")
         shutil.rmtree(tmp)
 
-    def copies(df, shifts: dict[str, int], extra=None):
+    def expand(df, shifts: dict[str, int], extra=None):
         k = F.col("__copy")
         exprs = []
         for c in df.columns:
@@ -77,55 +87,59 @@ def build(spark, base: str, out: str) -> None:
                 exprs.append(F.col(c))
         return (
             df.crossJoin(
-                spark.range(COPIES).select(F.col("id").cast("int").alias("__copy"))
+                spark.range(copies).select(F.col("id").cast("int").alias("__copy"))
             )
             .select(*exprs)
         )
 
-    for t in ("region", "nation"):
-        write(src(t), t)
-
-    write(copies(src("customer"), {"c_custkey": S_CUST}), "customer")
-    write(copies(src("supplier"), {"s_suppkey": S_SUPP}), "supplier")
-    write(copies(src("part"), {"p_partkey": S_PART}), "part")
-    write(
-        copies(src("orders"), {"o_orderkey": S_ORDER, "o_custkey": S_CUST}),
-        "orders",
-    )
-    write(
-        copies(
-            src("lineitem"),
+    recipes = {
+        "customer": ({"c_custkey": S_CUST}, None),
+        "supplier": ({"s_suppkey": S_SUPP}, None),
+        "part": ({"p_partkey": S_PART}, None),
+        "orders": ({"o_orderkey": S_ORDER, "o_custkey": S_CUST}, None),
+        "lineitem": (
             {"l_orderkey": S_ORDER, "l_partkey": S_PART, "l_suppkey": S_SUPP},
+            None,
         ),
-        "lineitem",
-    )
-    write(
-        copies(src("events"), {"event_id": S_EVENT, "user_id": S_USER}),
-        "events",
-    )
-    write(
-        copies(
-            src("documents"),
+        "events": ({"event_id": S_EVENT, "user_id": S_USER}, None),
+        "documents": (
             {"doc_id": S_DOC},
-            extra={
+            {
                 "text": lambda k: F.concat(
                     F.col("text"), F.lit(" zz"), k.cast("string"), F.lit("tok")
                 )
             },
         ),
-        "documents",
-    )
-    write(copies(src("embeddings"), {"vec_id": S_VEC}), "embeddings")
+        "embeddings": ({"vec_id": S_VEC}, None),
+    }
+
+    for t in ("region", "nation"):
+        write(src(t), t)
+    for t, (shifts, extra) in recipes.items():
+        if scale_tables is None or t in scale_tables:
+            write(expand(src(t), shifts, extra), t)
+        else:
+            write(src(t), t)  # 1x copy keeps both engines' views resolving
 
 
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
+    argv = list(sys.argv[1:])
+    copies, scale_tables = COPIES, None
+    if "--copies" in argv:
+        i = argv.index("--copies")
+        copies = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--scale-tables" in argv:
+        i = argv.index("--scale-tables")
+        scale_tables = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    base = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    out = argv[1] if len(argv) > 1 else "/tmp/scale10"
     from meteor_spark.session import get_spark
 
     spark = get_spark("scale10")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, base, out)
+    build(spark, base, out, copies=copies, scale_tables=scale_tables)
     import duckdb
 
     for t in (
