@@ -22,6 +22,11 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
                ledger behind COVERAGE.md's "N gates 10x-certified".
 --skip a,b     Gate names to leave out of this sweep (documented
                exclusions; they stay absent from --record).
+--scale-oracles  Overlay tools/scale_oracles.py: the five gates whose
+               canonical oracles are deliberately brute-force
+               (all-pairs O(N^2)) run against the lossless equi-join
+               restatement instead, so they can certify at 10x. The
+               registry marks them "oracle": "scale-tier".
 """
 
 from __future__ import annotations
@@ -117,11 +122,17 @@ def _load_json(path: str) -> dict:
 
 
 def _dump_json(path: str, obj: dict) -> None:
+    """Merge-on-write: reload the file and overlay this process's
+    entries, so two concurrent sweeps writing the same cache/record
+    file append to each other instead of clobbering (keys are
+    append-only upserts; last writer wins per key, not per file)."""
     import json
 
+    merged = {**_load_json(path), **obj}
+    obj.update(merged)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
 
 
@@ -129,6 +140,9 @@ def main() -> int:
     argv = list(sys.argv[1:])
     cache_path = record_path = None
     skip: set[str] = set()
+    use_scale = "--scale-oracles" in argv
+    if use_scale:
+        argv.remove("--scale-oracles")
     for flag in ("--cache", "--record", "--skip"):
         if flag in argv:
             i = argv.index(flag)
@@ -157,6 +171,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    scale_gates: set[str] = set()
+    if use_scale:
+        from tools.scale_oracles import SCALE_ORACLES
+
+        oracles = {**oracles, **SCALE_ORACLES}
+        scale_gates = set(SCALE_ORACLES)
     fdig = fixture_digest(sf_dir)
     cache = _load_json(cache_path) if cache_path else None
     record = _load_json(record_path) if record_path else None
@@ -263,6 +283,8 @@ def main() -> int:
                     "spark_sec": round(t_spark, 1),
                     "oracle_sec": t_oracle,
                 }
+                if name in scale_gates:
+                    record[name]["oracle"] = "scale-tier"
                 _dump_json(record_path, record)
         else:
             failures.append(name)
