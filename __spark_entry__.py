@@ -34,8 +34,12 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  scene-cut segmentation, image perceptual-hash dedup,
                  chi-square split balance, association lift matrix,
                  conditional transition entropy, user-activity Gini,
-                 language-ID confidence margins) —
-                 187 entries, 183 with exact DuckDB oracles (r6 adds
+                 language-ID confidence margins,
+                 cross-encoder-stub candidate reranking) —
+                 188 entries, 184 with exact DuckDB oracles (r7 adds
+                 rerank_cross_encoder — retrieve->fuse->rerank third
+                 stage, Arrow-batched joint pair scoring stub,
+                 exact-integer score_ppm; r6 added
                  leakage_free_split — near-dup-cluster-aware holdout,
                  embedding_dimension_profile — fixed-point whitening
                  stats, event_value_mad_outliers — robust MAD census,
@@ -48,7 +52,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  iterations, event_value_ks_drift — exact-integer
                  two-sample Kolmogorov-Smirnov drift). The 4 rows-only gates wrap
                  engine-internal approximate state and each names its
-                 exact-gated twin; all r1-r5 gates green at latest
+                 exact-gated twin; all r1-r6 gates green at latest
                  driver status.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML

@@ -119,3 +119,101 @@ def rrf_fuse(
         F.round(F.sum(1.0 / (F.lit(c) + F.col("rank"))), round_to).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), id_col).limit(k)
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    tf_cap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rerank a bounded candidate list by jointly scoring each
+    (query, document) pair — the third stage of the production
+    retrieve -> fuse -> rerank pipeline (first stage: bm25_topk /
+    ANN; second: rrf_fuse).
+
+    The scorer here is a deterministic STUB in the cross-encoder
+    SHAPE: it consumes the raw pair (query terms + full document
+    text) through one Arrow-batched mapInPandas stage and emits
+    joint interaction features — exactly where a real cross-encoder
+    forward pass plugs in (swap `_score_batches`; the Spark-side
+    plumbing, broadcast pattern, and batch shape are the product).
+    Stub features, all exact integers so the gate is bit-stable:
+
+      hits = Σ_t min(tf_d(t), tf_cap)   saturating query-term frequency
+      adj  = #{i : w_i ∈ Q and w_{i+1} ∈ Q}   adjacent-pair interaction
+      dl   = document token count
+
+      score_ppm = floor(1e6 · (4·hits + 2·adj) / (4·hits + 2·adj + dl))
+
+    published via exactmath.ppm_expr (overflow-free on both engines).
+
+    Scale design: the candidate list is top-L-bounded (10^1-10^3 rows
+    regardless of corpus size), so it BROADCASTS into the corpus scan
+    to fetch text — one pass over documents, no shuffle of the corpus,
+    no SortMergeJoin — and the Python stage sees only |candidates|
+    rows. Reranking cost is O(L · model), never O(corpus)."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    qset = {t for t in query_terms}
+
+    def _score_batches(batches):
+        # the model seam: one pandas frame in, joint features out.
+        # A real cross-encoder replaces the body with tokenizer +
+        # forward pass over (query, text) pairs, batched by Arrow.
+        import pandas as pd
+
+        for pdf in batches:
+            hits, adj, dl = [], [], []
+            for text in pdf[text_col]:
+                # normalize-then-split-on-single-space, NOT bare
+                # .split(): an empty/whitespace-only document must
+                # tokenize to [''] (dl = 1), matching the engines'
+                # split semantics (queries._NORM_SQL + regexp_split /
+                # text.words) so the length normalizer agrees
+                ws = " ".join((text or "").lower().split()).split(" ")
+                dl.append(len(ws))
+                counts: dict[str, int] = {}
+                for w in ws:
+                    if w in qset:
+                        counts[w] = counts.get(w, 0) + 1
+                hits.append(sum(min(c, tf_cap) for c in counts.values()))
+                adj.append(
+                    sum(
+                        1
+                        for i in range(len(ws) - 1)
+                        if ws[i] in qset and ws[i + 1] in qset
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "hits": hits, "adj": adj, "dl": dl}
+            )
+
+    cand_docs = docs.select(id_col, text_col).join(
+        F.broadcast(candidates.select(id_col)), id_col
+    )
+    feats = cand_docs.mapInPandas(
+        _score_batches, schema=f"{id_col} long, hits long, adj long, dl long"
+    )
+    # greatest(n, 1): an empty document (dl = 0) has numerator 0 too,
+    # so the clamp publishes 0 instead of dividing by zero (DuckDB
+    # errors on // 0 where Spark div returns NULL)
+    scored = feats.select(
+        id_col,
+        "hits",
+        "adj",
+        "dl",
+        F.expr(
+            ppm_expr(
+                "(4 * hits + 2 * adj)",
+                "greatest(4 * hits + 2 * adj + dl, 1)",
+                "div",
+            )
+        )
+        .cast("long")
+        .alias("score_ppm"),
+    )
+    return scored.orderBy(F.col("score_ppm").desc(), id_col).limit(k)

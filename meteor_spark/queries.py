@@ -1083,6 +1083,105 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, vec], k=_RRF_K, c=_RRF_C)
 
 
+_RERANK_L = 25
+_RERANK_Q = "('spark', 'window', 'hash')"
+
+from meteor_spark.functions.exactmath import ppm_expr as _rr_ppm  # noqa: E402
+
+_RERANK_PPM = _rr_ppm(
+    "(4 * hits + 2 * adj)", "greatest(4 * hits + 2 * adj + dl, 1)", "//"
+)
+
+
+@query(
+    "rerank_cross_encoder",
+    f"""
+    WITH nd AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM nd),
+    tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok
+           WHERE w IN {_RERANK_Q} GROUP BY doc_id, dl, w),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ws)) AS avgdl FROM nd),
+    dfq AS (SELECT w, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY w),
+    bm AS (SELECT tf.doc_id,
+                  round(sum(ln(1 + (n_docs - dft + 0.5) / (dft + 0.5))
+                            * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+           FROM tf JOIN dfq USING (w) CROSS JOIN stats GROUP BY tf.doc_id),
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm
+            QUALIFY rank <= {_RRF_L}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    vec AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv))
+                                       * sqrt(list_dot_product(cv, cv))), 4) DESC,
+                              vec_id) AS rank
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+                  WHERE vec_id <> 0) CROSS JOIN q
+            QUALIFY rank <= {_RRF_L}),
+    u AS (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec),
+    cand AS (SELECT doc_id FROM u GROUP BY doc_id
+             ORDER BY round(sum(1.0 / ({_RRF_C} + rank)), 6) DESC, doc_id
+             LIMIT {_RERANK_L}),
+    cdocs AS (SELECT n.doc_id, n.ws FROM nd n SEMI JOIN cand c ON n.doc_id = c.doc_id),
+    h AS (SELECT doc_id, CAST(sum(least(c, 3)) AS BIGINT) AS hits
+          FROM (SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM cdocs)
+                WHERE w IN {_RERANK_Q} GROUP BY doc_id, w)
+          GROUP BY doc_id),
+    aj AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS adj
+           FROM (SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM cdocs)
+           WHERE list_extract(ws, CAST(i AS INT)) IN {_RERANK_Q}
+             AND list_extract(ws, CAST(i AS INT) + 1) IN {_RERANK_Q}
+           GROUP BY doc_id),
+    feat AS (
+      SELECT cd.doc_id,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(aj.adj, 0) AS BIGINT) AS adj,
+             CAST(len(cd.ws) AS BIGINT) AS dl
+      FROM cdocs cd LEFT JOIN h ON h.doc_id = cd.doc_id
+      LEFT JOIN aj ON aj.doc_id = cd.doc_id)
+    SELECT doc_id, hits, adj, dl,
+           CAST({_RERANK_PPM} AS BIGINT) AS score_ppm
+    FROM feat
+    ORDER BY score_ppm DESC, doc_id LIMIT {_RRF_K}
+    """,
+)
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third retrieval stage (retrieval.cross_encoder_rerank): the
+    hybrid RRF candidate list (top-{_RERANK_L}) is re-scored by a
+    deterministic cross-encoder-shaped stub — one Arrow-batched
+    mapInPandas pass over the raw (query, document-text) pairs emitting
+    joint interaction features (saturating term hits, adjacent-pair
+    count, doc length), published as an exact-integer score_ppm via
+    exactmath.ppm_expr. Completes retrieve -> fuse -> rerank: the
+    candidate list broadcasts into one corpus scan (no shuffle, no
+    SMJ), the Python stage sees only L rows, and a real model scorer
+    drops into the _score_batches seam without touching the plan. The
+    oracle replays the full three-stage pipeline in SQL."""
+    from pyspark.sql import Window
+
+    from meteor_spark.operators.retrieval import (
+        bm25_topk,
+        cross_encoder_rerank,
+        rrf_fuse,
+    )
+    from meteor_spark.operators.similarity import brute_force_topk
+
+    docs = _docs(spark, sf_dir)
+    lex = bm25_topk(docs, _BM25_TERMS, k=_RRF_L).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_L).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    cand = rrf_fuse([lex, vec], k=_RERANK_L, c=_RRF_C)
+    return cross_encoder_rerank(cand, docs, _BM25_TERMS, k=_RRF_K)
+
+
 @query(
     "audio_silence_segments",
     """

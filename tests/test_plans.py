@@ -359,6 +359,9 @@ _PLAN_BUDGETS = {
     # localCheckpointed/collected state, so ANY exchange appearing in
     # the readout plan is a regression.
     "semantic_dedup_survivors": (2, 1, 0, 1),
+    # round-7 gate: hybrid retrieval stages + broadcast candidate
+    # fetch + Arrow rerank — the candidate join must stay broadcast
+    "rerank_cross_encoder": (11, 2, 2),
     "near_dup_clusters": (0, 0, 0),
     "minhash_eval_report": (35, 16, 2, 1),
     "semantic_dedup_pairs": (0, 1, 0),

@@ -180,3 +180,68 @@ def test_rrf_fuse_empty_rankings_raises():
 
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([])
+
+
+def test_cross_encoder_rerank_hand_checked(spark):
+    from meteor_spark.operators.retrieval import cross_encoder_rerank
+
+    docs = _docs_frame(
+        spark,
+        [
+            # hits=min(3,3)+min(1,3)=4 (spark x3 capped, window x1); adj=3
+            # (spark-spark, spark-spark, spark-window); dl=6
+            (1, "spark spark spark window aa bb", "en", "s"),
+            # hits=1, adj=0, dl=6
+            (2, "spark aa bb cc dd ee", "en", "s"),
+            # no query terms at all: hits=adj=0 -> score 0
+            (3, "aa bb cc dd", "en", "s"),
+        ],
+    )
+    cand = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in cross_encoder_rerank(cand, docs, ("spark", "window", "hash")).collect()
+    }
+    assert (out[1]["hits"], out[1]["adj"], out[1]["dl"]) == (4, 3, 6)
+    # score = floor(1e6 * (4*4 + 2*3) / (4*4 + 2*3 + 6)) = floor(1e6*22/28)
+    assert out[1]["score_ppm"] == 1_000_000 * 22 // 28
+    assert (out[2]["hits"], out[2]["adj"]) == (1, 0)
+    assert out[2]["score_ppm"] == 1_000_000 * 4 // 10
+    assert out[3]["score_ppm"] == 0
+    # ranking follows the joint-interaction score
+    ranked = sorted(out, key=lambda d: (-out[d]["score_ppm"], d))
+    assert ranked == [1, 2, 3]
+
+
+def test_cross_encoder_rerank_scores_only_candidates_and_broadcasts(spark):
+    from meteor_spark.operators.retrieval import cross_encoder_rerank
+
+    docs = _docs_frame(
+        spark, [(i, f"spark window tok{i}", "en", "s") for i in range(50)]
+    )
+    cand = spark.createDataFrame([(7,), (11,)], "doc_id long")
+    df = cross_encoder_rerank(cand, docs, ("spark", "window"), k=10)
+    rows = df.collect()
+    assert sorted(r["doc_id"] for r in rows) == [7, 11]
+    # the bounded candidate list must broadcast into the corpus scan:
+    # no shuffle of the corpus, no sort-merge join
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cross_encoder_rerank_empty_and_degenerate_text(spark):
+    from meteor_spark.operators.retrieval import cross_encoder_rerank
+
+    # empty candidate list -> empty result, no error
+    docs = _docs_frame(spark, [(1, "spark", "en", "s")])
+    empty_cand = spark.createDataFrame([], "doc_id long")
+    assert cross_encoder_rerank(empty_cand, docs, ("spark",)).count() == 0
+
+    # empty/whitespace-only text tokenizes like the engines ([''], dl=1)
+    # and publishes score 0 through the zero-guard, not a divide error
+    weird = _docs_frame(spark, [(1, "", "en", "s"), (2, "   ", "en", "s")])
+    cand = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {r["doc_id"]: r for r in cross_encoder_rerank(cand, weird, ("spark",)).collect()}
+    assert (out[1]["dl"], out[1]["score_ppm"]) == (1, 0)
+    assert (out[2]["dl"], out[2]["score_ppm"]) == (1, 0)
