@@ -289,6 +289,7 @@ def main() -> None:
         "user_activity_gini",
         "language_confidence_report",
         "hot_passage_scrub",
+        "rerank_cross_encoder",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
         "streaming_incremental_neardup",
