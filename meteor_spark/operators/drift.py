@@ -243,8 +243,6 @@ def ks_drift(
     psi_drift): they are filtered before counting — otherwise Spark
     (NULLS FIRST) and DuckDB (NULLS LAST) would place the NULL group
     at opposite ends of the CDF."""
-    from meteor_spark.functions.exactmath import fixed_div_expr
-
     b = df.agg(
         F.min(time_col).cast("long").alias("mn"),
         F.max(time_col).cast("long").alias("mx"),
@@ -259,6 +257,18 @@ def ks_drift(
             F.sum((~early).cast("long")).alias("c2"),
         )
     )
+    return ks_from_counts(g, key_col, value_col)
+
+
+def ks_from_counts(g: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """The KS readout given per-(key, value) early/late counts
+    (columns c1, c2) — the state shape a STREAMING monitor maintains
+    (counts are mergeable; the distinct-value grid, not N, bounds the
+    state). Shared by ks_drift (batch, computes the split itself) and
+    the streaming twin (reference boundary known a priori, counts
+    accumulated in stream state)."""
+    from meteor_spark.functions.exactmath import fixed_div_expr
+
     w = (
         Window.partitionBy(key_col)
         .orderBy(value_col)

@@ -7617,3 +7617,54 @@ def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
     )
     return drift.ks_drift(e, "event_type", "value", "t")
+
+
+@query("streaming_ks_drift", ORACLES["event_value_ks_drift"])
+def streaming_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_value_ks_drift: the events STREAM
+    maintains per-(event_type, value, early) observation counts in
+    state (complete mode) and the finished state feeds the SAME
+    exact-integer KS readout (drift.ks_from_counts) — so the bounded
+    stream must equal the batch gate, and therefore the batch gate's
+    bit-exact DuckDB oracle, to the last ppm. The production shape for
+    "is the live value distribution drifting from the reference
+    window, updated per microbatch": the reference boundary is
+    CONFIGURATION (reference period vs live period, known a priori —
+    here the fixture midpoint from one tiny batch pre-scan, the same
+    convention as stream_events' footer-schema sniff), and the state
+    is mergeable counts over the VALUE GRID, not raw rows — measured
+    distinct (type, value) saturates at 49,089 for sf0.1 and 10x
+    alike, the same N-independent-ceiling character as the
+    sliding-distinct registers."""
+    from meteor_spark.operators.drift import ks_from_counts
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    b = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            F.min(F.expr("CAST(unix_timestamp(ts) AS BIGINT)")).alias("mn"),
+            F.max(F.expr("CAST(unix_timestamp(ts) AS BIGINT)")).alias("mx"),
+        )
+        .first()
+    )
+    mid = (b["mn"] + b["mx"]) // 2
+    ev = stream_events(spark, sf_dir).withColumn(
+        "t", F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    )
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", "value", (F.col("t") <= F.lit(mid)).alias("early")
+        )
+        .count()
+    )
+    state = run_stream_to_batch(counts, output_mode="complete")
+    g = state.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("early"), F.col("count")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(~F.col("early"), F.col("count")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c2"),
+    )
+    return ks_from_counts(g, "event_type", "value")

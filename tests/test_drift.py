@@ -194,3 +194,25 @@ def test_ks_drift_empty(spark):
 
     empty = spark.createDataFrame([], "k string, value double, t long")
     assert ks_drift(empty, "k", "value", "t").count() == 0
+
+
+def test_ks_from_counts_hand_checked(spark):
+    """The shared readout on a hand-built count state: early {1,2,3,4},
+    late {3,4,5,6} -> D = 0.5 at v=2 (same frame as the end-to-end
+    hand check, fed through the streaming state shape)."""
+    from meteor_spark.operators.drift import ks_from_counts
+
+    g = spark.createDataFrame(
+        [("a", 1.0, 1, 0), ("a", 2.0, 1, 0), ("a", 3.0, 1, 1),
+         ("a", 4.0, 1, 1), ("a", 5.0, 0, 1), ("a", 6.0, 0, 1)],
+        "k string, value double, c1 long, c2 long",
+    )
+    out = ks_from_counts(g, "k", "value").collect()[0]
+    assert (out["n_early"], out["n_late"], out["ks_ppm"]) == (4, 4, 500_000)
+
+
+def test_ks_from_counts_empty(spark):
+    from meteor_spark.operators.drift import ks_from_counts
+
+    empty = spark.createDataFrame([], "k string, value double, c1 long, c2 long")
+    assert ks_from_counts(empty, "k", "value").count() == 0

@@ -516,3 +516,14 @@ def test_fingerprint_store_compaction_and_pruned_continuation(spark, sf_dir, tmp
     after = spark.read.parquet(store)
     assert "pfx1" in after.columns
     assert after.filter(F.col("doc_id") == 300).count() == 1
+
+
+def test_streaming_ks_drift_equals_batch(spark, sf_dir):
+    """The streaming KS twin's mergeable count state must reproduce the
+    batch gate to the last ppm on bounded input (same readout, same
+    split boundary)."""
+    from meteor_spark.queries import QUERIES
+
+    stream = QUERIES["streaming_ks_drift"](spark, sf_dir)
+    batch = QUERIES["event_value_ks_drift"](spark, sf_dir)
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
