@@ -36,13 +36,16 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 189 entries, 185 with exact DuckDB oracles (r7 adds
+                 190 entries, 186 with exact DuckDB oracles (r7 adds
                  rerank_cross_encoder — retrieve->fuse->rerank third
                  stage, Arrow-batched joint pair scoring stub,
-                 exact-integer score_ppm, and streaming_ks_drift —
+                 exact-integer score_ppm; streaming_ks_drift —
                  live reference-vs-current KS from mergeable
                  value-grid count state, equal to the batch gate's
-                 bit-exact oracle; r6 added
+                 bit-exact oracle; user_kanonymity_census —
+                 privacy audit over generalized behavioral
+                 quasi-identifiers, integer-exact magnitude bands;
+                 r6 added
                  leakage_free_split — near-dup-cluster-aware holdout,
                  embedding_dimension_profile — fixed-point whitening
                  stats, event_value_mad_outliers — robust MAD census,

@@ -186,3 +186,64 @@ def activity_gini(
             2.0 * F.sum(F.col("i") * F.col("c")) / (n * tot) - (n + 1) / n, round_to
         ).alias("gini"),
     )
+
+
+def kanonymity_census(
+    events: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """Privacy audit of behavioral data: k-anonymity census over
+    users' GENERALIZED quasi-identifier signatures — each attr value
+    the user exhibits paired with its count's magnitude band
+    (floor(log2(c)) + 1, computed integer-exactly as length(bin(c))
+    on both engines — no libm): the count histogram coarsened to
+    powers of two. Generalization is the point of a k-anonymity
+    audit: the raw per-user histogram is almost always unique
+    (measured: 100% k=1 at sf0.01), so the question a release review
+    asks is whether users remain re-identifiable AFTER coarsening to
+    the buckets an attacker can realistically link on.
+    The anonymity set of a signature is every user sharing it; k = 1
+    means the coarsened fingerprint alone re-identifies the user.
+    Output: one row per anonymity-set size k with the number of
+    distinct signatures and users at that k, plus the exact-ppm share
+    of all users (the k = 1 row is the headline number).
+
+    Scale design: two aggregations (user x attr counts, then signature
+    build per user) and two tiny ones (set sizes, census). Signatures
+    are deterministic strings — sort_array over the distinct attr set,
+    so both engines order identically — bounded by the attr-domain
+    size, never by event count. No window over users, no collect;
+    the census output is at most |distinct k| rows. user_share_ppm is
+    exact-integer (ppm_expr), bit-stable at any N with n_users <=
+    9.2e15."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    h = events.groupBy(user_col, attr_col).agg(F.count("*").alias("c"))
+    banded = h.select(
+        user_col, attr_col, F.length(F.bin("c")).cast("long").alias("band")
+    )
+    sig = banded.groupBy(user_col).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(attr_col, "band"))),
+                lambda x: F.concat(x[attr_col], F.lit(":"), x["band"].cast("string")),
+            ),
+        ).alias("sig")
+    )
+    sets = sig.groupBy("sig").agg(F.count("*").alias("k"))
+    total = sig.agg(F.count("*").cast("long").alias("n_total"))
+    census = (
+        sets.groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_signatures"))
+        .crossJoin(F.broadcast(total))
+    )
+    return census.select(
+        F.col("k").cast("long").alias("k"),
+        "n_signatures",
+        (F.col("k") * F.col("n_signatures")).cast("long").alias("n_users"),
+        F.expr(ppm_expr("k * n_signatures", "n_total", "div"))
+        .cast("long")
+        .alias("user_share_ppm"),
+    ).orderBy("k")

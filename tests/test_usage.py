@@ -142,3 +142,36 @@ def test_activity_gini_partitioning_invariant_matches_naive(spark):
         ).alias("g")
     ).collect()[0]["g"]
     assert got[0] == got[1] == agg
+
+
+def test_kanonymity_census_hand_checked(spark):
+    """Banded quasi-identifiers: counts 1 -> band 1, 2-3 -> band 2,
+    4-7 -> band 3. Users 1 and 2 share a signature (a:band2); user 3
+    differs by band; user 4 differs by type set."""
+    from meteor_spark.operators.usage import kanonymity_census
+
+    rows = (
+        [(1, "a")] * 2            # a:2 -> band 2
+        + [(2, "a")] * 3          # a:3 -> band 2 (same signature as user 1)
+        + [(3, "a")] * 4          # a:4 -> band 3 (unique)
+        + [(4, "a"), (4, "b")]    # a:1,b:1 (unique)
+    )
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, event_type string"
+    )
+    out = {r["k"]: r for r in kanonymity_census(df).collect()}
+    assert set(out) == {1, 2}
+    # k=1: users 3 and 4 (two singleton signatures)
+    assert (out[1]["n_signatures"], out[1]["n_users"]) == (2, 2)
+    # k=2: users 1 and 2 share a:2
+    assert (out[2]["n_signatures"], out[2]["n_users"]) == (1, 2)
+    # exact ppm of 4 total users
+    assert out[1]["user_share_ppm"] == 1_000_000 * 2 // 4
+    assert out[2]["user_share_ppm"] == 500_000
+
+
+def test_kanonymity_census_empty(spark):
+    from meteor_spark.operators.usage import kanonymity_census
+
+    empty = spark.createDataFrame([], "user_id long, event_type string")
+    assert kanonymity_census(empty).count() == 0
