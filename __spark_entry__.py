@@ -36,7 +36,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 190 entries, 186 with exact DuckDB oracles (r7 adds
+                 191 entries, 187 with exact DuckDB oracles (r7 adds
+                 mw_domain_reweight — DoReMi-shaped Group-DRO
+                 multiplicative-weights domain mixing, all-integer
+                 update, oracle replays all 8 iterations;
                  rerank_cross_encoder — retrieve->fuse->rerank third
                  stage, Arrow-batched joint pair scoring stub,
                  exact-integer score_ppm; streaming_ks_drift —

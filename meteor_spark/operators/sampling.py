@@ -455,3 +455,71 @@ def token_budget_allocation(
         group_col, "n_tokens", "weight_milli", "share_ppm",
         "alloc_tokens", epochs.alias("epochs_ppm"),
     )
+
+
+def mw_domain_reweight(
+    df: DataFrame,
+    iters: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """DoReMi-shaped domain reweighting via multiplicative weights:
+    starting from uniform, each iteration upweights domains whose loss
+    proxy EXCEEDS the current mixture's weighted average and
+    downweights the rest (Group-DRO dynamics — the mixture chases the
+    domains the current mixture is worst on). The loss proxy here is a
+    deterministic corpus statistic (per-domain token mass in ppm of
+    the largest domain — a real model's excess loss drops in without
+    changing the update); the UPDATE is the product:
+
+      center(t)   = Σ_d w_t(d) · loss(d) / 1e6          (exact int)
+      excess(d)   = loss(d) − center(t)                  ∈ [−1e6, 1e6]
+      factor(d)   = 1e6 + ((excess + 1e6) // 4 − 250000) (η = 1/4,
+                    shifted before the floor-div so NEGATIVE division
+                    never happens — Spark div truncates toward zero
+                    while DuckDB // floors, and they disagree exactly
+                    and only on negative operands)
+      w_{t+1}(d)  = floor(w_t(d) · factor(d) · 1e6 / Σ raw)  (ppm_expr)
+
+    All int64 throughout (w ≤ 1e6, factor ≤ 1.25e6 ⇒ raw ≤ 1.25e12;
+    Σ raw over ≤ 7000 domains stays under ppm_expr's 9.2e15 divisor
+    bound). The iteration state is DOMAIN-count-sized: one corpus
+    groupBy computes the loss proxy, then each step is arithmetic on K
+    integers — collected once, iterated exactly in driver ints (the
+    bounded-collect pattern of power_iteration_pc1: K = |domains|,
+    never corpus rows), and the final weights return as one K-row
+    frame. The DuckDB oracle replays every iteration through chained
+    MATERIALIZED CTEs and must match bit-for-bit."""
+    from meteor_spark.operators.text import normalize_text, words
+
+    s = df.groupBy(group_col).agg(
+        F.sum(F.size(words(normalize_text(F.col(text_col)))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    rows = sorted((r[group_col], r["n_tokens"]) for r in s.collect())
+    if not rows:
+        return s.select(
+            group_col,
+            F.col("n_tokens"),
+            F.lit(0).cast("long").alias("loss_ppm"),
+            F.lit(0).cast("long").alias("weight_ppm"),
+        )
+    mx = max(n for _, n in rows)
+    loss = {d: (n * 1_000_000) // mx for d, n in rows}
+    k = len(rows)
+    w = {d: 1_000_000 // k for d, _ in rows}
+    for _ in range(iters):
+        center = sum(w[d] * loss[d] for d in w) // 1_000_000
+        raw = {
+            d: w[d] * (1_000_000 + ((loss[d] - center + 1_000_000) // 4 - 250_000))
+            for d in w
+        }
+        tot = sum(raw.values())
+        w = {d: (raw[d] * 1_000_000) // tot for d in w}
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(d, n, loss[d], w[d]) for d, n in rows],
+        f"{group_col} string, n_tokens long, loss_ppm long, weight_ppm long",
+    )
+    return out

@@ -7707,3 +7707,64 @@ def user_kanonymity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.usage import kanonymity_census
 
     return kanonymity_census(_t(spark, sf_dir, "events"))
+
+
+def _mw_oracle(iters: int) -> str:
+    """DuckDB replay of mw_domain_reweight: every multiplicative-weights
+    iteration as a chained MATERIALIZED CTE (the power_iteration_pc1
+    oracle pattern) — all-integer, so the final weights must match the
+    engine bit-for-bit. All divisions see non-negative operands (the
+    +1e6 shift before the eta floor-div), so DuckDB // (floor) and
+    Spark/Python integer division agree."""
+    ctes = [
+        f"""s AS MATERIALIZED (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    base AS MATERIALIZED (
+      SELECT source, n_tokens,
+             CAST((n_tokens * 1000000) // (SELECT max(n_tokens) FROM s) AS BIGINT) AS loss_ppm
+      FROM s),
+    w0 AS MATERIALIZED (
+      SELECT source, n_tokens, loss_ppm,
+             CAST(1000000 // (SELECT count(*) FROM base) AS BIGINT) AS w
+      FROM base)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT CAST(sum(w * loss_ppm) // 1000000 AS BIGINT) AS ctr FROM w{i}),
+    r{i} AS MATERIALIZED (
+      SELECT source, n_tokens, loss_ppm,
+             w * (1000000 + ((loss_ppm - c.ctr + 1000000) // 4 - 250000)) AS raw
+      FROM w{i}, c{i} c),
+    w{i + 1} AS MATERIALIZED (
+      SELECT source, n_tokens, loss_ppm,
+             CAST((raw * 1000000) // (SELECT sum(raw) FROM r{i}) AS BIGINT) AS w
+      FROM r{i})"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT source, n_tokens, loss_ppm, w AS weight_ppm FROM w{iters}"
+    )
+
+
+@query("mw_domain_reweight", _mw_oracle(8))
+def mw_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped Group-DRO domain reweighting
+    (sampling.mw_domain_reweight): 8 multiplicative-weights iterations
+    chase the domains whose loss proxy exceeds the current mixture's
+    weighted center — upweight hard domains, renormalize, repeat. The
+    update is ALL-integer (eta = 1/4 via a shifted non-negative
+    floor-div: Spark div truncates toward zero, DuckDB // floors, and
+    they disagree exactly and only on negative operands), so the
+    DuckDB oracle replays all 8 iterations through chained
+    MATERIALIZED CTEs bit-for-bit. Iteration state is
+    domain-count-sized: one corpus groupBy, then arithmetic on K
+    integers (bounded collect, the power_iteration_pc1 pattern). The
+    deterministic loss proxy (token mass in ppm of the largest
+    domain) is the model seam — a proxy model's measured excess loss
+    drops in without changing the update or the oracle shape."""
+    from meteor_spark.operators.sampling import mw_domain_reweight as mwr
+
+    return mwr(_docs(spark, sf_dir), iters=8)

@@ -379,3 +379,40 @@ def test_token_budget_allocation_invariants(spark):
     assert sum(r["share_ppm"] for r in out) <= 10**6
     # sqrt-temperature boosts the low-resource source's epoch count
     assert rows["s3"]["epochs_ppm"] > rows["s2"]["epochs_ppm"]
+
+
+def test_mw_domain_reweight_upweights_hard_domains(spark):
+    """Group-DRO direction: the domain with loss above the mixture
+    center must END with more than uniform weight, the below-center
+    domain with less; weights stay a valid ppm distribution."""
+    from meteor_spark.operators.sampling import mw_domain_reweight
+
+    docs = spark.createDataFrame(
+        [(1, "t " * 100, "en", "big"), (2, "t " * 10, "en", "small"),
+         (3, "t " * 50, "en", "mid")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in mw_domain_reweight(docs, iters=8).collect()}
+    assert out["big"]["loss_ppm"] == 1_000_000  # largest domain anchors the proxy
+    assert out["big"]["weight_ppm"] > 333_333 > out["small"]["weight_ppm"]
+    total = sum(r["weight_ppm"] for r in out.values())
+    assert 999_990 <= total <= 1_000_000  # floor-renormalized ppm simplex
+
+
+def test_mw_domain_reweight_uniform_losses_stay_uniform(spark):
+    """Equal losses -> zero excess everywhere -> weights never move."""
+    from meteor_spark.operators.sampling import mw_domain_reweight
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 20, "en", f"s{i}") for i in range(4)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = mw_domain_reweight(docs, iters=8).collect()
+    assert {r["weight_ppm"] for r in out} == {250_000}
+
+
+def test_mw_domain_reweight_empty(spark):
+    from meteor_spark.operators.sampling import mw_domain_reweight
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
+    assert mw_domain_reweight(empty).count() == 0
