@@ -36,7 +36,11 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 191 entries, 187 with exact DuckDB oracles (r7 adds
+                 192 entries, 188 with exact DuckDB oracles (r7 adds
+                 orc_catalog_assets — ORC catalog source, fourth
+                 lakehouse format through the parquet_catalog format
+                 seam, oracle checks the ORC-extracted metadata
+                 against the parquet views;
                  mw_domain_reweight — DoReMi-shaped Group-DRO
                  multiplicative-weights domain mixing, all-integer
                  update, oracle replays all 8 iterations;

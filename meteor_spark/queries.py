@@ -7768,3 +7768,43 @@ def mw_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.sampling import mw_domain_reweight as mwr
 
     return mwr(_docs(spark, sf_dir), iters=8)
+
+
+_ORC_TABLES = ("customer", "nation", "part", "region", "supplier")
+
+
+@query(
+    "orc_catalog_assets",
+    "UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST({_N_COLS[t]} AS BIGINT) AS n_columns,"
+        f" CAST((SELECT count(*) FROM {t}) AS BIGINT) AS total_rows "
+        for t in _ORC_TABLES
+    )
+    + "ORDER BY table_name",
+)
+def orc_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC catalog extraction (sources.parquet_catalog.
+    OrcCatalogExtractor): five fixture tables are round-tripped into a
+    directory of ORC tables and walked by the orc_catalog source — the
+    lakehouse family's fourth format (parquet/delta/iceberg/orc),
+    sharing the entire walk/asset/profile path through the format
+    seam. The oracle knows nothing about ORC: it checks the extracted
+    schema widths and row counts against the same data's parquet
+    views, so a read-path or footer-walk defect on the ORC side cannot
+    hide behind a matching implementation."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="msk_orc_")
+    for t in _ORC_TABLES:
+        _t(spark, sf_dir, t).write.mode("overwrite").orc(os.path.join(base, f"{t}.orc"))
+    from meteor_spark.registry import extractors
+
+    ex = extractors.get("orc_catalog")
+    ex.init({"path": base, "include_row_count": True})
+    assets = ex.extract(spark)
+    return assets.select(
+        F.col("resource.name").alias("table_name"),
+        F.size("schema").cast("long").alias("n_columns"),
+        F.col("profile.total_rows").cast("long").alias("total_rows"),
+    ).orderBy("table_name")

@@ -34,6 +34,12 @@ from meteor_spark.sources.base import assets_df, column_dict
 
 @register_extractor("parquet_catalog", "Directory of parquet tables as a database")
 class ParquetCatalogExtractor(Extractor):
+    # format seam: the ORC sibling below overrides these three and
+    # nothing else — the walk, asset shape, preview, and profile path
+    # are format-independent once the per-table DataFrame exists
+    SERVICE = "parquet"
+    GLOB = "*.parquet"
+
     CONFIG = {
         "path": Field(required=True, type=str),
         "database": Field(default=None, type=str),
@@ -44,11 +50,14 @@ class ParquetCatalogExtractor(Extractor):
         "include_column_profile": Field(default=False),  # reference gate (bigquery.go:36)
     }
 
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return read_parquet_table(spark, path)
+
     def extract(self, spark: SparkSession) -> DataFrame:
         root = Path(self.config["path"])
         database = self.config["database"] or root.name
         exclude = set(self.config["exclude"] or ())
-        tables = sorted(p for p in root.glob("*.parquet") if p.stem not in exclude)
+        tables = sorted(p for p in root.glob(self.GLOB) if p.stem not in exclude)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max(1, min(len(tables), 16))) as pool:
@@ -56,7 +65,7 @@ class ParquetCatalogExtractor(Extractor):
         return assets_df(spark, rows)
 
     def _table_asset(self, spark: SparkSession, root: Path, database: str, t: Path) -> dict:
-        df = read_parquet_table(spark, str(t))
+        df = self._read(spark, str(t))
         name = t.stem
         profiles: dict[str, dict] = {}
         if self.config["include_column_profile"]:
@@ -84,9 +93,9 @@ class ParquetCatalogExtractor(Extractor):
             }
         return {
             "resource": {
-                "urn": table_urn("parquet", str(root), database, name),
+                "urn": table_urn(self.SERVICE, str(root), database, name),
                 "name": name,
-                "service": "parquet",
+                "service": self.SERVICE,
                 "type": "table",
                 "url": None,
                 "description": None,
@@ -96,6 +105,21 @@ class ParquetCatalogExtractor(Extractor):
             "profile": profile,
             "preview": preview,
         }
+
+
+@register_extractor("orc_catalog", "Directory of ORC tables as a database")
+class OrcCatalogExtractor(ParquetCatalogExtractor):
+    """ORC sibling of parquet_catalog: Spark reads ORC natively, so the
+    walk is identical — directory of .orc files/dirs, one Table asset
+    each, footer-only schema, optional count/preview/profile. Extends
+    the lakehouse source family (parquet / delta / iceberg / orc) to
+    the other columnar format a warehouse migration actually hits."""
+
+    SERVICE = "orc"
+    GLOB = "*.orc"
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.orc(path)
 
 
 def _js(v):

@@ -85,3 +85,25 @@ def test_all_jdbc_dialects_registered():
     ex = registry.extractors.get("mysql")
     with pytest.raises(InvalidConfigError):
         ex.init({})  # url/user/password required
+
+
+def test_orc_catalog(spark, sf_dir, tmp_path):
+    """ORC sibling shares the full walk/asset path through the format
+    seam: same exclude, schema sort, preview, and count behavior, with
+    service/urn marked orc."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.orc(str(tmp_path / "nation.orc"))
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.orc(str(tmp_path / "region.orc"))
+    ex = registry.extractors.get("orc_catalog")
+    ex.init({"path": str(tmp_path), "exclude": ["region"], "include_preview": True,
+             "max_preview_rows": 2})
+    rows = {r["resource"]["name"]: r for r in ex.extract(spark).collect()}
+    assert set(rows) == {"nation"}
+    n = rows["nation"]
+    assert n["resource"]["service"] == "orc"
+    assert n["resource"]["urn"].startswith("orc::")
+    assert n["profile"]["total_rows"] == 25
+    cols = [c["name"] for c in n["schema"]]
+    assert cols == sorted(cols) and len(cols) == 3
+    import json
+
+    assert len(json.loads(n["preview"]["rows"])) == 2
