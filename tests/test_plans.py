@@ -370,6 +370,11 @@ _PLAN_BUDGETS = {
     "doc_similarity_topk": (6, 3, 0),
     "embedding_pc1_power_iteration": (0, 0, 0),
     "split_leakage_report": (6, 5, 0),
+    # round-7 additions (streaming_ks_drift excluded: foreachBatch-era
+    # rule — streaming plans are pinned in tests/test_streaming.py)
+    "user_kanonymity_census": (7, 0, 1),
+    "mw_domain_reweight": (0, 0, 0),
+    "orc_catalog_assets": (1, 0, 0),
 }
 
 
