@@ -36,7 +36,9 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 192 entries, 188 with exact DuckDB oracles (r7 adds
+                 193 entries, 189 with exact DuckDB oracles (r7 adds
+                 event_rate_changepoint — exact-integer CUSUM
+                 changepoint per key over the hourly rate series;
                  orc_catalog_assets — ORC catalog source, fourth
                  lakehouse format through the parquet_catalog format
                  seam, oracle checks the ORC-extracted metadata

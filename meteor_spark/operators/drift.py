@@ -293,3 +293,82 @@ def ks_from_counts(g: DataFrame, key_col: str, value_col: str) -> DataFrame:
     return per_key.select(
         key_col, "n_early", "n_late", ks.alias("ks_ppm")
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM changepoint detection per key over the hourly count
+    series — the classic sequential statistic for "WHEN did the rate
+    shift", complementing this module's what-changed family (PSI/KS:
+    value distributions; MAD: outlier census; seasonality: repeating
+    pattern residuals). EXACT-integer throughout: with H observed
+    hours and T total events, the mean-centered deviation of hour t is
+
+        dev_t   = x_t * H - T          (integer; Σ dev_t = 0)
+        cusum_t = Σ_{s<=t} dev_s       (integer partial sums)
+
+    and the changepoint is the FIRST hour attaining max |cusum| — the
+    split point a level-shift model would choose. Published: the
+    changepoint hour, the sign there (+1 = counts ran ABOVE the mean
+    before the peak, i.e. a drop follows; -1 the reverse; 0 = flat),
+    and peak_ppm = floor(1e6 * peak / (T * H)) via ppm_expr
+    (|cusum| <= T*H, so the ratio is a true fraction; T*H <= 9.2e15
+    bounds the divisor — shard hour ranges past ~9e7 events x 1e8
+    hours, far beyond any real window).
+
+    Scale: one (key, hour) groupBy, one ordered cumulative window and
+    one max window per key over HOUR-count-sized rows (time-range
+    property, not N), one tiny final agg. Observed-hours semantics
+    (missing hours are absent, matching hourly_autocorrelation)."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    hourly = (
+        events.select(
+            F.col(type_col).alias("k"),
+            F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT) div 3600").alias("hr"),
+        )
+        .groupBy("k", "hr")
+        .agg(F.count("*").alias("x"))
+    )
+    wk = Window.partitionBy("k")
+    d = hourly.select(
+        "k",
+        "hr",
+        (F.col("x") * F.count("*").over(wk) - F.sum("x").over(wk))
+        .cast("long")
+        .alias("dev"),
+        F.count("*").over(wk).cast("long").alias("n_hours"),
+        F.sum("x").over(wk).cast("long").alias("total"),
+    )
+    wcum = (
+        Window.partitionBy("k")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "k", "hr", "n_hours", "total", F.sum("dev").over(wcum).alias("cusum")
+    )
+    peak = c.groupBy("k").agg(F.max(F.abs("cusum")).alias("peak"))
+    at_peak = (
+        c.join(F.broadcast(peak), "k")
+        .filter(F.abs(F.col("cusum")) == F.col("peak"))
+        .groupBy("k", "n_hours", "total", "peak")
+        .agg(
+            F.min("hr").alias("changepoint_hr"),
+            F.min_by(F.signum("cusum").cast("long"), "hr").alias("direction"),
+        )
+    )
+    peak_ppm = F.expr(
+        ppm_expr("peak", "greatest(total * n_hours, 1)", "div")
+    ).cast("long")
+    return at_peak.select(
+        F.col("k").alias(type_col),
+        "n_hours",
+        "total",
+        F.col("changepoint_hr").cast("long").alias("changepoint_hr"),
+        "direction",
+        peak_ppm.alias("peak_ppm"),
+    )

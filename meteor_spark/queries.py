@@ -7808,3 +7808,52 @@ def orc_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("schema").cast("long").alias("n_columns"),
         F.col("profile.total_rows").cast("long").alias("total_rows"),
     ).orderBy("table_name")
+
+
+_CUSUM_PPM = _ppm("peak", "greatest(total * n_hours, 1)", "//")
+
+
+@query(
+    "event_rate_changepoint",
+    f"""
+    WITH hourly AS (
+      SELECT event_type AS k, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             count(*) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT k, hr,
+             CAST(x * count(*) OVER (PARTITION BY k)
+                  - sum(x) OVER (PARTITION BY k) AS BIGINT) AS dev,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_hours,
+             CAST(sum(x) OVER (PARTITION BY k) AS BIGINT) AS total
+      FROM hourly),
+    c AS (
+      SELECT k, hr, n_hours, total,
+             CAST(sum(dev) OVER (PARTITION BY k ORDER BY hr) AS BIGINT) AS cusum
+      FROM d),
+    p AS (SELECT k, CAST(max(abs(cusum)) AS BIGINT) AS peak FROM c GROUP BY k),
+    ap AS (
+      SELECT c.k, c.n_hours, c.total, p.peak,
+             CAST(min(c.hr) AS BIGINT) AS changepoint_hr,
+             CAST(min_by(CASE WHEN c.cusum > 0 THEN 1
+                              WHEN c.cusum < 0 THEN -1 ELSE 0 END, c.hr)
+                  AS BIGINT) AS direction
+      FROM c JOIN p ON c.k = p.k AND abs(c.cusum) = p.peak
+      GROUP BY c.k, c.n_hours, c.total, p.peak)
+    SELECT k AS event_type, n_hours, total, changepoint_hr, direction,
+           CAST({_CUSUM_PPM} AS BIGINT) AS peak_ppm
+    FROM ap
+    """,
+)
+def event_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type (drift.cusum_changepoint):
+    WHEN did the hourly rate shift — the sequential-statistic sibling
+    of the what-changed family (PSI/KS distributions, MAD outliers,
+    seasonal residuals). Exact-integer mean-centered partial sums
+    (dev = x·H − T, Σ dev = 0), changepoint = first hour attaining
+    max |cusum|, sign and ppm-normalized peak published. One hourly
+    groupBy + per-key windows over hour-count-sized rows; all
+    arithmetic int64, so the oracle matches to the last ppm."""
+    from meteor_spark.operators.drift import cusum_changepoint
+
+    return cusum_changepoint(_t(spark, sf_dir, "events"))

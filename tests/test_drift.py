@@ -216,3 +216,50 @@ def test_ks_from_counts_empty(spark):
 
     empty = spark.createDataFrame([], "k string, value double, c1 long, c2 long")
     assert ks_from_counts(empty, "k", "value").count() == 0
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """Rate 2/hour for hours 0-9, then 8/hour for hours 10-19: CUSUM
+    bottoms out exactly at the shift boundary (hour 9), negative sign
+    (counts ran BELOW the mean before the jump)."""
+    import datetime as dt
+
+    from meteor_spark.operators.drift import cusum_changepoint
+
+    rows, eid = [], 0
+    for h in range(20):
+        for _ in range(2 if h < 10 else 8):
+            rows.append((eid, dt.datetime(2024, 1, 1, h), 1, "a", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = cusum_changepoint(df).collect()[0]
+    assert (out["n_hours"], out["total"]) == (20, 100)
+    base_hr = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) // 3600
+    # dev = x*20 - 100: -60/hour before the shift, +60 after; |cusum|
+    # peaks at 600 on the last pre-shift hour (hour 9)
+    assert out["changepoint_hr"] - base_hr in (9, 9 - 24)  # tz-robust: hour index 9
+    assert out["direction"] == -1
+    assert out["peak_ppm"] == 1_000_000 * 600 // (100 * 20)
+
+
+def test_cusum_changepoint_constant_rate_is_flat(spark):
+    import datetime as dt
+
+    from meteor_spark.operators.drift import cusum_changepoint
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 10), 1, "b", 0.0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = cusum_changepoint(df).collect()[0]
+    assert (out["peak_ppm"], out["direction"]) == (0, 0)
+
+
+def test_cusum_changepoint_empty(spark):
+    from meteor_spark.operators.drift import cusum_changepoint
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert cusum_changepoint(empty).count() == 0

@@ -375,6 +375,7 @@ _PLAN_BUDGETS = {
     "user_kanonymity_census": (7, 0, 1),
     "mw_domain_reweight": (0, 0, 0),
     "orc_catalog_assets": (1, 0, 0),
+    "event_rate_changepoint": (4, 1, 0),
 }
 
 
