@@ -67,7 +67,7 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  iterations, event_value_ks_drift — exact-integer
                  two-sample Kolmogorov-Smirnov drift). The 4 rows-only gates wrap
                  engine-internal approximate state and each names its
-                 exact-gated twin; all r1-r6 gates green at latest
+                 exact-gated twin; all r1-r7 gates green at latest
                  driver status.
 oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
                  the 4 operators wrapping engine-internal state (ML
@@ -113,7 +113,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r06 union: all 187 gates, incl. the 4 rows-only ones, which have
+#      r07 union: all 193 gates, incl. the 4 rows-only ones, which have
 #      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 # Post-round hygiene (documented process): refresh these sets from the
@@ -132,6 +132,7 @@ _CHECKED_GREEN = {
     "customer_order_set_ops", "customers_without_orders",
     "dedup_exact_survivors", "dedup_rate_by_source",
     "embedding_dimension_profile", "embedding_pc1_power_iteration",
+    "event_rate_changepoint",
     "doc_bigram_perplexity", "doc_containment_pairs", "doc_novelty_scores",
     "doc_repetition_quality", "doc_similarity_topk", "document_chunks",
     "dsir_importance_weights", "duplicated_span_report",
@@ -161,8 +162,9 @@ _CHECKED_GREEN = {
     "minhash_near_duplicates", "multimodal_features",
     "multimodal_resize_dims", "nation_functional_dependencies",
     "near_dup_best_survivors", "near_dup_cluster_survivors",
+    "mw_domain_reweight",
     "near_dup_clusters", "neardup_store_compaction", "next_fit_bin_packing",
-    "ngram_jaccard_pairs", "order_price_percentile_ranks",
+    "ngram_jaccard_pairs", "orc_catalog_assets", "order_price_percentile_ranks",
     "order_priority_late_ships", "orders_priority_status_pivot",
     "orders_rollup", "orders_running_total", "orders_with_returns",
     "packing_padding_waste", "passage_dedup_survivors", "pq_ann_topk",
@@ -178,6 +180,7 @@ _CHECKED_GREEN = {
     "q2_min_cost_supplier", "q3_top_orders", "q5_nation_revenue",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
     "q9_product_profit", "referential_integrity_report",
+    "rerank_cross_encoder",
     "retrieval_rank_agreement", "row_counts", "scrub_documents",
     "semantic_dedup_pairs", "semantic_dedup_survivors", "sequence_packing",
     "simhash_docs", "simhash_hamming_pairs", "small_quantity_part_revenue",
@@ -187,14 +190,16 @@ _CHECKED_GREEN = {
     "split_leakage_report", "sql_api_revenue", "sql_condition_mining",
     "srp_ann_topk", "stratified_sample", "streaming_click_attribution",
     "streaming_hourly_rollup", "streaming_incremental_dedup",
-    "streaming_incremental_neardup", "streaming_quantile_rollup",
+    "streaming_incremental_neardup", "streaming_ks_drift",
+    "streaming_quantile_rollup",
     "streaming_segment_counts", "streaming_sliding_distinct",
     "streaming_word_heavy_hitters",
     "temperature_mix_weights", "text_analysis", "token_budget_allocation",
     "top_customers",
     "top_docs_per_lang", "training_order_interleave",
     "truncation_budget_curve", "user_activity_gini", "user_event_grants",
-    "user_path_trigrams", "user_retention_cohorts", "user_sessions",
+    "user_kanonymity_census", "user_path_trigrams",
+    "user_retention_cohorts", "user_sessions",
     "video_frame_sample", "video_scene_segments", "vocab_coverage_curve",
     "weighted_sample_docs", "winnowing_fingerprints",
     "workload_graph_triangles", "workload_lineage_closure",

@@ -323,8 +323,6 @@ def cusum_changepoint(
     one max window per key over HOUR-count-sized rows (time-range
     property, not N), one tiny final agg. Observed-hours semantics
     (missing hours are absent, matching hourly_autocorrelation)."""
-    from meteor_spark.functions.exactmath import ppm_expr
-
     hourly = (
         events.select(
             F.col(type_col).alias("k"),
@@ -333,6 +331,17 @@ def cusum_changepoint(
         .groupBy("k", "hr")
         .agg(F.count("*").alias("x"))
     )
+    return cusum_from_hourly(hourly, type_col)
+
+
+def cusum_from_hourly(hourly: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """CUSUM readout over a finished (k, hr, x) hourly-count frame —
+    factored out of cusum_changepoint (same pattern as ks_from_counts)
+    so the STREAMING twin can accumulate the counts as mergeable state
+    and feed the identical exact-integer readout: bounded stream ==
+    batch == the batch gate's bit-exact oracle."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
     wk = Window.partitionBy("k")
     d = hourly.select(
         "k",

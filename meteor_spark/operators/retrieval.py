@@ -158,7 +158,11 @@ def cross_encoder_rerank(
     rows. Reranking cost is O(L · model), never O(corpus)."""
     from meteor_spark.functions.exactmath import ppm_expr
 
-    qset = {t for t in query_terms}
+    # document tokens are lowercased before matching (below), so the
+    # query side must be too — an unnormalized caller term would
+    # otherwise silently never match and score the doc 0, diverging
+    # from the engine-side SQL contract (terms written pre-normalized)
+    qset = {t.lower() for t in query_terms}
 
     def _score_batches(batches):
         # the model seam: one pandas frame in, joint features out.

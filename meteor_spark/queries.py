@@ -42,6 +42,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _session_tmpdir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree: the streaming gates need a FRESH dir
+    per invocation (append batches / checkpoints can't be reused), but
+    repeated parity/bench sweeps in one process must not leak /tmp
+    trees — each dir is removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from meteor_spark.io import read_parquet_table
 
@@ -3887,14 +3901,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") < 400)
     newb = docs.filter(F.col("doc_id") >= 400).union(
         docs.filter(F.col("doc_id") < 50).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
     )
-    base = tempfile.mkdtemp(prefix="msk_sid_")
+    base = _session_tmpdir("msk_sid_")
     watch = os.path.join(base, "in")
     os.makedirs(watch)
     parts = (newb.filter(F.col("doc_id") < 2000), newb.filter(F.col("doc_id") >= 2000))
@@ -3987,7 +4000,6 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     import glob
     import os
     import shutil
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") < 400)
@@ -3996,7 +4008,7 @@ def streaming_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         .select((F.col("doc_id") + 5000).alias("doc_id"), F.concat("text", F.lit(" addendum")).alias("text"))
     )
     newb = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480)).union(paraphrased)
-    base = tempfile.mkdtemp(prefix="msk_snd_")
+    base = _session_tmpdir("msk_snd_")
     watch = os.path.join(base, "in")
     os.makedirs(watch)
     parts = (newb.filter(F.col("doc_id") < 5000), newb.filter(F.col("doc_id") >= 5000))
@@ -4048,7 +4060,6 @@ def neardup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hive-partitions bands/ by band_key prefix so future batch joins
     partition-prune (test_streaming.py asserts the pruned plan)."""
     import os
-    import tempfile
 
     from meteor_spark.operators.dedup import minhash_bands, shingle_frame
     from meteor_spark.streaming.pipeline import compact_neardup_store
@@ -4056,7 +4067,7 @@ def neardup_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 480))
-    base = tempfile.mkdtemp(prefix="msk_cmp_")
+    base = _session_tmpdir("msk_cmp_")
     store = os.path.join(base, "store")
 
     csh = shingle_frame(corpus, "text", "doc_id", _MINHASH_K).persist()
@@ -7795,7 +7806,15 @@ def orc_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="msk_orc_")
+    # Deterministic per-fixture path, NOT mkdtemp: repeated parity /
+    # bench sweeps reuse (overwrite) the same directory instead of
+    # leaking a fixture-sized /tmp tree per invocation (largest at the
+    # 10x fixture). The name keys on the sf_dir so concurrent sweeps
+    # over different fixtures never collide; mode("overwrite") makes
+    # the rewrite atomic-enough for the single-process sweeps that
+    # call this gate.
+    fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
+    base = os.path.join(tempfile.gettempdir(), f"msk_orc_{fixture}")
     for t in _ORC_TABLES:
         _t(spark, sf_dir, t).write.mode("overwrite").orc(os.path.join(base, f"{t}.orc"))
     from meteor_spark.registry import extractors

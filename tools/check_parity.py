@@ -17,8 +17,11 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
                or the fixture files invalidates the entry. The Spark
                side is never cached — it is the thing under test.
 --record PATH  Strict-certification registry (e.g. docs/CERT10X.json):
-               every PASS upserts {gate: {fixture, rows, spark_sec,
-               oracle_sec|"cached"}}. This is the machine-readable
+               every PASS upserts {gate: {fixture, fixture_digest,
+               oracle_md5, rows, spark_sec, oracle_sec|"cached"}};
+               every FAIL of a recorded gate REMOVES its entry, so a
+               regression (or an oracle-SQL edit) cannot coast on a
+               stale certified row. This is the machine-readable
                ledger behind COVERAGE.md's "N gates 10x-certified".
 --skip a,b     Gate names to leave out of this sweep (documented
                exclusions; they stay absent from --record).
@@ -101,10 +104,35 @@ def unsafe_oracle_types(rel) -> dict[str, str]:
 
 
 def fixture_digest(sf_dir: str) -> str:
-    """Digest of the fixture's table files by (name, size). Size-only —
-    no mtime — so a byte-identical rebuild of /tmp/scale10 keeps its
-    cache entries; a content change of any table almost surely changes
-    a parquet file size and invalidates them."""
+    """Digest of the fixture's table files by (name, size, head+tail
+    content hash). The 4KB head+tail covers the parquet footer (row
+    counts, column stats, offsets) so a rebuild that changes CONTENT
+    without changing any file size still invalidates cache entries;
+    mtime stays out, so a byte-identical rebuild of /tmp/scale10 keeps
+    them. Same-size-same-footer-different-middle is not a failure mode
+    parquet can produce without moving the footer offsets."""
+    parts = []
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            parts.append(f"{t}:-1")
+            continue
+        size = os.path.getsize(p)
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            h.update(f.read(4096))
+            if size > 4096:
+                f.seek(max(size - 4096, 4096))
+                h.update(f.read(4096))
+        parts.append(f"{t}:{size}:{h.hexdigest()}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def fixture_digest_legacy(sf_dir: str) -> str:
+    """The pre-r8 size-only digest — kept ONLY to migrate existing
+    slow-oracle cache entries (the ~1000s recursive-CC oracles) to the
+    content-aware key without re-running them. Never used for new
+    writes."""
     parts = []
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -121,19 +149,27 @@ def _load_json(path: str) -> dict:
     return {}
 
 
-def _dump_json(path: str, obj: dict) -> None:
-    """Merge-on-write: reload the file and overlay this process's
-    entries, so two concurrent sweeps writing the same cache/record
-    file append to each other instead of clobbering (keys are
-    append-only upserts; last writer wins per key, not per file)."""
+def _dump_json(path: str, obj: dict, drop: set[str] | None = None) -> None:
+    """Merge-on-write under an exclusive flock: reload the file,
+    overlay this process's entries, drop any keys in `drop`, and
+    atomically replace. The lock lives on a sidecar (.lock) because
+    os.replace swaps the data file's inode out from under a lock held
+    on it; with the sidecar serialized, two concurrent sweeps genuinely
+    append to each other (last writer wins per key, not per file)."""
+    import fcntl
     import json
 
-    merged = {**_load_json(path), **obj}
-    obj.update(merged)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        merged = {**_load_json(path), **obj}
+        for k in drop or ():
+            merged.pop(k, None)
+        obj.clear()
+        obj.update(merged)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
 
 def main() -> int:
@@ -178,9 +214,19 @@ def main() -> int:
         oracles = {**oracles, **SCALE_ORACLES}
         scale_gates = set(SCALE_ORACLES)
     fdig = fixture_digest(sf_dir)
+    fdig_legacy = fixture_digest_legacy(sf_dir)
     cache = _load_json(cache_path) if cache_path else None
     record = _load_json(record_path) if record_path else None
     fixture_label = os.path.basename(sf_dir.rstrip("/"))
+
+    def _decertify(name: str) -> None:
+        # A recorded sweep that FAILS a gate must also un-certify it:
+        # an upsert-on-PASS-only ledger would keep the stale row and
+        # overstate strict certification after a regression.
+        if record is not None and name in record:
+            _dump_json(record_path, record, drop={name})
+            print(f"     (removed stale certification entry for {name})")
+
     failures = []
     n_skipped = 0
     for name, fn in qs.items():
@@ -198,6 +244,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            _decertify(name)
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
@@ -205,8 +252,19 @@ def main() -> int:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         t_spark = time.time() - t0
-        ckey = f"{fdig}:{hashlib.md5(oracles[name].encode()).hexdigest()}"
+        sql_md5 = hashlib.md5(oracles[name].encode()).hexdigest()
+        ckey = f"{fdig}:{sql_md5}"
         hit = cache.get(ckey) if cache is not None else None
+        if hit is None and cache is not None:
+            # migrate pre-r8 size-only-digest entries to the
+            # content-aware key (same fixture bytes, same SQL) so the
+            # ~1000s slow oracles don't re-run on a tooling upgrade
+            legacy = cache.get(f"{fdig_legacy}:{sql_md5}")
+            if legacy is not None:
+                cache[ckey] = legacy
+                _dump_json(cache_path, cache,
+                           drop={f"{fdig_legacy}:{sql_md5}"})
+                hit = legacy
         t_oracle: float | str
         if hit is not None:
             dcols, n_drows, dh, unsafe = (
@@ -224,6 +282,7 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 print(f"FAIL {name}: duckdb error: {e}")
                 failures.append(name)
+                _decertify(name)
                 continue
             n_drows = len(drows)
             dh = frame_hash(dcols, drows)
@@ -277,8 +336,14 @@ def main() -> int:
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
             if record is not None:
+                # fixture_digest + oracle_md5 make staleness DETECTABLE:
+                # a later fixture rebuild or oracle-SQL edit no longer
+                # silently inherits this row's "certified" status — any
+                # auditor can recompute both and compare
                 record[name] = {
                     "fixture": fixture_label,
+                    "fixture_digest": fdig,
+                    "oracle_md5": sql_md5,
                     "rows": len(srows),
                     "spark_sec": round(t_spark, 1),
                     "oracle_sec": t_oracle,
@@ -288,6 +353,7 @@ def main() -> int:
                 _dump_json(record_path, record)
         else:
             failures.append(name)
+            _decertify(name)
 
     n_run = len([n for n in qs if (not only or n in only) and n not in skip])
     print(f"\n{n_run - len(failures)}/{n_run} ok ({len(qs)} registered, "
