@@ -36,7 +36,19 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 193 entries, 189 with exact DuckDB oracles (r7 adds
+                 199 entries, 195 with exact DuckDB oracles (r8 adds
+                 streaming_rate_changepoint — live CUSUM from mergeable
+                 hourly-count state, equal to the batch gate's bit-exact
+                 oracle; document_pareto_frontier — 2-D skyline via an
+                 Arrow-batched narrow prefilter + window restatement,
+                 oracle is the O(N^2) dominance definition;
+                 event_rate_holt_smoothing — exact-integer exponential
+                 smoothing, row-preserving, oracle replays the whole
+                 recursion via RECURSIVE CTE; hard_negative_mining —
+                 per-anchor top-k different-label neighbors;
+                 bitext_margin_pairs — Artetxe-Schwenk margin-normalized
+                 parallel-pair mining, all-integer margin_ppm;
+                 json_catalog_assets — fifth lakehouse format; r7 added
                  event_rate_changepoint — exact-integer CUSUM
                  changepoint per key over the hourly rate series;
                  orc_catalog_assets — ORC catalog source, fourth

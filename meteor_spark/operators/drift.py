@@ -360,9 +360,12 @@ def cusum_from_hourly(hourly: DataFrame, type_col: str = "event_type") -> DataFr
     c = d.select(
         "k", "hr", "n_hours", "total", F.sum("dev").over(wcum).alias("cusum")
     )
-    peak = c.groupBy("k").agg(F.max(F.abs("cusum")).alias("peak"))
+    # peak via a partition-only window, NOT a groupBy + self-join: one
+    # fewer exchange, and a self-join on a memory-sink-derived frame
+    # (the streaming twin's finished state) trips Spark 4.1's
+    # conflicting-reference resolution with an INTERNAL_ERROR
     at_peak = (
-        c.join(F.broadcast(peak), "k")
+        c.withColumn("peak", F.max(F.abs("cusum")).over(wk))
         .filter(F.abs(F.col("cusum")) == F.col("peak"))
         .groupBy("k", "n_hours", "total", "peak")
         .agg(
@@ -380,4 +383,83 @@ def cusum_from_hourly(hourly: DataFrame, type_col: str = "event_type") -> DataFr
         F.col("changepoint_hr").cast("long").alias("changepoint_hr"),
         "direction",
         peak_ppm.alias("peak_ppm"),
+    )
+
+
+def holt_smoothing(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact-integer simple exponential smoothing per key over the
+    hourly count series — the FORECASTING sibling of this module's
+    monitoring family (PSI/KS: what distribution changed; MAD: which
+    values; CUSUM: which moment; seasonality: which recurring hours;
+    this: what level the rate is tracking toward, hour by hour, and
+    how surprising each hour was against it). Alpha is fixed at 1/4
+    through integer floor division so the whole series is bit-stable
+    across engines:
+
+        level_1 = 1000 * x_1                     (milli-units)
+        res_t   = 1000 * x_t - level_{t-1}
+        level_t = level_{t-1} + (res_t + 4*S) // 4 - S    (S = 2^40)
+
+    The 4*S shift keeps the floor-division numerator NON-NEGATIVE —
+    engines genuinely disagree on negative integer division (Python //
+    floors, DuckDB // truncates toward zero; measured: -250 gave -63
+    vs -62), and shifting is the same bit-stable-playbook move
+    mw_domain_reweight uses. Valid while res_t >= -4*S, i.e. hourly
+    levels below ~4.4e12 milli-events — shard the key past 4e9
+    events/hour.
+
+    ROW-PRESERVING publish — (key, hr, x, level_milli, residual_milli)
+    for every observed hour — so the oracle value-hashes the entire
+    recursion, not a summary of it.
+
+    Scale: one (key, hour) groupBy, then ONE applyInPandas fold per
+    key. The fold is inherently sequential per key, but each group is
+    HOUR-COUNT-sized (a time-range property — ~720 rows per key per
+    month, N-independent), keys fold in parallel, and the raw rows
+    never reach Python — only the hourly aggregate does."""
+    import pandas as pd
+
+    hourly = (
+        events.select(
+            F.col(type_col).alias("k"),
+            F.expr(f"CAST(unix_timestamp({ts_col}) AS BIGINT) div 3600").alias("hr"),
+        )
+        .groupBy("k", "hr")
+        .agg(F.count("*").alias("x"))
+    )
+
+    S = 1 << 40
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("hr").reset_index(drop=True)
+        levels, residuals = [], []
+        level = 0
+        for i, x in enumerate(pdf["x"]):
+            xm = int(x) * 1000
+            if i == 0:
+                level, res = xm, 0
+            else:
+                res = xm - level
+                level = level + (res + 4 * S) // 4 - S
+            levels.append(level)
+            residuals.append(res)
+        pdf["level_milli"] = levels
+        pdf["residual_milli"] = residuals
+        return pdf
+
+    out_schema = "k string, hr long, x long, level_milli long, residual_milli long"
+    return (
+        hourly.groupBy("k")
+        .applyInPandas(fold, schema=out_schema)
+        .select(
+            F.col("k").alias(type_col),
+            "hr",
+            "x",
+            "level_milli",
+            "residual_milli",
+        )
     )

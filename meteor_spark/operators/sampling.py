@@ -523,3 +523,68 @@ def mw_domain_reweight(
         f"{group_col} string, n_tokens long, loss_ppm long, weight_ppm long",
     )
     return out
+
+
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline operator): keep every row not
+    DOMINATED on the (x, y) criteria — e dominates d iff x_e >= x_d,
+    y_e >= y_d, and at least one is strict. Classic multi-criteria
+    curation shape: "no doc on the frontier is beaten on BOTH length
+    and lexical quality at once". Equal (x, y) points do not dominate
+    each other — duplicates of a frontier point all survive.
+
+    No O(N^2) self-join anywhere. d is dominated iff
+
+        max(y  |  x' > x)  >= y      (strictly greater x, y at least equal)
+     OR max(y  |  x' = x)  >  y      (same x, strictly greater y)
+
+    Two phases:
+    - Phase 1 (NARROW, shuffle-free): an Arrow-batched mapInPandas
+      prefilter applies the exact dominance rule WITHIN each batch
+      (sort by x desc, exclusive running max of per-x y-max). Correct
+      for any batching: the global frontier is a subset of the union
+      of local frontiers — a dominator in d's own batch removes d
+      locally, dominators elsewhere are phase 2's job. On real data
+      this leaves ~frontier-sized survivors per batch.
+    - Phase 2 (exact, tiny): the same rule as two window functions
+      over an integer ORDER BY x (rangeBetween(1, unbounded) for the
+      strict-x case, partitionBy(x) for ties) — one single-partition
+      sort over phase-1 survivors, never over N.
+
+    Output is the exact global frontier regardless of partitioning
+    (pinned by a partition-invariance test)."""
+    from pyspark.sql import Window
+
+    def _local(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            gmax = pdf.groupby(x_col)[y_col].transform("max")
+            grp = pdf.groupby(x_col)[y_col].max().sort_index(ascending=False)
+            prior = grp.cummax().shift(1)  # max y over strictly greater x
+            m1 = pdf[x_col].map(prior)
+            keep = (pdf[y_col] == gmax) & ~(m1 >= pdf[y_col])
+            yield pdf[keep]
+
+    survivors = df.mapInPandas(_local, schema=df.schema)
+
+    w_gt = (
+        Window.orderBy(F.col(x_col).asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy(x_col)
+    dominated = F.coalesce(
+        F.max(y_col).over(w_gt) >= F.col(y_col), F.lit(False)
+    ) | (F.max(y_col).over(w_eq) > F.col(y_col))
+    return (
+        survivors.withColumn("__dom", dominated)
+        .filter(~F.col("__dom"))
+        .drop("__dom")
+    )

@@ -1377,3 +1377,146 @@ def power_iteration_pc1(
     return df.sparkSession.createDataFrame(
         [(d, int(v[d])) for d in range(n_dim)], "dim long, pc1_fixed long"
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most COSINE-SIMILAR items carrying a DIFFERENT label — the
+    negatives that actually move an InfoNCE/triplet loss, vs the easy
+    negatives random sampling returns. Same plan shape as
+    brute_force_topk (anchors broadcast, corpus never shuffled, one
+    per-anchor window), with the label-exclusion predicate fused into
+    the broadcast join so excluded pairs are never materialized.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, cos,
+    rank); ties broken by neighbor id — fully deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_to
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def margin_bitext_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the Artetxe & Schwenk
+    bitext-mining shape): a candidate pair (x, y) across two corpora
+    is scored not by raw cosine — which is miscalibrated across
+    embedding-space density — but by cosine NORMALIZED by the mean
+    similarity of each endpoint's k-nearest neighborhood:
+
+        margin(x, y) = 2k * c(x, y) / (sum_fwd(x) + sum_bwd(y))
+
+    where c is cosine quantized to exact int (round(cos * 1e4)),
+    sum_fwd(x) = Σ c over x's k-NN in B, sum_bwd(y) = Σ c over y's
+    k-NN in A. Published as margin_ppm through ppm_expr — all-integer,
+    so the ratio is bit-stable. Pairs with negative quantized cosine
+    or non-positive neighborhood mass are unmineable and dropped
+    (keeps every floor-division numerator/denominator non-negative,
+    where engines agree).
+
+    Plan: the query side (bounded) broadcasts into one scan of B
+    (forward k-NN); the candidate targets (<= |Q|·k) broadcast into
+    one scan of A (backward k-NN); neither corpus ever shuffles.
+    Returns the best target per query by margin (rank 1 of a
+    margin-desc window, ties by target id):
+    (src_id, tgt_id, cos_e4, margin_ppm)."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    def prep(df: DataFrame, ident: str, vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).cast("array<double>").alias(vec),
+        ).withColumn(f"{vec}_n", norm(F.col(vec)))
+
+    q = prep(queries, "src_id", "qv")
+    b = prep(side_b, "tgt_id", "bv")
+    a = prep(side_a, "cand_id", "av")
+
+    c4 = lambda u, un, v, vn: F.round(  # noqa: E731
+        dot(F.col(u), F.col(v)) / (F.col(un) * F.col(vn)) * 10000
+    ).cast("long")
+
+    wq = Window.partitionBy("src_id").orderBy(F.col("c4").desc(), F.col("tgt_id"))
+    # persist: the forward k-NN feeds three consumers (pair candidates,
+    # per-query mass, target set) — without it the |B| x |Q| broadcast
+    # scan re-runs per consumer; persisted it is one pass over B and
+    # |Q|*k rows of state
+    fwd = (
+        b.join(F.broadcast(q), F.lit(True))
+        .select("src_id", "tgt_id", c4("qv", "qv_n", "bv", "bv_n").alias("c4"))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= k)
+        .persist()
+    )
+    fwd_sum = fwd.groupBy("src_id").agg(F.sum("c4").alias("sum_fwd"))
+
+    cand = fwd.select("tgt_id").distinct().join(b, "tgt_id")
+    wt = Window.partitionBy("tgt_id").orderBy(F.col("c4").desc(), F.col("cand_id"))
+    bwd = (
+        a.join(F.broadcast(cand), F.lit(True))
+        .filter(F.col("cand_id") != F.col("tgt_id"))
+        .select("tgt_id", "cand_id", c4("bv", "bv_n", "av", "av_n").alias("c4"))
+        .withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= k)
+    )
+    bwd_sum = bwd.groupBy("tgt_id").agg(F.sum("c4").alias("sum_bwd"))
+
+    scored = (
+        fwd.select("src_id", "tgt_id", "c4")
+        .join(F.broadcast(fwd_sum), "src_id")
+        .join(F.broadcast(bwd_sum), "tgt_id")
+        .filter(
+            (F.col("c4") >= 0) & (F.col("sum_fwd") + F.col("sum_bwd") >= 1)
+        )
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                ppm_expr(f"2 * {k} * c4", "sum_fwd + sum_bwd", "div")
+            ).cast("long"),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin_ppm").desc(), F.col("tgt_id")
+    )
+    return (
+        scored.withColumn("best", F.row_number().over(wbest))
+        .filter(F.col("best") == 1)
+        .select("src_id", "tgt_id", F.col("c4").alias("cos_e4"), "margin_ppm")
+    )

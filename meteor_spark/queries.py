@@ -7876,3 +7876,288 @@ def event_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.drift import cusum_changepoint
 
     return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+@query("streaming_rate_changepoint", ORACLES["event_rate_changepoint"])
+def streaming_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_rate_changepoint: the events STREAM
+    maintains per-(event_type, hour) counts in state (complete mode,
+    one streaming groupBy) and the finished state feeds the SAME
+    exact-integer CUSUM readout (drift.cusum_from_hourly) — so the
+    bounded stream must equal the batch gate, and therefore the batch
+    gate's bit-exact DuckDB oracle, to the last ppm. The production
+    shape for "WHEN did the live rate shift, updated per microbatch":
+    completing the live-monitoring family (streaming_ks_drift: is the
+    value distribution drifting; this gate: at what hour did the rate
+    break). State is mergeable hourly counts — bounded by the TIME
+    RANGE (types x hours, ~3.6k cells at sf0.1), not by N, the same
+    N-independent-ceiling character as the sliding-distinct registers
+    and the KS value grid."""
+    from meteor_spark.operators.drift import cusum_from_hourly
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600").alias("hr"),
+    ).count()
+    state = run_stream_to_batch(hourly, output_mode="complete")
+    return cusum_from_hourly(
+        state.select("k", "hr", F.col("count").alias("x"))
+    )
+
+
+@query(
+    "document_pareto_frontier",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS tc,
+             CAST(len(list_distinct(regexp_split_to_array({_NORM_SQL}, ' ')))
+                  AS BIGINT) AS uq
+      FROM documents),
+    p AS (SELECT doc_id, tc,
+                 CAST({_ppm("uq", "tc", "//")} AS BIGINT) AS uniq_ppm
+          FROM m)
+    SELECT d.doc_id, d.tc, d.uniq_ppm
+    FROM p d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p e
+      WHERE e.tc >= d.tc AND e.uniq_ppm >= d.uniq_ppm
+        AND (e.tc > d.tc OR e.uniq_ppm > d.uniq_ppm))
+    """,
+)
+def document_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier curation (sampling.pareto_frontier_2d):
+    the documents no other doc beats on BOTH token count and distinct-
+    token ratio at once — the multi-criteria analogue of a single
+    quality threshold (pick the frontier, not an arbitrary weighting of
+    the two axes). Both criteria are exact integers (tc; uniq_ppm via
+    ppm_expr), so frontier membership is bit-stable on both engines.
+
+    The ORACLE is the O(N^2) NOT-EXISTS dominance definition; the
+    ENGINE is the O(N log N) two-window formulation (strict-greater
+    range frame + tie partition), run per input partition first (no
+    shuffle; frontier-of-union subsets union-of-local-frontiers) and
+    globally only over the local survivors — the gate proves the
+    window restatement loses nothing against the definitional SQL."""
+    from meteor_spark.operators.sampling import pareto_frontier_2d
+    from meteor_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    ws = F.split(normalize_text(F.col("text")), " ")
+    m = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("tc"),
+        F.size(F.array_distinct(ws)).cast("long").alias("uq"),
+    )
+    p = m.select(
+        "doc_id",
+        "tc",
+        F.expr(_ppm("uq", "tc", "div")).cast("long").alias("uniq_ppm"),
+    )
+    return pareto_frontier_2d(p, "tc", "uniq_ppm").select("doc_id", "tc", "uniq_ppm")
+
+
+@query(
+    "event_rate_holt_smoothing",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type AS k, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT k, hr, x,
+             CAST(row_number() OVER (PARTITION BY k ORDER BY hr) AS BIGINT) AS t
+      FROM hourly),
+    rec AS (
+      SELECT k, hr, x, t, CAST(x * 1000 AS BIGINT) AS level,
+             CAST(0 AS BIGINT) AS residual
+      FROM idx WHERE t = 1
+      UNION ALL
+      SELECT i.k, i.hr, i.x, i.t,
+             CAST(r.level + (i.x * 1000 - r.level + 4398046511104) // 4
+                  - 1099511627776 AS BIGINT),
+             CAST(i.x * 1000 - r.level AS BIGINT)
+      FROM rec r JOIN idx i ON i.k = r.k AND i.t = r.t + 1)
+    SELECT k AS event_type, hr, x,
+           CAST(level AS BIGINT) AS level_milli,
+           CAST(residual AS BIGINT) AS residual_milli
+    FROM rec
+    """,
+)
+def event_rate_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing level + surprise residual for EVERY hour
+    of every event type (drift.holt_smoothing) — the forecasting gate
+    of the monitoring family, row-preserving so the oracle replays the
+    whole recursion (a DuckDB RECURSIVE CTE walking hour-by-hour) and
+    value-hashes all of it, not a summary. All arithmetic is int64
+    with alpha = 1/4 via SHIFTED floor division ((res + 4*2^40) // 4
+    - 2^40): Python floors negative // while DuckDB truncates toward
+    zero (measured, -250 -> -63 vs -62), and the shift keeps every
+    numerator non-negative, where the engines agree — the
+    mw_domain_reweight playbook entry. The sequential fold runs per key
+    over HOUR-count-sized groups (a time-range property, not N) via
+    one applyInPandas; raw events never reach Python."""
+    from meteor_spark.operators.drift import holt_smoothing
+
+    return holt_smoothing(_t(spark, sf_dir, "events"))
+
+
+_HNM_K = 5
+_HNM_NQUERY = 8
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_HNM_NQUERY}),
+    c AS (
+      SELECT vec_id AS neighbor_id, label AS neighbor_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+    s AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   4) AS cos
+      FROM q, c
+      WHERE query_id <> neighbor_id AND query_label <> neighbor_label)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s) WHERE rank <= {_HNM_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_topk): for each
+    anchor embedding, the top-k most similar DIFFERENT-label vectors —
+    the negatives a contrastive objective actually learns from. The
+    anchor side is broadcast with the label-exclusion predicate fused
+    into the join, the corpus is never shuffled, and ties break by
+    neighbor id; cosine follows the certified ann_cosine_topk publish
+    (same doubles in the same order on both engines, round 4)."""
+    from meteor_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < _HNM_NQUERY), k=_HNM_K)
+
+
+_BTX_K = 4
+_BTX_NQUERY = 40
+_BTX_COS = (
+    "CAST(round(list_dot_product({l}.v, {r}.v) / "
+    "(sqrt(list_dot_product({l}.v, {l}.v)) * sqrt(list_dot_product({r}.v, {r}.v)))"
+    " * 10000) AS BIGINT)"
+)
+
+
+@query(
+    "bitext_margin_pairs",
+    f"""
+    WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label % 2 = 0),
+    b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label % 2 = 1),
+    q AS (SELECT * FROM a WHERE vec_id < {_BTX_NQUERY}),
+    fwd0 AS (
+      SELECT q.vec_id AS src_id, b.vec_id AS tgt_id,
+             {_BTX_COS.format(l="q", r="b")} AS c4
+      FROM q, b),
+    fwd AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY c4 DESC, tgt_id) AS r
+      FROM fwd0) WHERE r <= {_BTX_K}),
+    fs AS (SELECT src_id, CAST(sum(c4) AS BIGINT) AS sum_fwd
+           FROM fwd GROUP BY src_id),
+    t AS (SELECT DISTINCT tgt_id FROM fwd),
+    tv AS (SELECT b.vec_id AS tgt_id, b.v FROM b JOIN t ON b.vec_id = t.tgt_id),
+    bwd0 AS (
+      SELECT tv.tgt_id, a.vec_id AS cand_id,
+             {_BTX_COS.format(l="tv", r="a")} AS c4
+      FROM tv, a WHERE a.vec_id <> tv.tgt_id),
+    bwd AS (SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                   ORDER BY c4 DESC, cand_id) AS r
+      FROM bwd0) WHERE r <= {_BTX_K}),
+    bs AS (SELECT tgt_id, CAST(sum(c4) AS BIGINT) AS sum_bwd
+           FROM bwd GROUP BY tgt_id),
+    m AS (
+      SELECT f.src_id, f.tgt_id, f.c4, fs.sum_fwd, bs.sum_bwd
+      FROM fwd f JOIN fs USING (src_id) JOIN bs USING (tgt_id)
+      WHERE f.c4 >= 0 AND fs.sum_fwd + bs.sum_bwd >= 1),
+    sc AS (
+      SELECT src_id, tgt_id, c4 AS cos_e4,
+             CAST({_ppm(f"2 * {_BTX_K} * c4", "sum_fwd + sum_bwd", "//")}
+                  AS BIGINT) AS margin_ppm
+      FROM m)
+    SELECT src_id, tgt_id, cos_e4, margin_ppm FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY margin_ppm DESC, tgt_id) AS rb
+      FROM sc) WHERE rb = 1
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining across two embedding corpora
+    (similarity.margin_bitext_mine — the Artetxe & Schwenk bitext
+    shape): label parity splits the fixture into two sides; each
+    bounded query broadcasts into ONE scan of the far side (forward
+    k-NN), the <=|Q|*k candidate targets broadcast into ONE scan of
+    the near side (backward k-NN), and the pair score is cosine
+    normalized by both endpoints' neighborhood mass — published as
+    all-integer margin_ppm (quantized c4 = round(cos * 1e4), ppm_expr
+    ratio), so the mined pairs are bit-stable. Neither corpus ever
+    shuffles; negative-cosine / non-positive-mass pairs are unmineable
+    by contract."""
+    from meteor_spark.operators.similarity import margin_bitext_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("label") % 2 == 0)
+    side_b = emb.filter(F.col("label") % 2 == 1)
+    return margin_bitext_mine(
+        side_a, side_b, side_a.filter(F.col("vec_id") < _BTX_NQUERY), k=_BTX_K
+    )
+
+
+@query(
+    "json_catalog_assets",
+    "UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST({_N_COLS[t]} AS BIGINT) AS n_columns,"
+        f" CAST((SELECT count(*) FROM {t}) AS BIGINT) AS total_rows "
+        for t in _ORC_TABLES
+    )
+    + "ORDER BY table_name",
+)
+def json_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines catalog extraction (sources.parquet_catalog.
+    JsonCatalogExtractor): the five dimension tables are round-tripped
+    into a directory of .jsonl tables and walked by the json_catalog
+    source — the lakehouse family's fifth format, the raw landing
+    zone. Shares the orc gate's oracle philosophy: the SQL knows
+    nothing about JSON, it checks the extracted schema widths and row
+    counts against the same data's parquet views, so an inference or
+    read-path defect on the JSON side cannot hide behind a matching
+    implementation. (The five dim tables have no all-null columns, so
+    sampling inference must recover every column.)"""
+    import os
+    import tempfile
+
+    fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
+    base = os.path.join(tempfile.gettempdir(), f"msk_jsl_{fixture}")
+    for t in _ORC_TABLES:
+        _t(spark, sf_dir, t).write.mode("overwrite").json(
+            os.path.join(base, f"{t}.jsonl")
+        )
+    from meteor_spark.registry import extractors
+
+    ex = extractors.get("json_catalog")
+    ex.init({"path": base, "include_row_count": True})
+    assets = ex.extract(spark)
+    return assets.select(
+        F.col("resource.name").alias("table_name"),
+        F.size("schema").cast("long").alias("n_columns"),
+        F.col("profile.total_rows").cast("long").alias("total_rows"),
+    ).orderBy("table_name")

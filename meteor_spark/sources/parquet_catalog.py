@@ -122,6 +122,25 @@ class OrcCatalogExtractor(ParquetCatalogExtractor):
         return spark.read.orc(path)
 
 
+@register_extractor("json_catalog", "Directory of JSON-lines tables as a database")
+class JsonCatalogExtractor(ParquetCatalogExtractor):
+    """JSON-lines sibling of parquet_catalog — the fifth lakehouse
+    format (parquet / delta / iceberg / orc / jsonl), covering the
+    raw-landing-zone layout every warehouse migration starts from:
+    directories of newline-delimited JSON dumps. Same walk / asset /
+    profile path through the format seam; the one semantic difference
+    is that JSON has no footer, so schema comes from Spark's sampling
+    inference (columns that are null on EVERY row are invisible to
+    inference — a real property of schemaless landing data, not a
+    defect of the walk)."""
+
+    SERVICE = "json"
+    GLOB = "*.jsonl"
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.json(path)
+
+
 def _js(v):
     """JSON-safe scalar: timestamps -> isoformat, \x00 -> "null" string
     (the reference sanitizes unicode nulls, bigquery.go:315-318)."""

@@ -263,3 +263,35 @@ def test_cusum_changepoint_empty(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
     assert cusum_changepoint(empty).count() == 0
+
+
+def test_holt_smoothing_recursion_exact(spark):
+    from meteor_spark.operators.drift import holt_smoothing
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    xs = [4, 8, 2, 2, 100]
+    for h, n in enumerate(xs):
+        for i in range(n):
+            rows.append((len(rows), base + dt.timedelta(hours=h), "a"))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["hr"]: r for r in holt_smoothing(df).collect()}
+    assert len(out) == 5
+    # replay the shifted-floor-div recursion in plain python
+    S = 1 << 40
+    level, want = None, {}
+    hrs = sorted(out)
+    for i, hr in enumerate(hrs):
+        xm = xs[i] * 1000
+        if i == 0:
+            level, res = xm, 0
+        else:
+            res = xm - level
+            level = level + (res + 4 * S) // 4 - S
+        want[hr] = (level, res)
+    for hr in hrs:
+        assert (out[hr]["level_milli"], out[hr]["residual_milli"]) == want[hr]
+    # negative residual hour (8 -> 2) must floor, not truncate
+    neg = [r for r in out.values() if r["residual_milli"] < 0]
+    assert neg, "expected at least one negative residual"

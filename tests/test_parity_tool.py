@@ -125,3 +125,23 @@ def test_record_entry_shape_and_decertify_contract():
         and entry["oracle_md5"] != hashlib.md5(oracles[name].encode()).hexdigest()
     ]
     assert stale == [], f"stale certified rows (oracle SQL changed): {stale}"
+
+
+def test_pareto_scale_oracle_equivalence():
+    """The scale-tier window restatement of document_pareto_frontier
+    must stay equal to the canonical O(N^2) NOT-EXISTS dominance
+    definition — pinned here at sf0.01 so an edit to either form that
+    breaks the identity fails before the 10x sweep trusts it."""
+    import duckdb
+
+    from meteor_spark.queries import ORACLES
+    from tools.scale_oracles import SCALE_ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    a = sorted(map(tuple, con.sql(ORACLES["document_pareto_frontier"]).fetchall()))
+    b = sorted(map(tuple, con.sql(SCALE_ORACLES["document_pareto_frontier"]).fetchall()))
+    assert a == b and len(a) > 0

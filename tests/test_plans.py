@@ -375,7 +375,26 @@ _PLAN_BUDGETS = {
     "user_kanonymity_census": (7, 0, 1),
     "mw_domain_reweight": (0, 0, 0),
     "orc_catalog_assets": (1, 0, 0),
-    "event_rate_changepoint": (4, 1, 0),
+    # r8: peak via partition-window max instead of groupBy+broadcast
+    # self-join — 4 exchanges / 1 bhj became 2 / 0 (and the self-join
+    # removal is what lets the streaming twin reuse the readout)
+    "event_rate_changepoint": (2, 0, 0),
+    # r8 skyline: Arrow-batched local prefilter is NARROW (no exchange);
+    # the two budgeted shuffles are the _docs fan-out repartition and
+    # the global window sort over frontier-sized survivors
+    "document_pareto_frontier": (2, 0, 0),
+    # r8: hourly groupBy + per-key applyInPandas fold
+    "event_rate_holt_smoothing": (2, 0, 0),
+    # r8: anchors broadcast into one corpus scan (BNLJ on the
+    # label-exclusion predicate — the brute_force_topk shape)
+    "hard_negative_mining": (1, 0, 1),
+    # r8: the four BNLJ are the two broadcast corpus scans (forward /
+    # backward k-NN), each printed twice because the persisted forward
+    # frame's InMemoryRelation subplan repeats per consumer in the cold
+    # plan string (execution runs each scan once)
+    "bitext_margin_pairs": (9, 3, 4),
+    # r8: fifth catalog format; one exchange from the asset sort
+    "json_catalog_assets": (1, 0, 0),
 }
 
 

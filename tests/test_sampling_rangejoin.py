@@ -416,3 +416,44 @@ def test_mw_domain_reweight_empty(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string")
     assert mw_domain_reweight(empty).count() == 0
+
+
+def test_pareto_frontier_basic(spark):
+    from meteor_spark.operators.sampling import pareto_frontier_2d
+
+    # (3,1) dominated by (4,2); (1,5) and (4,2) on the frontier;
+    # (2,2) dominated by (4,2); (4,1) dominated by (4,2) via tie-x
+    rows = [(1, 3, 1), (2, 4, 2), (3, 1, 5), (4, 2, 2), (5, 4, 1)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert out == {2, 3}
+
+
+def test_pareto_frontier_duplicates_survive(spark):
+    from meteor_spark.operators.sampling import pareto_frontier_2d
+
+    # equal points do not dominate each other — both copies survive
+    rows = [(1, 5, 5), (2, 5, 5), (3, 4, 4)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+    assert out == {1, 2}
+
+
+def test_pareto_frontier_partition_invariant(spark):
+    from meteor_spark.operators.sampling import pareto_frontier_2d
+
+    # exact global frontier regardless of physical partitioning: the
+    # local pass is a pre-filter, the global pass is definitive
+    rows = [(i, i % 17, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    a = sorted(r["id"] for r in pareto_frontier_2d(df.coalesce(1), "x", "y").collect())
+    b = sorted(r["id"] for r in pareto_frontier_2d(df.repartition(16), "x", "y").collect())
+    assert a == b and len(a) > 0
+    # brute-force dominance check
+    data = {i: (i % 17, (i * 7) % 23) for i in range(200)}
+    for i in a:
+        xi, yi = data[i]
+        assert not any(
+            (xe >= xi and ye >= yi and (xe > xi or ye > yi))
+            for j, (xe, ye) in data.items()
+        ), i

@@ -470,3 +470,35 @@ def test_power_iteration_pc1_ignores_null_vectors(spark):
     )
     rows = {r["dim"]: r["pc1_fixed"] for r in similarity.power_iteration_pc1(df).collect()}
     assert rows == {0: 10_000, 1: 0}
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from meteor_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 1),   # most similar to 0 but SAME label
+        (2, [0.9, 0.3], 2),
+        (3, [0.0, 1.0], 2),
+        (4, [0.8, 0.4], 3),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negative_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ids == [2, 4]  # 1 excluded despite highest cosine
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+
+
+def test_margin_bitext_mine_shape(spark):
+    from meteor_spark.operators.similarity import margin_bitext_mine
+
+    a_rows = [(i, [1.0, float(i) / 10]) for i in range(6)]
+    b_rows = [(100 + i, [1.0, float(i) / 10 + 0.05]) for i in range(6)]
+    a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    out = margin_bitext_mine(a, b, a.filter("vec_id < 3"), k=2).collect()
+    # one best target per query, margins are positive integers (ppm)
+    assert len(out) == 3
+    assert len({r["src_id"] for r in out}) == 3
+    assert all(r["margin_ppm"] > 0 for r in out)
+    assert all(r["cos_e4"] >= 0 for r in out)

@@ -173,3 +173,37 @@ def _minhash_eval_scale() -> str:
 
 
 SCALE_ORACLES["minhash_eval_report"] = _minhash_eval_scale()
+
+
+# document_pareto_frontier: the canonical oracle is the O(N^2)
+# NOT-EXISTS dominance DEFINITION — at the 10x fixture that is a
+# ~2.5e9-pair nested loop on the oracle side. The scale tier restates
+# dominance with the two-window identity (dominated iff the max y over
+# strictly-greater x is >= y, or the max y among equal x is > y) —
+# O(N log N). Validated equal to the canonical form at sf0.001 and
+# sf0.01 before first 10x use (tests/test_parity_tool.py pins the
+# equivalence at sf0.01 on every run).
+SCALE_ORACLES["document_pareto_frontier"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array({_NORM}, ' ')) AS BIGINT) AS tc,
+         CAST(len(list_distinct(regexp_split_to_array({_NORM}, ' ')))
+              AS BIGINT) AS uq
+  FROM documents),
+p AS (SELECT doc_id, tc,
+             CAST((uq // tc) * 1000000
+                  + (((uq % tc) * 1000) // tc) * 1000
+                  + ((((uq % tc) * 1000) % tc) * 1000) // tc
+                  AS BIGINT) AS uniq_ppm
+      FROM m),
+d AS (
+  SELECT doc_id, tc, uniq_ppm,
+         max(uniq_ppm) OVER (ORDER BY tc ASC
+                             RANGE BETWEEN 1 FOLLOWING
+                                   AND UNBOUNDED FOLLOWING) AS m_gt,
+         max(uniq_ppm) OVER (PARTITION BY tc) AS m_eq
+  FROM p)
+SELECT doc_id, tc, uniq_ppm
+FROM d
+WHERE (m_gt IS NULL OR m_gt < uniq_ppm) AND m_eq = uniq_ppm
+"""
