@@ -36,7 +36,14 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 199 entries, 195 with exact DuckDB oracles (r8 adds
+                 203 entries, 199 with exact DuckDB oracles (r8 adds
+                 streaming_ttl_dedup — dropDuplicatesWithinWatermark
+                 retransmission dedup with measured one-batch eviction
+                 lag, oracle restates the state machine relationally;
+                 split_quota_apportionment — Hamilton largest-remainder
+                 integer budget apportionment; consistent_hash_reshard
+                 — md5-ring reshard movement census;
+                 csv_catalog_assets — sixth lakehouse format;
                  streaming_rate_changepoint — live CUSUM from mergeable
                  hourly-count state, equal to the batch gate's bit-exact
                  oracle; document_pareto_frontier — 2-D skyline via an

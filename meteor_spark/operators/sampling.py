@@ -588,3 +588,132 @@ def pareto_frontier_2d(
         .filter(~F.col("__dom"))
         .drop("__dom")
     )
+
+
+def quota_apportionment(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across groups in proportion to their row counts — the exact answer
+    to "split 1000 sampling slots across sources fairly" that naive
+    per-group rounding gets wrong (floors under-allocate, rounds can
+    over-allocate; Hamilton hands the Σfloor shortfall to the largest
+    fractional remainders, so seats always sum EXACTLY to the budget).
+
+    All-integer: floor_i = (B * n_i) div N, remainder_i = (B * n_i)
+    mod N, and the (B - Σ floor_i) leftover seats go to the largest
+    remainders (ties by group name — fully deterministic). int64-safe
+    while B * n_i < 9.2e18; with B in the thousands that is ~1e15 rows
+    per group — shard the budget past that.
+
+    Scale: one map-side-combined groupBy to counts, then every
+    scalar (total, leftover) is a GLOBAL WINDOW over the group-count-
+    sized frame — one single-partition exchange of |groups| rows, no
+    scalar-agg re-joins, the fact table scanned once. Returns
+    (group, n_rows, floor_seats, extra, seats)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    w_all = Window.partitionBy()
+    base = counts.withColumn(
+        "n_total", F.sum("n_rows").over(w_all).cast("long")
+    ).select(
+        group_col,
+        "n_rows",
+        F.expr(f"({budget} * n_rows) div n_total").cast("long").alias("floor_seats"),
+        F.expr(f"({budget} * n_rows) % n_total").cast("long").alias("remainder"),
+    )
+    w = Window.orderBy(F.col("remainder").desc(), F.col(group_col))
+    return (
+        base.withColumn(
+            "leftover", F.lit(budget) - F.sum("floor_seats").over(w_all)
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            group_col,
+            "n_rows",
+            "floor_seats",
+            F.when(F.col("pos") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("seats", (F.col("floor_seats") + F.col("extra")).cast("long"))
+    )
+
+
+def consistent_hash_reshard(
+    df: DataFrame,
+    key_col: str,
+    old_shards: int,
+    new_shards: int,
+    vnodes: int = 16,
+) -> DataFrame:
+    """Consistent-hashing shard assignment + movement census when the
+    shard count changes — THE reshard question for any keyed store
+    (band stores, feature shards, embedding indexes): how much data
+    moves when capacity is added? Modulo sharding moves ~(1 - 1/new)
+    of all keys; a consistent-hash ring moves only the arcs the new
+    shard captures (~1/new), and every moved key lands ON the new
+    shard — properties this census reports rather than asserts.
+
+    Ring: vnodes positions per shard at p = md5int32("ring|s|j"); the
+    low 6 bits encode the shard id (p*64 + s) so positions are unique
+    and the successor lookup IS the assignment (no tie branch). A key
+    hashes to h*64 and belongs to the shard of the smallest ring
+    position >= it, wrapping to the global minimum.
+
+    Scale: the ring is SHARD-count-sized (the kmeans/pc1 bounded-
+    collect class) — each engine builds its own ring from range() +
+    md5, Spark collects the <=64*vnodes longs once and embeds them as
+    an array literal, and assignment is an O(|ring|) JVM filter/min
+    per row: no shuffle, no expand, corpus scanned once. The census
+    groupBy carries <= old*new keys.
+
+    Returns (old_shard, new_shard, n_keys, share_ppm) for MOVED keys
+    (share over all keys), ordered; empty when new == old."""
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    spark = df.sparkSession
+
+    def ring(n: int) -> list[int]:
+        rd = spark.range(n * vnodes).selectExpr(
+            f"conv(substring(md5(concat('ring|', CAST(id div {vnodes} AS STRING),"
+            f" '|', CAST(id % {vnodes} AS STRING))), 1, 8), 16, 10)"
+            f" * 64 + id div {vnodes} AS p"
+        )
+        return sorted(r["p"] for r in rd.collect())
+
+    def assign(col_positions: list[int]):
+        h64 = (
+            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            * 64
+        )
+        arr = F.lit(col_positions)
+        return F.coalesce(
+            F.array_min(F.filter(arr, lambda x: x >= h64)),
+            F.lit(min(col_positions)),
+        ) % 64
+
+    assigned = df.select(
+        assign(ring(old_shards)).cast("long").alias("old_shard"),
+        assign(ring(new_shards)).cast("long").alias("new_shard"),
+    )
+    moved = (
+        assigned.groupBy("old_shard", "new_shard")
+        .agg(F.count("*").alias("n_keys"))
+    )
+    total = assigned.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        moved.filter(F.col("old_shard") != F.col("new_shard"))
+        .join(F.broadcast(total))
+        .select(
+            "old_shard",
+            "new_shard",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.expr(ppm_expr("n_keys", "n_total", "div")).cast("long").alias("share_ppm"),
+        )
+    )

@@ -8161,3 +8161,261 @@ def json_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("schema").cast("long").alias("n_columns"),
         F.col("profile.total_rows").cast("long").alias("total_rows"),
     ).orderBy("table_name")
+
+
+@query(
+    "csv_catalog_assets",
+    "UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST({_N_COLS[t]} AS BIGINT) AS n_columns,"
+        f" CAST((SELECT count(*) FROM {t}) AS BIGINT) AS total_rows "
+        for t in _ORC_TABLES
+    )
+    + "ORDER BY table_name",
+)
+def csv_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV catalog extraction (sources.parquet_catalog.
+    CsvCatalogExtractor): the five dimension tables round-trip into a
+    directory of CSV tables (header + inferred types) and are walked
+    by the csv_catalog source — sixth format through the seam, the
+    flat-file export layout. Same oracle philosophy as the orc/json
+    gates: widths and counts are checked against the parquet views, so
+    a header/inference defect cannot self-confirm."""
+    import os
+    import tempfile
+
+    fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
+    base = os.path.join(tempfile.gettempdir(), f"msk_csv_{fixture}")
+    for t in _ORC_TABLES:
+        _t(spark, sf_dir, t).write.mode("overwrite").option("header", True).csv(
+            os.path.join(base, f"{t}.csv")
+        )
+    from meteor_spark.registry import extractors
+
+    ex = extractors.get("csv_catalog")
+    ex.init({"path": base, "include_row_count": True})
+    assets = ex.extract(spark)
+    return assets.select(
+        F.col("resource.name").alias("table_name"),
+        F.size("schema").cast("long").alias("n_columns"),
+        F.col("profile.total_rows").cast("long").alias("total_rows"),
+    ).orderBy("table_name")
+
+
+_APPORTION_BUDGET = 1000
+
+
+@query(
+    "split_quota_apportionment",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts),
+    base AS (
+      SELECT source, n_rows,
+             CAST(({_APPORTION_BUDGET} * n_rows) // n_total AS BIGINT)
+               AS floor_seats,
+             CAST(({_APPORTION_BUDGET} * n_rows) % n_total AS BIGINT)
+               AS remainder
+      FROM counts, t),
+    lv AS (SELECT CAST({_APPORTION_BUDGET} - sum(floor_seats) AS BIGINT)
+                  AS leftover FROM base),
+    ranked AS (
+      SELECT b.*, lv.leftover,
+             row_number() OVER (ORDER BY remainder DESC, source) AS pos
+      FROM base b, lv)
+    SELECT source, n_rows, floor_seats,
+           CAST(CASE WHEN pos <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(floor_seats + CASE WHEN pos <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS seats
+    FROM ranked
+    """,
+)
+def split_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1000-slot
+    sampling budget across sources (sampling.quota_apportionment):
+    floors under-allocate and naive rounding can over-allocate; the
+    Hamilton rule hands the Sigma-floor shortfall to the largest
+    fractional remainders so seats sum EXACTLY to the budget — the
+    apportionment the mixture planners (source_mix_weights,
+    token_budget_allocation) need when shares must become integer
+    slot counts. All-integer (div/mod + one deterministic window);
+    one groupBy + broadcast scalars."""
+    from meteor_spark.operators.sampling import quota_apportionment
+
+    return quota_apportionment(
+        _t(spark, sf_dir, "documents"), "source", _APPORTION_BUDGET
+    )
+
+
+_CH_VN = 16
+_CH_OLD = 8
+_CH_NEW = 9
+
+
+def _ch_ring_sql(name: str, n: int) -> str:
+    return (
+        f"{name}0 AS ("
+        f" SELECT (('0x' || substr(md5('ring|' || CAST(i // {_CH_VN} AS VARCHAR)"
+        f" || '|' || CAST(i % {_CH_VN} AS VARCHAR)), 1, 8))::BIGINT) * 64"
+        f" + i // {_CH_VN} AS p"
+        f" FROM range({n * _CH_VN}) t(i)), "
+        f"{name} AS (SELECT list(p ORDER BY p) AS arr, min(p) AS mn FROM {name}0)"
+    )
+
+
+@query(
+    "consistent_hash_reshard",
+    f"""
+    WITH {_ch_ring_sql("ro", _CH_OLD)}, {_ch_ring_sql("rn", _CH_NEW)},
+    keys AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) * 64
+             AS h64
+      FROM documents),
+    a AS (
+      SELECT
+        coalesce(list_min(list_filter(ro.arr, x -> x >= k.h64)), ro.mn) % 64
+          AS old_shard,
+        coalesce(list_min(list_filter(rn.arr, x -> x >= k.h64)), rn.mn) % 64
+          AS new_shard
+      FROM keys k, ro, rn),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a),
+    m AS (
+      SELECT CAST(old_shard AS BIGINT) AS old_shard,
+             CAST(new_shard AS BIGINT) AS new_shard,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM a WHERE old_shard <> new_shard GROUP BY 1, 2)
+    SELECT old_shard, new_shard, n_keys,
+           CAST({_ppm("n_keys", "n_total", "//")} AS BIGINT) AS share_ppm
+    FROM m, t
+    """,
+)
+def consistent_hash_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing reshard census (sampling.
+    consistent_hash_reshard): assign every document key on an 8-shard
+    and a 9-shard md5 ring (16 vnodes per shard) and report who moves.
+    The consistent-hashing CONTRACT is the result: only ~1/9 of keys
+    move and every mover lands on the NEW shard — modulo sharding
+    would scramble ~8/9. The ring is shard-count-sized (each engine
+    builds its own from range()+md5; Spark collects <=64*16 longs once
+    — the kmeans/pc1 bounded-collect class) and assignment is an
+    O(|ring|) JVM filter/min per row: no shuffle, no expand, corpus
+    scanned once per ring."""
+    from meteor_spark.operators.sampling import consistent_hash_reshard as chr_
+
+    return chr_(
+        _t(spark, sf_dir, "documents"), "doc_id", _CH_OLD, _CH_NEW, vnodes=_CH_VN
+    )
+
+
+# streaming_ttl_dedup's fixture: four microbatches with WIDE margins on
+# every boundary (state expiry vs watermark; row ts vs watermark), and a
+# SPACER batch so the published outcome is identical whether state
+# cleanup uses the watermark current during a batch or the one advanced
+# at its end (measured: Spark's dedup-state eviction lags one batch —
+# the watermark advanced by batch N's data first evicts during batch
+# N+1's commit, so re-admission is observable from batch N+2 on).
+#   b0: keys 0..99 at T0+k              -> all emitted (no state)
+#   b1: keys 200..219 at T0+4h+i        -> emitted (fresh); advances the
+#                                          watermark to T0+3h+19s
+#   b2: keys 300..309 at T0+4h1m40s+i   -> emitted (fresh spacer); b0
+#                                          state (expiry <= T0+1h2m) is
+#                                          evicted by its commit under
+#                                          EITHER cleanup timing
+#   b3: keys 0..24 again at T0+3h36m40s -> RE-ADMITTED (state gone)
+#       keys 210..214 at T0+4h10m       -> dropped (b1 state lives to
+#                                          ~T0+5h; max watermark anywhere
+#                                          is T0+3h10m)
+_TTL_T0 = 1_700_000_000
+_TTL_ORACLE = f"""
+WITH b0 AS (SELECT CAST(i AS BIGINT) AS k, CAST({_TTL_T0} + i AS BIGINT) AS tse
+            FROM range(100) t(i)),
+b1 AS (SELECT CAST(200 + i AS BIGINT) AS k,
+              CAST({_TTL_T0} + 14400 + i AS BIGINT) AS tse
+       FROM range(20) t(i)),
+b2 AS (SELECT CAST(300 + i AS BIGINT) AS k,
+              CAST({_TTL_T0} + 14500 + i AS BIGINT) AS tse
+       FROM range(10) t(i)),
+b3 AS (SELECT CAST(i AS BIGINT) AS k, CAST({_TTL_T0} + 13000 AS BIGINT) AS tse
+       FROM range(25) t(i)
+       UNION ALL
+       SELECT CAST(210 + i AS BIGINT), CAST({_TTL_T0} + 15000 AS BIGINT)
+       FROM range(5) t(i)),
+-- watermark in effect during batch b's PREDECESSOR (the one its state
+-- cleanup ran with): max event time through batches <= b-2, minus delay
+w2 AS (SELECT max(tse) - 3600 AS wm FROM b0),
+w3 AS (SELECT max(tse) - 3600 AS wm FROM (SELECT tse FROM b0
+       UNION ALL SELECT tse FROM b1)),
+e1 AS (SELECT n.k, n.tse FROM b1 n
+       WHERE NOT EXISTS (SELECT 1 FROM b0 p WHERE p.k = n.k)),
+e2 AS (SELECT n.k, n.tse FROM b2 n, w2
+       WHERE NOT EXISTS (SELECT 1 FROM (SELECT k, tse FROM b0
+                                        UNION ALL SELECT k, tse FROM e1) p
+                         WHERE p.k = n.k AND p.tse + 3600 >= w2.wm)),
+e3 AS (SELECT n.k, n.tse FROM b3 n, w3
+       WHERE NOT EXISTS (SELECT 1 FROM (SELECT k, tse FROM b0
+                                        UNION ALL SELECT k, tse FROM e1
+                                        UNION ALL SELECT k, tse FROM e2) p
+                         WHERE p.k = n.k AND p.tse + 3600 >= w3.wm))
+SELECT k, CAST(tse AS BIGINT) AS ts_s FROM (
+  SELECT k, tse FROM b0
+  UNION ALL SELECT k, tse FROM e1
+  UNION ALL SELECT k, tse FROM e2
+  UNION ALL SELECT k, tse FROM e3)
+"""
+
+
+@query("streaming_ttl_dedup", _TTL_ORACLE)
+def streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-expiring streaming dedup (streaming.pipeline.
+    ttl_dedup_stream — dropDuplicatesWithinWatermark): first sighting
+    per key emits and opens state that expires `delay` after its OWN
+    event time; re-occurrences are dropped while the state lives and
+    RE-ADMITTED after watermark eviction — retransmission dedup whose
+    state is bounded by keys-live-within-delay, never by key history
+    (plain dropDuplicates grows forever). The oracle is a relational
+    RESTATEMENT of the semantics computed from the same literal
+    construction — per batch, a row emits iff no prior EMITTED
+    sighting's expiry survives the watermark its predecessor's state
+    cleanup ran with (eviction lags the watermark by one batch —
+    measured, and the fixture's spacer batch makes the answer
+    identical under either cleanup timing). The four-microbatch
+    fixture exercises fresh keys, live-state drops, and
+    post-eviction re-admission."""
+    import glob
+    import os
+    import shutil
+
+    base = _session_tmpdir("msk_ttl_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+    t0 = _TTL_T0
+    batches = (
+        spark.range(100).selectExpr("id AS k", f"timestamp_seconds({t0} + id) AS ts"),
+        spark.range(20).selectExpr(
+            "200 + id AS k", f"timestamp_seconds({t0} + 14400 + id) AS ts"
+        ),
+        spark.range(10).selectExpr(
+            "300 + id AS k", f"timestamp_seconds({t0} + 14500 + id) AS ts"
+        ),
+        spark.range(25)
+        .selectExpr("id AS k", f"timestamp_seconds({t0} + 13000) AS ts")
+        .union(
+            spark.range(5).selectExpr(
+                "210 + id AS k", f"timestamp_seconds({t0} + 15000) AS ts"
+            )
+        ),
+    )
+    for i, part in enumerate(batches):
+        d = os.path.join(base, f"b{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(watch, f"batch_{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    from meteor_spark.streaming.pipeline import ttl_dedup_stream
+
+    out = ttl_dedup_stream(spark, watch)
+    return out.select(
+        "k", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("ts_s")
+    )

@@ -141,6 +141,58 @@ class JsonCatalogExtractor(ParquetCatalogExtractor):
         return spark.read.json(path)
 
 
+@register_extractor("csv_catalog", "Directory of CSV tables as a database")
+class CsvCatalogExtractor(ParquetCatalogExtractor):
+    """CSV sibling — sixth lakehouse format through the seam (parquet /
+    delta / iceberg / orc / jsonl / csv), the flat-file export layout.
+    Header + sampling type inference (the richer cousin of the
+    header-only `csv` row source, which mirrors the reference's
+    csv.go:85-144 column extractor; THIS one walks a directory of CSV
+    tables as one database asset set)."""
+
+    SERVICE = "csv"
+    GLOB = "*.csv"
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.csv(path, header=True, inferSchema=True)
+
+
+@register_extractor("avro_catalog", "Directory of Avro tables as a database")
+class AvroCatalogExtractor(ParquetCatalogExtractor):
+    """Avro sibling — same walk through the seam. Spark ships Avro as
+    an EXTERNAL module (spark-avro must be on the classpath); init()
+    probes for it at plan time and raises a clear error instead of a
+    deep scan-time stack. Covered by a skip-not-fail test, the
+    protobuf-interop pattern: green wherever spark-avro is deployed,
+    skipped cleanly where it is not."""
+
+    SERVICE = "avro"
+    GLOB = "*.avro"
+
+    @staticmethod
+    def avro_available(spark: SparkSession) -> bool:
+        # resolve through Spark's own data-source registry — merely
+        # finding an avro CLASS on the classpath is not enough (the
+        # distribution ships some avro classes without registering the
+        # source, and read.format("avro") still fails)
+        try:
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame:
+        if not self.avro_available(spark):
+            raise RuntimeError(
+                "avro_catalog needs the spark-avro module on the classpath "
+                "(external since Spark 2.4); deploy it or use the parquet/"
+                "orc/json/csv catalog sources"
+            )
+        return spark.read.format("avro").load(path)
+
+
 def _js(v):
     """JSON-safe scalar: timestamps -> isoformat, \x00 -> "null" string
     (the reference sanitizes unicode nulls, bigquery.go:315-318)."""

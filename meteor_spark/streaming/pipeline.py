@@ -638,3 +638,35 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+
+
+def ttl_dedup_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    key_col: str = "k",
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with a TTL (dropDuplicatesWithinWatermark):
+    the first event per key is emitted and opens a state entry that
+    expires `delay` after ITS OWN event time; re-occurrences are
+    dropped while that state is live and RE-ADMITTED once the
+    watermark has evicted it — the retransmission-dedup semantics a
+    plain dropDuplicates (state never expires, memory grows with keys
+    forever) cannot give at stream scale. State size is bounded by
+    keys-live-within-delay, not by history.
+
+    File-per-microbatch source (maxFilesPerTrigger=1, mtime order —
+    the incremental-dedup gates' construction), append mode. The
+    eviction rule is: state expiry = first_ts + delay, evicted when
+    the watermark (max event time of PRIOR batches - delay) passes
+    it; rows themselves must sit above the watermark (the gate's
+    fixture keeps wide margins on both boundaries so an off-by-one
+    in either engine's comparator cannot flip a row)."""
+    s = (
+        spark.readStream.schema(f"{key_col} long, {ts_col} timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+    )
+    out = s.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key_col])
+    return run_stream_to_batch(out, output_mode="append")

@@ -153,3 +153,29 @@ def test_iceberg_picks_v10_over_v9(spark, tmp_path):
 def test_both_registered_and_listed():
     names = {p.name for p in extractors.list()}
     assert {"delta_catalog", "iceberg_catalog"} <= names
+
+
+def test_avro_catalog_skip_not_fail(spark, tmp_path):
+    """Avro is an external Spark module: where deployed, the avro
+    catalog walk must behave exactly like the other five formats;
+    where absent (this container), the extractor raises its clear
+    plan-time error and the test SKIPS."""
+    import pytest
+
+    from meteor_spark.registry import extractors
+    from meteor_spark.sources.parquet_catalog import AvroCatalogExtractor
+
+    ex = extractors.get("avro_catalog")
+    if not AvroCatalogExtractor.avro_available(spark):
+        ex.init({"path": str(tmp_path)})
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ex._read(spark, str(tmp_path / "x.avro"))
+        pytest.skip("spark-avro not on the classpath")
+    df = spark.range(5).selectExpr("id", "cast(id as string) AS s")
+    df.write.mode("overwrite").format("avro").save(str(tmp_path / "t.avro"))
+    ex.init({"path": str(tmp_path), "include_row_count": True})
+    assets = ex.extract(spark).collect()
+    assert len(assets) == 1
+    assert assets[0]["resource"]["name"] == "t"
+    assert len(assets[0]["schema"]) == 2
+    assert assets[0]["profile"]["total_rows"] == 5

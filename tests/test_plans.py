@@ -395,6 +395,14 @@ _PLAN_BUDGETS = {
     "bitext_margin_pairs": (9, 3, 4),
     # r8: fifth catalog format; one exchange from the asset sort
     "json_catalog_assets": (1, 0, 0),
+    # r8 second wave
+    "csv_catalog_assets": (1, 0, 0),
+    # groupBy + one single-partition global-window exchange — the
+    # scalar re-join shape (8 shuffles / 3 BNLJ) was rewritten away
+    "split_quota_apportionment": (2, 0, 0),
+    # ring assignment is an O(|ring|) literal-array filter per row;
+    # the BNLJ is the one-row total broadcast
+    "consistent_hash_reshard": (2, 0, 1),
 }
 
 

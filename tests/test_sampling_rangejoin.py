@@ -457,3 +457,33 @@ def test_pareto_frontier_partition_invariant(spark):
             (xe >= xi and ye >= yi and (xe > xi or ye > yi))
             for j, (xe, ye) in data.items()
         ), i
+
+
+def test_quota_apportionment_sums_exactly(spark):
+    from meteor_spark.operators.sampling import quota_apportionment
+
+    # 7 groups with counts engineered so floors leave a 3-seat shortfall
+    rows = [(i, f"s{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    out = quota_apportionment(df, "source", budget=10).collect()
+    assert sum(r["seats"] for r in out) == 10
+    assert all(r["seats"] in (r["floor_seats"], r["floor_seats"] + 1) for r in out)
+    # monotone fairness: a group with strictly more rows never gets
+    # fewer seats (counts 15,15,15,15,14,14,14 -> seats 2/1 split)
+    by_n = sorted(out, key=lambda r: (-r["n_rows"], r["source"]))
+    seats = [r["seats"] for r in by_n]
+    assert seats == sorted(seats, reverse=True)
+
+
+def test_consistent_hash_reshard_contract(spark):
+    from meteor_spark.operators.sampling import consistent_hash_reshard
+
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    out = consistent_hash_reshard(df, "doc_id", 8, 9, vnodes=16).collect()
+    # every mover lands ON the new shard — the consistent-hashing point
+    assert out and all(r["new_shard"] == 8 for r in out)
+    moved = sum(r["n_keys"] for r in out)
+    # ~1/9 of keys move (generous band; modulo sharding would move ~8/9)
+    assert 0.02 < moved / 2000 < 0.30
+    # same ring twice -> nothing moves
+    assert consistent_hash_reshard(df, "doc_id", 8, 8, vnodes=16).count() == 0
