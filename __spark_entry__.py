@@ -36,7 +36,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 203 entries, 199 with exact DuckDB oracles (r8 adds
+                 205 entries, 201 with exact DuckDB oracles (r8 adds
+                 streaming_psi_drift + streaming_holt_smoothing — live
+                 PSI and live Holt level/residuals from the same
+                 mergeable grid state, equal to the batch oracles;
                  streaming_ttl_dedup — dropDuplicatesWithinWatermark
                  retransmission dedup with measured one-batch eviction
                  lag, oracle restates the state machine relationally;

@@ -117,6 +117,16 @@ def psi_drift(
             F.sum(F.when(F.col("__act"), 1).otherwise(0)).alias("cnt_a"),
         )
     )
+    return _psi_from_bin_counts(counts, group_col, eps, round_to)
+
+
+def _psi_from_bin_counts(
+    counts: DataFrame, group_col: str, eps: float, round_to: int
+) -> DataFrame:
+    """PSI readout over a (group, __bin, cnt_e, cnt_a) frame — factored
+    so the STREAMING twin can feed binned state through the identical
+    fixed-point publish (the ks_from_counts / cusum_from_hourly
+    pattern)."""
     w = Window.partitionBy(group_col)
     p = counts.select(
         F.col(group_col),
@@ -132,6 +142,51 @@ def psi_drift(
         F.sum("cnt_a").alias("n_actual"),
         F.round(F.sum(term_fixed) / F.lit(1e8), round_to).alias("psi"),
     )
+
+
+def psi_from_value_counts(
+    g: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 4,
+) -> DataFrame:
+    """PSI readout over a finished VALUE-GRID count frame — (group,
+    value, cnt_e, cnt_a) with value already non-null — the state shape
+    a stream maintains (mergeable counts, bounded by the grid, not N).
+    Binning a value once and weighting by its count is arithmetically
+    IDENTICAL to binning each raw row (same double -> same bin), so
+    this equals psi_drift on the raw frame bit-for-bit, and therefore
+    the batch gate's oracle."""
+    v = F.col(value_col).cast("double")
+    # bounds via partition-only windows, NOT groupBy + broadcast
+    # self-join: the frame is GRID-sized so the window is cheap, and a
+    # self-join on memory-sink lineage trips Spark 4.1's
+    # conflicting-reference resolution (the cusum_from_hourly lesson)
+    w = Window.partitionBy(group_col)
+    b = g.select(
+        F.col(group_col),
+        v.alias("__v"),
+        "cnt_e",
+        "cnt_a",
+        F.min(v).over(w).alias("__lo"),
+        F.max(v).over(w).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bin_id = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("__v") - F.col("__lo")) / width), F.lit(bins - 1))
+        )
+        .cast("int")
+    )
+    counts = (
+        b.select(F.col(group_col), bin_id.alias("__bin"), "cnt_e", "cnt_a")
+        .groupBy(group_col, "__bin")
+        .agg(F.sum("cnt_e").alias("cnt_e"), F.sum("cnt_a").alias("cnt_a"))
+    )
+    return _psi_from_bin_counts(counts, group_col, eps, round_to)
 
 
 def seasonality_residuals(
@@ -421,8 +476,6 @@ def holt_smoothing(
     HOUR-COUNT-sized (a time-range property — ~720 rows per key per
     month, N-independent), keys fold in parallel, and the raw rows
     never reach Python — only the hourly aggregate does."""
-    import pandas as pd
-
     hourly = (
         events.select(
             F.col(type_col).alias("k"),
@@ -431,6 +484,16 @@ def holt_smoothing(
         .groupBy("k", "hr")
         .agg(F.count("*").alias("x"))
     )
+    return holt_from_hourly(hourly, type_col)
+
+
+def holt_from_hourly(hourly: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """Holt readout over a finished (k, hr, x) hourly-count frame —
+    factored out of holt_smoothing (the ks_from_counts /
+    cusum_from_hourly pattern) so the streaming twin can accumulate
+    counts as mergeable state and feed the identical shifted-floor-div
+    fold: bounded stream == batch == the RECURSIVE-CTE oracle."""
+    import pandas as pd
 
     S = 1 << 40
 

@@ -8419,3 +8419,66 @@ def streaming_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "k", F.expr("CAST(unix_timestamp(ts) AS BIGINT)").alias("ts_s")
     )
+
+
+@query("streaming_psi_drift", ORACLES["event_value_drift_psi"])
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_value_drift_psi — live PSI, the
+    standard drift score, updated per microbatch: the events STREAM
+    maintains (event_type, value, actual) counts in state (complete
+    mode; the same value-grid state shape as streaming_ks_drift) and
+    the finished state feeds drift.psi_from_value_counts, which bins
+    each VALUE once and weights by its count — arithmetically
+    identical to binning raw rows, so the bounded stream equals the
+    batch gate and its oracle bit-for-bit. The reference boundary
+    (first vs second half of the month) is configuration, as in the
+    KS twin; state is bounded by the value grid, not by N. This
+    completes the live-monitoring family: PSI (binned distribution),
+    KS (full CDF), CUSUM (rate changepoint), sliding distinct."""
+    from meteor_spark.operators.drift import psi_from_value_counts
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            "value",
+            (F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).alias("actual"),
+        )
+        .count()
+    )
+    state = run_stream_to_batch(counts, output_mode="complete")
+    g = state.groupBy("event_type", "value").agg(
+        F.sum(F.when(~F.col("actual"), F.col("count")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cnt_e"),
+        F.sum(F.when(F.col("actual"), F.col("count")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("cnt_a"),
+    )
+    return psi_from_value_counts(g, "event_type", "value", bins=10)
+
+
+@query("streaming_holt_smoothing", ORACLES["event_rate_holt_smoothing"])
+def streaming_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_rate_holt_smoothing: the stream
+    maintains (type, hour) counts in state — the same grid as
+    streaming_rate_changepoint — and the finished state feeds the SAME
+    shifted-floor-div fold (drift.holt_from_hourly, factored like
+    cusum_from_hourly), so the bounded stream equals the batch gate's
+    RECURSIVE-CTE oracle row for row. The one streaming gate that
+    drives a PANDAS-grouped readout over state: the fold input is the
+    hour grid (time-range-sized), never raw rows. Completes the live
+    monitoring family's batch/streaming symmetry (PSI, KS, CUSUM,
+    Holt, sliding distinct)."""
+    from meteor_spark.operators.drift import holt_from_hourly
+    from meteor_spark.streaming.pipeline import run_stream_to_batch, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type").alias("k"),
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600").alias("hr"),
+    ).count()
+    state = run_stream_to_batch(hourly, output_mode="complete")
+    return holt_from_hourly(state.select("k", "hr", F.col("count").alias("x")))
