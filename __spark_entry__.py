@@ -36,7 +36,15 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 205 entries, 201 with exact DuckDB oracles (r8 adds
+                 208 entries, 204 with exact DuckDB oracles (r8 adds
+                 multi_touch_attribution — linear credit sharing over
+                 the bounded interval join, exact-integer credit_ppm;
+                 source_overlap_hll_estimate — pairwise vocabulary
+                 overlap by HLL register max-merge inclusion-exclusion,
+                 never an exact intersect;
+                 zorder_skipping_report — Morton-interleave layout vs
+                 row-key layout, measured as files read under min/max
+                 pruning (the OPTIMIZE ZORDER payoff, exact);
                  streaming_psi_drift + streaming_holt_smoothing — live
                  PSI and live Holt level/residuals from the same
                  mergeable grid state, equal to the batch oracles;

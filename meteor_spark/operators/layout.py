@@ -1,0 +1,118 @@
+"""Physical-layout optimization: Z-order (Morton) clustering and its
+measurable data-skipping payoff.
+
+At 100 TB the scan you AVOID is the cheapest scan there is: columnar
+readers skip a file (or row group) whenever its min/max footer range
+misses the predicate. Sorting by one key gives perfect skipping on that
+key and none on any other; interleaving the BITS of two keys (the
+Z-order / Morton curve) makes file ranges tight on BOTH dimensions at
+once, so two-dimensional box predicates prune most files. Delta's
+OPTIMIZE ZORDER BY and Iceberg's sort orders are this exact move; here
+it is expressed engine-agnostically: the z-value is pure integer
+arithmetic (an unrolled interleave of div/mod bits — no bit builtins,
+so Spark SQL and DuckDB evaluate it identically), the "files" are
+ntile() chunks of the sorted order, and the skipping report counts how
+many chunk min/max boxes a query rectangle intersects under each
+layout. Write-side cost at scale: ONE range-partitioned sort
+(repartitionByRange on z + sortWithinPartitions), the same shuffle a
+single-key sort-write already pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value_expr(x: str, y: str, bits: int = 10, div: str = "div") -> str:
+    """Engine-portable Morton interleave of the low `bits` of two
+    non-negative integer expressions: bit i of x lands at position 2i,
+    bit i of y at 2i+1. Pure div/mod/multiply arithmetic — no engine
+    bit builtins; `div` is the integer-division token ("div" Spark,
+    "//" DuckDB — operands are non-negative so truncate == floor and
+    the engines agree, the ppm_expr convention). Everything stays far
+    inside int64 (2*bits <= 62)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) % {1 << (i + 1)}) {div} {1 << i}) * {1 << (2 * i)}")
+        terms.append(f"((({y}) % {1 << (i + 1)}) {div} {1 << i}) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_skipping_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    box: tuple[int, int, int, int],
+    n_chunks: int = 16,
+    bits: int = 10,
+) -> DataFrame:
+    """Data-skipping effectiveness of Z-order vs single-key layout.
+
+    Chunks the table into `n_chunks` equal "files" two ways — sorted by
+    the Morton z-value of (x, y), and sorted by the natural single key
+    `order_col` — records each chunk's (min, max) footer range per
+    dimension, and counts how many chunks a box predicate
+    [x_lo..x_hi] x [y_lo..y_hi] would have to read under each layout
+    (a chunk is read iff its ranges INTERSECT the box — exactly the
+    min/max pruning rule of parquet/ORC readers).
+
+    Returns one row per layout: (layout, n_chunks, n_read, read_ppm).
+    All-integer; ntile ties are broken by a total ordering key so the
+    chunking is deterministic on any engine.
+
+    Scale: two global sorts of (x, y, key) projections — at write time
+    this is the one range-partitioned sort a sorted layout costs
+    anyway; the report itself aggregates chunk-count-sized rows."""
+    from pyspark.sql import Window
+
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    x_lo, x_hi, y_lo, y_hi = box
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(order_col).cast("long").alias("k"),
+    ).withColumn("z", F.expr(z_value_expr("x", "y", bits)).cast("long"))
+
+    def chunks(order_cols: list, layout: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        return (
+            base.withColumn("__chunk", F.ntile(n_chunks).over(w))
+            .groupBy("__chunk")
+            .agg(
+                F.min("x").alias("x_min"),
+                F.max("x").alias("x_max"),
+                F.min("y").alias("y_min"),
+                F.max("y").alias("y_max"),
+            )
+            .select(
+                F.lit(layout).alias("layout"),
+                "__chunk",
+                "x_min",
+                "x_max",
+                "y_min",
+                "y_max",
+            )
+        )
+
+    both = chunks([F.col("z"), F.col("k")], "zorder").unionByName(
+        chunks([F.col("k")], "rowkey")
+    )
+    hit = (
+        (F.col("x_max") >= F.lit(x_lo))
+        & (F.col("x_min") <= F.lit(x_hi))
+        & (F.col("y_max") >= F.lit(y_lo))
+        & (F.col("y_min") <= F.lit(y_hi))
+    )
+    agg = both.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_read"),
+    )
+    return agg.select(
+        "layout",
+        "n_chunks",
+        "n_read",
+        F.expr(ppm_expr("n_read", "n_chunks", "div")).cast("long").alias("read_ppm"),
+    )

@@ -391,3 +391,62 @@ def sliding_hll64(
     ).select(*keys, "w.win_end", "w.__own", "reg", "rho", "n_rows")
     merged = merge_hll64(expanded, [*keys, "win_end"], lg_k=lg_k, flag_col="__own")
     return merged.filter(F.col("__own")).drop("__own")
+
+
+def hll_pairwise_overlap(
+    partials: DataFrame, key_col: str, lg_k: int = 10, round_to: int = 4
+) -> DataFrame:
+    """Pairwise set-overlap ESTIMATES from portable-HLL register
+    partials by inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) −
+    est(A ∪ B), where the union estimate costs one max-merge of the
+    two key's registers — never a re-scan, never an exact intersect.
+    THE way to ask "how much do these corpora overlap" at 100 TB:
+    exact pairwise intersection is a quadratic-fanout token shuffle
+    (the exact twin source_overlap_matrix pays it and caps pairs);
+    register state is m rows per key, the pair grid is |keys|^2-sized,
+    and everything merges losslessly.
+
+    Publish discipline: the three estimates are each the established
+    merge_hll64 readout (exact-integer harmonic sum, one divide,
+    round 4); the overlap combines the three identical doubles with
+    one +/− chain and publishes via floor(x*1e4 + 0.5)/1e4 — the
+    bit-stable rounding from the q2 lesson.
+
+    Returns (src_a, src_b, est_a, est_b, est_union, overlap_est)
+    for every unordered key pair, a < b."""
+    keys = partials.select(F.col(key_col)).distinct()
+    pairs = (
+        keys.select(F.col(key_col).alias("src_a"))
+        .join(keys.select(F.col(key_col).alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    singles = merge_hll64(partials, [key_col], lg_k=lg_k)
+    pa = pairs.join(
+        partials.withColumnRenamed(key_col, "src_a"), "src_a"
+    ).select("src_a", "src_b", "reg", "rho", "n_rows")
+    pb = pairs.join(
+        partials.withColumnRenamed(key_col, "src_b"), "src_b"
+    ).select("src_a", "src_b", "reg", "rho", "n_rows")
+    union_est = merge_hll64(
+        pa.unionByName(pb), ["src_a", "src_b"], lg_k=lg_k
+    ).select("src_a", "src_b", F.col("approx_distinct").alias("est_union"))
+    sa = singles.select(
+        F.col(key_col).alias("src_a"), F.col("approx_distinct").alias("est_a")
+    )
+    sb = singles.select(
+        F.col(key_col).alias("src_b"), F.col("approx_distinct").alias("est_b")
+    )
+    out = (
+        union_est.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+    )
+    ov = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    scale = float(10 ** round_to)
+    return out.select(
+        "src_a",
+        "src_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.floor(ov * F.lit(scale) + F.lit(0.5)) / F.lit(scale)).alias("overlap_est"),
+    )

@@ -8482,3 +8482,206 @@ def streaming_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).count()
     state = run_stream_to_batch(hourly, output_mode="complete")
     return holt_from_hourly(state.select("k", "hr", F.col("count").alias("x")))
+
+
+from meteor_spark.operators.layout import z_value_expr as _zexpr  # noqa: E402
+
+_ZB = 15
+_ZBOX = (100, 299, 10, 39)  # partkey in [100,299], suppkey in [10,39]
+_ZCHUNKS = 16
+
+
+def _zorder_oracle() -> str:
+    zd = _zexpr("x", "y", _ZB, "//")
+    x_lo, x_hi, y_lo, y_hi = _ZBOX
+    chunk = (
+        "SELECT layout, c, min(x) AS x_min, max(x) AS x_max,"
+        " min(y) AS y_min, max(y) AS y_max FROM {src} GROUP BY layout, c"
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+             CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k
+      FROM lineitem),
+    bz AS (SELECT x, y, k, CAST({zd} AS BIGINT) AS z FROM base),
+    cz AS (SELECT 'zorder' AS layout,
+                  ntile({_ZCHUNKS}) OVER (ORDER BY z, k) AS c, x, y FROM bz),
+    ck AS (SELECT 'rowkey' AS layout,
+                  ntile({_ZCHUNKS}) OVER (ORDER BY k) AS c, x, y FROM base),
+    mz AS ({chunk.format(src="cz")}),
+    mk AS ({chunk.format(src="ck")}),
+    m AS (SELECT * FROM mz UNION ALL SELECT * FROM mk),
+    agg AS (
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+                            AND y_max >= {y_lo} AND y_min <= {y_hi}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_read
+      FROM m GROUP BY layout)
+    SELECT layout, n_chunks, n_read,
+           CAST({_ppm("n_read", "n_chunks", "//")} AS BIGINT) AS read_ppm
+    FROM agg
+    """
+
+
+@query("zorder_skipping_report", _zorder_oracle())
+def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout vs single-key layout, measured as FILES READ
+    (operators.layout.zorder_skipping_report): the table is chunked
+    into 16 equal "files" sorted by the Morton interleave of
+    (l_partkey, l_suppkey) and, separately, by the natural row key;
+    each chunk records its min/max footer ranges; a two-dimensional
+    box predicate then counts the chunks whose ranges intersect it —
+    exactly the min/max pruning rule parquet/ORC readers apply. The
+    Delta OPTIMIZE ZORDER BY payoff as an exact, engine-portable
+    number (read_ppm per layout). The z-value is unrolled div/mod
+    arithmetic — no bit builtins — identical on both engines; ntile
+    ties are broken by a total key (orderkey*10+linenumber), so the
+    chunking is deterministic. Write-side cost at scale is the one
+    range-partitioned sort a sorted layout pays anyway."""
+    from meteor_spark.operators.layout import zorder_skipping_report as zrep
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+    )
+    return zrep(
+        li, "l_partkey", "l_suppkey", "rk", _ZBOX, n_chunks=_ZCHUNKS, bits=_ZB
+    )
+
+
+@query(
+    "multi_touch_attribution",
+    f"""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.user_id, round(p.value, 2) AS purchase_value
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+    n AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches
+          FROM pairs GROUP BY purchase_id)
+    SELECT pr.purchase_id, pr.click_id, pr.user_id, pr.purchase_value,
+           n.n_touches,
+           CAST({_ppm("1", "n.n_touches", "//")} AS BIGINT) AS credit_ppm
+    FROM pairs pr JOIN n USING (purchase_id)
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the trailing
+    hour of a same-user purchase shares the credit EQUALLY
+    (credit_ppm = floor(1e6 / n_touches)) — the multi-touch
+    generalization of the last-touch join the click-attribution gates
+    already certify, and the standard first marketing model beyond
+    last-click. Same bounded interval self-join (watermark-shaped:
+    the time bound caps join state at stream scale); the touch count
+    rides a purchase-keyed window over pair rows, never re-scanning
+    events; credit is exact-integer ppm."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(c, "user_id").filter(
+        (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    w = Window.partitionBy("purchase_id")
+    return pairs.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_value",
+        F.count("*").over(w).cast("long").alias("n_touches"),
+    ).withColumn(
+        "credit_ppm",
+        F.expr(_ppm("1", "n_touches", "div")).cast("long"),
+    )
+
+
+def _hll_est_sql(src: str, keys: str) -> str:
+    """DuckDB HLL estimate from a (keys, reg, rho) frame — the
+    _HLL64_ORACLE readout parameterized by key list (used by the
+    source-overlap oracle at two levels: per-source and per-pair)."""
+    m = _HLL64_M
+    return f"""
+  SELECT {keys},
+         round(CASE WHEN {_HLL64_ALPHA_NUM!r} / s <= 2.5 * {m} AND v > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / v)
+                    ELSE {_HLL64_ALPHA_NUM!r} / s END, 4) AS est
+  FROM (
+    SELECT {keys},
+           sum(CAST(1 AS BIGINT) << (50 - rho))
+             + ({m} - count(rho)) * (CAST(1 AS BIGINT) << 50) AS s,
+           {m} - count(rho) AS v
+    FROM {src} GROUP BY {keys})
+"""
+
+
+_OVHLL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w
+  FROM documents),
+h AS (
+  SELECT source,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % {_HLL64_M} AS reg,
+         CASE WHEN ('0x' || substr(md5(w), 9, 8))::BIGINT = 0 THEN 33
+              ELSE 33 - len(bin(('0x' || substr(md5(w), 9, 8))::BIGINT)) END
+           AS rho
+  FROM toks),
+regs AS (SELECT source, reg, max(rho) AS rho FROM h GROUP BY 1, 2),
+singles AS ({_hll_est_sql("regs", "source")}),
+srcs AS (SELECT DISTINCT source FROM regs),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a, srcs b WHERE a.source < b.source),
+uregs0 AS (
+  SELECT p.src_a, p.src_b, r.reg, r.rho
+  FROM pairs p JOIN regs r ON r.source = p.src_a
+  UNION ALL
+  SELECT p.src_a, p.src_b, r.reg, r.rho
+  FROM pairs p JOIN regs r ON r.source = p.src_b),
+uregs AS (SELECT src_a, src_b, reg, max(rho) AS rho
+          FROM uregs0 GROUP BY 1, 2, 3),
+uest AS ({_hll_est_sql("uregs", "src_a, src_b")})
+SELECT u.src_a, u.src_b,
+       sa.est AS est_a, sb.est AS est_b, u.est AS est_union,
+       floor((sa.est + sb.est - u.est) * 1e4 + 0.5) / 1e4 AS overlap_est
+FROM uest u
+JOIN singles sa ON sa.source = u.src_a
+JOIN singles sb ON sb.source = u.src_b
+"""
+
+
+@query("source_overlap_hll_estimate", _OVHLL_ORACLE)
+def source_overlap_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap WITHOUT intersecting
+    anything (sketches.hll_pairwise_overlap): per-source portable-HLL
+    register partials over the token stream, union estimates by
+    register max-merge, overlap by inclusion-exclusion — the sketch
+    answer to the question source_overlap_matrix answers exactly, at
+    register cost instead of a quadratic token-pair shuffle. The
+    DuckDB oracle rebuilds registers, merges, and both estimate
+    levels bit-for-bit (md5 registers + exact-integer harmonic sums,
+    the events_portable_hll_rollup discipline; overlap published via
+    the floor-shift rounding)."""
+    from meteor_spark.operators import sketches
+    from meteor_spark.operators.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
+    )
+    partials = sketches.hll64_partials(toks, ["source"], "w", lg_k=_HLL64_LGK).persist()
+    return sketches.hll_pairwise_overlap(partials, "source", lg_k=_HLL64_LGK)

@@ -403,6 +403,16 @@ _PLAN_BUDGETS = {
     # ring assignment is an O(|ring|) literal-array filter per row;
     # the BNLJ is the one-row total broadcast
     "consistent_hash_reshard": (2, 0, 1),
+    # two global ntile sorts (one per layout) + chunk-count-sized aggs
+    "zorder_skipping_report": (2, 0, 0),
+    # interval self-join broadcasts the purchase side; touch counts
+    # ride a pair-keyed window
+    "multi_touch_attribution": (1, 1, 0),
+    # cold-print inflation: the persisted token-register partials'
+    # InMemoryRelation subplan repeats per consumer (singles + two
+    # pair orientations); genuine exchanges are the token groupBy +
+    # two merge levels per estimate
+    "source_overlap_hll_estimate": (24, 4, 2),
 }
 
 

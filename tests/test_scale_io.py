@@ -163,3 +163,48 @@ def test_zorder_value_rejects_sign_bit_overflow(spark):
 
     with pytest.raises(ValueError, match="63 usable"):
         zorder_value([F.col(c) for c in "abcd"], bits=16)
+
+
+def test_z_value_expr_matches_bit_interleave(spark):
+    from meteor_spark.operators.layout import z_value_expr
+
+    def z_py(x, y, bits=10):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.range(200).selectExpr("id % 17 AS x", "(id * 7) % 23 AS y")
+    got = df.selectExpr("x", "y", f"CAST({z_value_expr('x', 'y', 10)} AS BIGINT) AS z").collect()
+    for r in got:
+        assert r["z"] == z_py(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_reads_fewer_chunks_than_rowkey(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.io import read_parquet_table
+    from meteor_spark.operators.layout import zorder_skipping_report
+
+    li = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+    )
+    # box from the data's own range so the test is meaningful at any
+    # fixture scale (a fixed box can be empty at sf0.001)
+    b = li.agg(
+        F.max("l_partkey").alias("xm"), F.max("l_suppkey").alias("ym")
+    ).first()
+    box = (b["xm"] // 10, 3 * b["xm"] // 10, b["ym"] // 10, 4 * b["ym"] // 10)
+    out = {
+        r["layout"]: r
+        for r in zorder_skipping_report(
+            li, "l_partkey", "l_suppkey", "rk", box
+        ).collect()
+    }
+    # the point of the layout: the same box touches strictly fewer
+    # z-ordered chunks than row-key-ordered chunks
+    assert out["zorder"]["n_read"] < out["rowkey"]["n_read"]
+    assert out["zorder"]["n_chunks"] == out["rowkey"]["n_chunks"] == 16

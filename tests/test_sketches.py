@@ -342,3 +342,22 @@ def test_sliding_hll64_equals_direct_merge_of_covered_hours(spark):
     assert out[101]["n_rows"] == 105  # 50 + 55 events
     # window 103 covers 101..103: hour 102 absent, union of 101 and 103
     assert out[103]["n_rows"] == 65
+
+
+def test_hll_pairwise_overlap_tracks_truth(spark):
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.sketches import hll64_partials, hll_pairwise_overlap
+
+    # two sources sharing exactly 600 of 1000/800 distinct tokens
+    a = spark.range(1000).selectExpr("'a' AS src", "CAST(id AS STRING) AS w")
+    b = spark.range(400, 1200).selectExpr("'b' AS src", "CAST(id AS STRING) AS w")
+    partials = hll64_partials(a.union(b), ["src"], "w", lg_k=10)
+    out = hll_pairwise_overlap(partials, "src", lg_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # HLL at lg_k=10 has ~3% relative error; inclusion-exclusion
+    # roughly triples it — accept a wide-but-meaningful band
+    assert abs(r["est_a"] - 1000) / 1000 < 0.15
+    assert abs(r["est_b"] - 800) / 800 < 0.15
+    assert abs(r["overlap_est"] - 600) / 600 < 0.35
