@@ -36,7 +36,11 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 208 entries, 204 with exact DuckDB oracles (r8 adds
+                 210 entries, 206 with exact DuckDB oracles (r8 adds
+                 lineitem_constraint_report — declarative dbt-test-shaped
+                 constraint suite, one conditional-agg pass + FK
+                 anti-join; user_ldiversity_census — homogeneity-attack
+                 complement to the k-anonymity audit;
                  multi_touch_attribution — linear credit sharing over
                  the bounded interval join, exact-integer credit_ppm;
                  source_overlap_hll_estimate — pairwise vocabulary

