@@ -36,7 +36,10 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 210 entries, 206 with exact DuckDB oracles (r8 adds
+                 211 entries, 207 with exact DuckDB oracles (r8 adds
+                 user_tcloseness_census — skewness-attack audit
+                 completing the k-anonymity / l-diversity /
+                 t-closeness trio, exact-integer total variation;
                  lineitem_constraint_report — declarative dbt-test-shaped
                  constraint suite, one conditional-agg pass + FK
                  anti-join; user_ldiversity_census — homogeneity-attack

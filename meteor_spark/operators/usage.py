@@ -319,3 +319,90 @@ def ldiversity_census(
         )
         .orderBy("l")
     )
+
+
+def tcloseness_census(
+    events: DataFrame,
+    user_col: str = "user_id",
+    attr_col: str = "event_type",
+) -> DataFrame:
+    """t-closeness census — the third privacy audit after k-anonymity
+    (set sizes) and l-diversity (distinct sensitive values): a set can
+    be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the global one (the skewness
+    attack). Distance = total variation between the set's
+    dominant-value distribution and the population's, exact-integer:
+
+        t_ppm = floor(1e6 * Σ_i |c_i·N_g − g_i·k| / (2·k·N_g))
+
+    (c_i: users with dominant value i in the set, k: set size, g_i /
+    N_g: the global counts) via fixed_div_expr — valid while
+    2·k·N_g <= 9.2e17, i.e. to ~1e8 users whatever the skew; shard
+    the census past that. Published per anonymity-set size k:
+    (k, n_sets, max_t_ppm) — the worst set at each size is what a
+    release review reads.
+
+    Scale: the kanonymity/l-diversity aggregations plus one
+    (sets x attr-domain) grid join — |sigs|·|types| rows, never user-
+    sized — and a one-row global broadcast."""
+    from pyspark.sql import Window
+
+    from meteor_spark.functions.exactmath import fixed_div_expr
+
+    h = events.groupBy(user_col, attr_col).agg(F.count("*").alias("c"))
+    wdom = Window.partitionBy(user_col).orderBy(
+        F.col("c").desc(), F.col(attr_col).asc()
+    )
+    dominant = (
+        h.withColumn("__r", F.row_number().over(wdom))
+        .filter(F.col("__r") == 1)
+        .select(user_col, F.col(attr_col).alias("sens"))
+    )
+    banded = h.select(
+        user_col, attr_col, F.length(F.bin("c")).cast("long").alias("band")
+    )
+    sig = banded.groupBy(user_col).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(attr_col, "band"))),
+                lambda x: F.concat(x[attr_col], F.lit(":"), x["band"].cast("string")),
+            ),
+        ).alias("sig")
+    )
+    # persist: the (user, sig, sens) frame feeds FOUR consumers (set
+    # counts, set sizes, global distribution, total); without it each
+    # recomputes the count/window/signature pipeline — one user-sized
+    # frame cached vs 4x the upstream work, the standard trade
+    j = sig.join(dominant, user_col).persist()
+    set_counts = j.groupBy("sig", "sens").agg(F.count("*").cast("long").alias("c"))
+    set_sizes = j.groupBy("sig").agg(F.count("*").cast("long").alias("k"))
+    glob = j.groupBy("sens").agg(F.count("*").cast("long").alias("g"))
+    n_g = j.agg(F.count("*").cast("long").alias("n_g"))
+    grid = (
+        set_sizes.join(F.broadcast(glob))
+        .join(set_counts, ["sig", "sens"], "left")
+        .join(F.broadcast(n_g))
+        .select(
+            "sig",
+            "k",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)) * F.col("n_g")
+                - F.col("g") * F.col("k")
+            ).alias("term"),
+            "n_g",
+        )
+    )
+    per_set = grid.groupBy("sig", "k", "n_g").agg(
+        F.sum("term").cast("long").alias("t_num")
+    )
+    t_ppm = F.expr(fixed_div_expr("t_num", "2 * k * n_g", 6, "div")).cast("long")
+    return (
+        per_set.select("k", t_ppm.alias("t_ppm"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_sets"),
+            F.max("t_ppm").cast("long").alias("max_t_ppm"),
+        )
+        .orderBy("k")
+    )

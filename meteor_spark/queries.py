@@ -8789,3 +8789,55 @@ def user_ldiversity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meteor_spark.operators.usage import ldiversity_census
 
     return ldiversity_census(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "user_tcloseness_census",
+    """
+    WITH h AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+    dom AS (
+      SELECT user_id, event_type AS sens FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS r
+        FROM h) WHERE r = 1),
+    sig AS (
+      SELECT user_id,
+             string_agg(event_type || ':' || CAST(length(bin(c)) AS VARCHAR),
+                        ',' ORDER BY event_type) AS sig
+      FROM h GROUP BY user_id),
+    j AS (SELECT s.user_id, s.sig, d.sens FROM sig s JOIN dom d USING (user_id)),
+    set_counts AS (SELECT sig, sens, CAST(count(*) AS BIGINT) AS c
+                   FROM j GROUP BY 1, 2),
+    set_sizes AS (SELECT sig, CAST(count(*) AS BIGINT) AS k FROM j GROUP BY sig),
+    gd AS (SELECT sens, CAST(count(*) AS BIGINT) AS g FROM j GROUP BY sens),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM j),
+    grid AS (
+      SELECT ss.sig, ss.k,
+             abs(coalesce(sc.c, 0) * ng.n_g - gl.g * ss.k) AS term, ng.n_g
+      FROM set_sizes ss CROSS JOIN gd gl CROSS JOIN ng
+      LEFT JOIN set_counts sc ON sc.sig = ss.sig AND sc.sens = gl.sens),
+    per_set AS (
+      SELECT sig, k, n_g, CAST(sum(term) AS BIGINT) AS t_num
+      FROM grid GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT k, CAST(((t_num) // (2 * k * n_g)) * 1000000 + (((((t_num) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 100000 + ((((((((t_num) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 10000 + (((((((((((t_num) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 1000 + ((((((((((((((t_num) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 100 + (((((((((((((((((t_num) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 10 + ((((((((((((((((((((t_num) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) % (2 * k * n_g)) * 10)) // (2 * k * n_g)) * 1 AS BIGINT) AS t_ppm FROM per_set)
+    SELECT k, CAST(count(*) AS BIGINT) AS n_sets,
+           CAST(max(t_ppm) AS BIGINT) AS max_t_ppm
+    FROM scored GROUP BY k ORDER BY k
+    """,
+)
+def user_tcloseness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census (usage.tcloseness_census) — completes the
+    privacy-audit trio: k-anonymity asks how BIG the sets are,
+    l-diversity how VARIED their sensitive values, t-closeness how
+    far each set's sensitive-value DISTRIBUTION sits from the global
+    one (the skewness attack l-diversity misses). Total variation in
+    exact-integer cross-multiplied form, published per set size as
+    the worst set's t_ppm via fixed_div_expr (valid to ~1e8 users;
+    shard past that). Set grid is |sigs| x |attr domain| rows — never
+    user-sized."""
+    from meteor_spark.operators.usage import tcloseness_census
+
+    return tcloseness_census(_t(spark, sf_dir, "events"))

@@ -418,6 +418,11 @@ _PLAN_BUDGETS = {
     # kanonymity's aggregations + the dominant-value window + the
     # signature-join; the BNLJ is the one-row total broadcast
     "user_ldiversity_census": (10, 1, 1),
+    # cold-print inflation: the persisted (user, sig, sens) frame's
+    # InMemoryRelation subplan repeats per consumer (set counts, set
+    # sizes, global dist, total); the grid join broadcasts the
+    # attr-domain side
+    "user_tcloseness_census": (22, 5, 2),
 }
 
 
