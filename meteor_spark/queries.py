@@ -1806,22 +1806,27 @@ _PR_ITERS = 5
 
 
 def _pagerank_oracle() -> str:
+    # every CTE MATERIALIZED: each pr level references e/nodes/nn and
+    # the prior level — DuckDB inlines plain CTEs PER REFERENCE, so the
+    # un-materialized form re-evaluated the 5M-row distinct + pair join
+    # once per level per reference and filled the disk with spill at
+    # the full ×100 fixture (the minhash_eval lesson, second sighting)
     base = """
-    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-    pairs AS (
+    WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS MATERIALIZED (
       SELECT a.event_type AS a, b.event_type AS b, count(*) AS w
       FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
       GROUP BY 1, 2),
-    edges AS (SELECT a AS src, b AS dst, w FROM pairs UNION ALL SELECT b, a, w FROM pairs),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    wout AS (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM edges GROUP BY src),
-    e AS (SELECT src, dst, w / wout AS p FROM edges JOIN wout USING (src)),
-    pr0 AS (SELECT node, round(1.0 / n, 8) AS pr FROM nodes, nn),
+    edges AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM pairs UNION ALL SELECT b, a, w FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    wout AS MATERIALIZED (SELECT src, CAST(sum(w) AS DOUBLE) AS wout FROM edges GROUP BY src),
+    e AS MATERIALIZED (SELECT src, dst, w / wout AS p FROM edges JOIN wout USING (src)),
+    pr0 AS MATERIALIZED (SELECT node, round(1.0 / n, 8) AS pr FROM nodes, nn),
     """
     its = []
     for k in range(1, _PR_ITERS + 1):
-        its.append(f"""pr{k} AS (
+        its.append(f"""pr{k} AS MATERIALIZED (
       SELECT nodes.node,
              round((1 - {_PR_D}) / nn.n + {_PR_D} * coalesce(c.s, 0), 8) AS pr
       FROM nodes CROSS JOIN nn
