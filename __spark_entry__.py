@@ -150,7 +150,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r07 union: all 193 gates, incl. the 4 rows-only ones, which have
+#      r08 union: all 211 gates, incl. the 4 rows-only ones, which have
 #      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 # Post-round hygiene (documented process): refresh these sets from the
@@ -159,7 +159,16 @@ _FAILED_LATEST: set[str] = set()
 
 _CHECKED_GREEN = {
     "ann_cosine_topk", "ann_recall_report", "audio_silence_segments",
-    "benchmark_contamination", "bm25_search_topk", "bpe_encode_stats",
+    "benchmark_contamination", "bitext_margin_pairs", "bm25_search_topk",
+    "bpe_encode_stats", "consistent_hash_reshard", "csv_catalog_assets",
+    "document_pareto_frontier", "event_rate_holt_smoothing",
+    "hard_negative_mining", "json_catalog_assets",
+    "lineitem_constraint_report", "multi_touch_attribution",
+    "source_overlap_hll_estimate", "split_quota_apportionment",
+    "streaming_holt_smoothing", "streaming_psi_drift",
+    "streaming_rate_changepoint", "streaming_ttl_dedup",
+    "user_ldiversity_census", "user_tcloseness_census",
+    "zorder_skipping_report",
     "bpe_fertility_by_lang", "bpe_merge_rules", "bpe_token_stats",
     "building_segment_small_spenders", "catalog_assets",
     "catalog_snapshot_diff", "cdc_shared_chunks", "char_entropy_quality",
