@@ -10,6 +10,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# When True (always, outside plan tests), finish_and_release
+# materializes operator results so per-call persisted intermediates can
+# be unpersisted before returning. Plan tests flip it off to inspect
+# the full physical plan of the lazy result.
+EAGER_CACHE_RELEASE = True
+
+
+def finish_and_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize a SMALL result frame (localCheckpoint) and unpersist
+    the persisted intermediates that fed it. Operators whose return
+    value is lazy cannot unpersist a cache the caller's collect still
+    needs — but a bare persist outlives the call and accumulates
+    executor storage across long parity/bench sessions (r8 advisory).
+    Eagerly checkpointing the result (always group/pair/report-sized at
+    the call sites) releases the big cache at a bounded storage cost.
+    """
+    if not EAGER_CACHE_RELEASE:
+        return result
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def read_parquet_table(spark: SparkSession, path: str, ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Read parquet, tolerating TIMESTAMP(NANOS) columns (Spark has no
     nanos type): enable spark.sql.legacy.parquet.nanosAsLong, then

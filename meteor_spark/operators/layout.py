@@ -31,7 +31,14 @@ def z_value_expr(x: str, y: str, bits: int = 10, div: str = "div") -> str:
     bit builtins; `div` is the integer-division token ("div" Spark,
     "//" DuckDB — operands are non-negative so truncate == floor and
     the engines agree, the ppm_expr convention). Everything stays far
-    inside int64 (2*bits <= 62)."""
+    inside int64 (2*bits <= 62).
+
+    CALLER CONTRACT: inputs must already lie in [0, 2^bits) — values
+    past that silently WRAP (the % drops high bits), scrambling the
+    interleave order. Rank-normalize first (zorder_skipping_report's
+    ntile buckets, write_zordered's quantile buckets) rather than
+    raising bits: normalized dimensions also span comparable magnitudes,
+    which raw keys of different cardinalities never do."""
     terms = []
     for i in range(bits):
         terms.append(f"((({x}) % {1 << (i + 1)}) {div} {1 << i}) * {1 << (2 * i)}")
@@ -62,19 +69,40 @@ def zorder_skipping_report(
     All-integer; ntile ties are broken by a total ordering key so the
     chunking is deterministic on any engine.
 
-    Scale: two global sorts of (x, y, key) projections — at write time
-    this is the one range-partitioned sort a sorted layout costs
-    anyway; the report itself aggregates chunk-count-sized rows."""
+    Each dimension is RANK-NORMALIZED into 2^bits equal-frequency
+    buckets (ntile, ties broken by the total key) before interleaving:
+    z_value_expr wraps silently past 2^bits, so raw keys above that
+    (l_partkey reaches ~2e6 on the 100x fixtures) would interleave
+    scrambled high bits and quietly destroy the x-clustering the report
+    claims to measure. Normalized buckets also give both dimensions
+    equal weight in the curve whatever their raw cardinality — the
+    same move write_zordered makes with quantile buckets, expressed
+    here with exact ntile so DuckDB reproduces it bit-for-bit. The
+    min/max footer ranges and the box test stay in ORIGINAL
+    coordinates; only the sort key is normalized.
+
+    Scale: four global sorts of (x, y, key) projections (two ntile
+    ranks + two layout orderings) — at write time this is the
+    range-partitioned-sort class of work a sorted layout costs anyway;
+    the report itself aggregates chunk-count-sized rows."""
     from pyspark.sql import Window
 
     from meteor_spark.functions.exactmath import ppm_expr
 
     x_lo, x_hi, y_lo, y_hi = box
-    base = df.select(
-        F.col(x_col).cast("long").alias("x"),
-        F.col(y_col).cast("long").alias("y"),
-        F.col(order_col).cast("long").alias("k"),
-    ).withColumn("z", F.expr(z_value_expr("x", "y", bits)).cast("long"))
+    nb = 1 << bits
+    wx = Window.orderBy(F.col("x"), F.col("k"))
+    wy = Window.orderBy(F.col("y"), F.col("k"))
+    base = (
+        df.select(
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+            F.col(order_col).cast("long").alias("k"),
+        )
+        .withColumn("xb", (F.ntile(nb).over(wx) - 1).cast("long"))
+        .withColumn("yb", (F.ntile(nb).over(wy) - 1).cast("long"))
+        .withColumn("z", F.expr(z_value_expr("xb", "yb", bits)).cast("long"))
+    )
 
     def chunks(order_cols: list, layout: str) -> DataFrame:
         w = Window.orderBy(*order_cols)

@@ -568,9 +568,14 @@ def pareto_frontier_2d(
                 continue
             gmax = pdf.groupby(x_col)[y_col].transform("max")
             grp = pdf.groupby(x_col)[y_col].max().sort_index(ascending=False)
-            prior = grp.cummax().shift(1)  # max y over strictly greater x
-            m1 = pdf[x_col].map(prior)
-            keep = (pdf[y_col] == gmax) & ~(m1 >= pdf[y_col])
+            # max y over strictly greater x — cast to nullable Int64
+            # BEFORE shift: a plain shift(1) promotes int64 to float64
+            # (NaN hole), and above 2^53 the m1 >= y comparison could
+            # spuriously hold and drop a true frontier row that phase 2
+            # cannot restore. Int64 keeps the running max exact.
+            prior = grp.cummax().astype("Int64").shift(1)
+            m1 = pdf[x_col].map(prior).astype("Int64")
+            keep = (pdf[y_col] == gmax) & ~(m1 >= pdf[y_col]).fillna(False)
             yield pdf[keep]
 
     survivors = df.mapInPandas(_local, schema=df.schema)

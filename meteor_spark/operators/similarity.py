@@ -1515,8 +1515,14 @@ def margin_bitext_mine(
     wbest = Window.partitionBy("src_id").orderBy(
         F.col("margin_ppm").desc(), F.col("tgt_id")
     )
-    return (
+    result = (
         scored.withColumn("best", F.row_number().over(wbest))
         .filter(F.col("best") == 1)
         .select("src_id", "tgt_id", F.col("c4").alias("cos_e4"), "margin_ppm")
     )
+    # materialize the (|Q|-row) result so fwd's cache can be released
+    # before returning — a bare persist here outlives the call and
+    # accumulates executor storage across long parity/bench sessions
+    from meteor_spark.io import finish_and_release
+
+    return finish_and_release(result, fwd)

@@ -397,7 +397,7 @@ def tcloseness_census(
         F.sum("term").cast("long").alias("t_num")
     )
     t_ppm = F.expr(fixed_div_expr("t_num", "2 * k * n_g", 6, "div")).cast("long")
-    return (
+    result = (
         per_set.select("k", t_ppm.alias("t_ppm"))
         .groupBy("k")
         .agg(
@@ -406,3 +406,9 @@ def tcloseness_census(
         )
         .orderBy("k")
     )
+    # materialize the (set-size-count-sized) result so j's user-sized
+    # cache is released before returning — a bare persist outlives the
+    # call and accumulates executor storage across long sessions
+    from meteor_spark.io import finish_and_release
+
+    return finish_and_release(result, j)

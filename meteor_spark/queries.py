@@ -56,6 +56,33 @@ def _session_tmpdir(prefix: str) -> str:
     return d
 
 
+_PROC_TMP_ROOT: str | None = None
+
+
+def _proc_tmpdir(sub: str) -> str:
+    """One mkdtemp root per PROCESS (cached at module level, removed at
+    interpreter exit), with a named subdir per caller. The catalog
+    round-trip gates want path REUSE across repeated sweeps in one
+    process (mode("overwrite") rewrites in place instead of leaking a
+    fixture-sized tree per invocation) — but a fixed, predictable name
+    in shared /tmp raced concurrent sweeps over the same fixture and
+    was a symlink-squat surface on multi-user hosts. mkdtemp gives an
+    unpredictable, 0700, per-process root; the subdir keys the gate +
+    fixture so different tables never collide within the process."""
+    global _PROC_TMP_ROOT
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if _PROC_TMP_ROOT is None:
+        _PROC_TMP_ROOT = tempfile.mkdtemp(prefix="msk_root_")
+        atexit.register(shutil.rmtree, _PROC_TMP_ROOT, ignore_errors=True)
+    d = os.path.join(_PROC_TMP_ROOT, sub)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from meteor_spark.io import read_parquet_table
 
@@ -7809,17 +7836,14 @@ def orc_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     views, so a read-path or footer-walk defect on the ORC side cannot
     hide behind a matching implementation."""
     import os
-    import tempfile
 
-    # Deterministic per-fixture path, NOT mkdtemp: repeated parity /
-    # bench sweeps reuse (overwrite) the same directory instead of
-    # leaking a fixture-sized /tmp tree per invocation (largest at the
-    # 10x fixture). The name keys on the sf_dir so concurrent sweeps
-    # over different fixtures never collide; mode("overwrite") makes
-    # the rewrite atomic-enough for the single-process sweeps that
-    # call this gate.
+    # Per-process mkdtemp root (cached, 0700, removed at exit) with a
+    # gate+fixture subdir: sweeps within one process reuse (overwrite)
+    # the same directory instead of leaking a fixture-sized /tmp tree
+    # per invocation, while concurrent processes and multi-user hosts
+    # never share a predictable path.
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
-    base = os.path.join(tempfile.gettempdir(), f"msk_orc_{fixture}")
+    base = _proc_tmpdir(f"orc_{fixture}")
     for t in _ORC_TABLES:
         _t(spark, sf_dir, t).write.mode("overwrite").orc(os.path.join(base, f"{t}.orc"))
     from meteor_spark.registry import extractors
@@ -8148,10 +8172,9 @@ def json_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation. (The five dim tables have no all-null columns, so
     sampling inference must recover every column.)"""
     import os
-    import tempfile
 
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
-    base = os.path.join(tempfile.gettempdir(), f"msk_jsl_{fixture}")
+    base = _proc_tmpdir(f"jsl_{fixture}")
     for t in _ORC_TABLES:
         _t(spark, sf_dir, t).write.mode("overwrite").json(
             os.path.join(base, f"{t}.jsonl")
@@ -8186,10 +8209,9 @@ def csv_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates: widths and counts are checked against the parquet views, so
     a header/inference defect cannot self-confirm."""
     import os
-    import tempfile
 
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
-    base = os.path.join(tempfile.gettempdir(), f"msk_csv_{fixture}")
+    base = _proc_tmpdir(f"csv_{fixture}")
     for t in _ORC_TABLES:
         _t(spark, sf_dir, t).write.mode("overwrite").option("header", True).csv(
             os.path.join(base, f"{t}.csv")
@@ -8497,7 +8519,7 @@ _ZCHUNKS = 16
 
 
 def _zorder_oracle() -> str:
-    zd = _zexpr("x", "y", _ZB, "//")
+    zd = _zexpr("xb", "yb", _ZB, "//")
     x_lo, x_hi, y_lo, y_hi = _ZBOX
     chunk = (
         "SELECT layout, c, min(x) AS x_min, max(x) AS x_max,"
@@ -8508,7 +8530,12 @@ def _zorder_oracle() -> str:
       SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
              CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k
       FROM lineitem),
-    bz AS (SELECT x, y, k, CAST({zd} AS BIGINT) AS z FROM base),
+    bn AS (
+      SELECT x, y, k,
+             CAST(ntile({1 << _ZB}) OVER (ORDER BY x, k) - 1 AS BIGINT) AS xb,
+             CAST(ntile({1 << _ZB}) OVER (ORDER BY y, k) - 1 AS BIGINT) AS yb
+      FROM base),
+    bz AS (SELECT x, y, k, CAST({zd} AS BIGINT) AS z FROM bn),
     cz AS (SELECT 'zorder' AS layout,
                   ntile({_ZCHUNKS}) OVER (ORDER BY z, k) AS c, x, y FROM bz),
     ck AS (SELECT 'rowkey' AS layout,
@@ -8539,7 +8566,9 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the min/max pruning rule parquet/ORC readers apply. The
     Delta OPTIMIZE ZORDER BY payoff as an exact, engine-portable
     number (read_ppm per layout). The z-value is unrolled div/mod
-    arithmetic — no bit builtins — identical on both engines; ntile
+    arithmetic over ntile-rank-normalized dimensions — no bit
+    builtins, no silent wrap when keys exceed 2^bits (l_partkey does
+    at 100x) — identical on both engines; ntile
     ties are broken by a total key (orderkey*10+linenumber), so the
     chunking is deterministic. Write-side cost at scale is the one
     range-partitioned sort a sorted layout pays anyway."""
@@ -8560,14 +8589,15 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH pairs AS (
       SELECT p.event_id AS purchase_id, c.event_id AS click_id,
-             p.user_id, round(p.value, 2) AS purchase_value
+             p.user_id,
+             CAST(round(p.value * 100) AS BIGINT) AS purchase_value_cents
       FROM events p JOIN events c
         ON p.user_id = c.user_id
        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
     n AS (SELECT purchase_id, CAST(count(*) AS BIGINT) AS n_touches
           FROM pairs GROUP BY purchase_id)
-    SELECT pr.purchase_id, pr.click_id, pr.user_id, pr.purchase_value,
+    SELECT pr.purchase_id, pr.click_id, pr.user_id, pr.purchase_value_cents,
            n.n_touches,
            CAST({_ppm("1", "n.n_touches", "//")} AS BIGINT) AS credit_ppm
     FROM pairs pr JOIN n USING (purchase_id)
@@ -8582,7 +8612,10 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-click. Same bounded interval self-join (watermark-shaped:
     the time bound caps join state at stream scale); the touch count
     rides a purchase-keyed window over pair rows, never re-scanning
-    events; credit is exact-integer ppm."""
+    events; credit is exact-integer ppm, and the purchase value is
+    published in exact integer CENTS (the sql_api_revenue fixed-point
+    discipline) — a rounded double here would be a latent HALF_UP vs
+    half-even parity flake near .xx5 boundaries."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -8590,7 +8623,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("p_ts"),
-        F.round("value", 2).alias("purchase_value"),
+        F.round(F.col("value") * 100).cast("long").alias("purchase_value_cents"),
     )
     c = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
@@ -8606,7 +8639,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "click_id",
         "user_id",
-        "purchase_value",
+        "purchase_value_cents",
         F.count("*").over(w).cast("long").alias("n_touches"),
     ).withColumn(
         "credit_ppm",
@@ -8689,7 +8722,15 @@ def source_overlap_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w"),
     )
     partials = sketches.hll64_partials(toks, ["source"], "w", lg_k=_HLL64_LGK).persist()
-    return sketches.hll_pairwise_overlap(partials, "source", lg_k=_HLL64_LGK)
+    # materialize the (source-pair-sized) result, then release the
+    # register cache — a bare persist outlives the gate and accumulates
+    # executor storage across long parity/bench sessions
+    from meteor_spark.io import finish_and_release
+
+    return finish_and_release(
+        sketches.hll_pairwise_overlap(partials, "source", lg_k=_HLL64_LGK),
+        partials,
+    )
 
 
 @query(
