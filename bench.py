@@ -3,6 +3,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Isolated re-measure protocol (the round-8 regression-triage procedure,
+promoted to a flag): cross-gate session accounting — cold costs landing
+on different members of shared-persisted-state clusters, streaming
+state-store residue — can shift an individual gate's in-sweep timing
+without any plan change. `--isolate name1,name2` (or `--isolate auto`
+for every >2s entry of the last BENCH_FULL.json) re-measures each gate
+median-of-3 in its OWN fresh process (fresh JVM — same-process session
+restarts reuse the gateway and inherit its heap), merges the medians
+into BENCH_FULL.json under "isolated", and prints a compact line. A
+gate whose sweep timing moved but whose isolated median is stable
+regressed in session accounting, not in its plan.
+
+`--single name` is the child mode --isolate spawns: warm up, run the
+one gate 3x, print {"single": name, "runs": [...]}.
 """
 
 from __future__ import annotations
@@ -44,6 +59,112 @@ def compact_line(timings, headline, failed, total, sf, limit: int = 1800) -> str
     return out
 
 
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir.rstrip("/"))
+    try:
+        return float(m.group(1)) if m else 0.1
+    except ValueError:
+        return 0.1
+
+
+def _warm(spark, sf_dir: str) -> None:
+    """The main sweep's warm-up, shared by --single children."""
+    from meteor_spark.queries import QUERIES
+
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for warm in ("q1_pricing_summary", "text_analysis", "ann_cosine_topk"):
+        try:
+            QUERIES[warm](spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
+    try:
+        (
+            spark.readStream.format("rate").option("numPartitions", "1")
+            .option("rowsPerSecond", "1").load()
+            .withWatermark("timestamp", "0 seconds")
+            .groupBy("timestamp").count()
+            .writeStream.format("memory").queryName("__warm_stream")
+            .outputMode("complete").trigger(availableNow=True)
+            .start().awaitTermination(30)
+        )
+    except Exception:  # noqa: BLE001
+        pass
+    spark.catalog.clearCache()
+
+
+def single_main(name: str) -> None:
+    """Child mode: one gate, fresh process, 3 timed runs."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from meteor_spark.session import get_spark
+    from meteor_spark.queries import QUERIES
+
+    spark = get_spark("bench_single")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, sf_dir)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).collect()
+            runs.append(round(time.time() - t0, 3))
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            runs.append(-1.0)
+        finally:
+            spark.catalog.clearCache()
+    print(json.dumps({"single": name, "runs": runs}))
+    spark.stop()
+
+
+def isolate_main(spec: str) -> None:
+    """Parent mode: median-of-3 per gate, each in its own process."""
+    import statistics
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    if spec == "auto":
+        with open(full_path) as f:
+            prior = json.load(f)
+        names = sorted(
+            k for k, t in prior.get("queries", {}).items()
+            if t > 2.0 and not k.endswith(("_cold", "_per_batch", "_per_mb"))
+        )
+    else:
+        names = [n for n in spec.split(",") if n]
+    isolated: dict[str, float] = {}
+    for n in names:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", n],
+            capture_output=True, text=True, timeout=1800,
+        )
+        try:
+            runs = json.loads(r.stdout.strip().splitlines()[-1])["runs"]
+            good = [t for t in runs if t > 0]
+            isolated[n] = round(statistics.median(good), 3) if good else -1.0
+        except Exception as e:  # noqa: BLE001
+            print(f"isolate error in {n}: {e}: {r.stdout[-300:]} {r.stderr[-300:]}",
+                  file=sys.stderr)
+            isolated[n] = -1.0
+    try:
+        with open(full_path) as f:
+            full = json.load(f)
+    except OSError:
+        full = {}
+    full["isolated"] = isolated
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"bench warning: could not write BENCH_FULL.json: {e}", file=sys.stderr)
+    print(json.dumps(
+        {"metric": "isolated_median_seconds", "unit": "sec",
+         "sf": _sf_of(sf_dir), "queries": isolated},
+        separators=(",", ":"),
+    ))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # tolerant sf sniffing: a path like /data/transfer/corpus contains
@@ -62,35 +183,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers with a trivial action, then one
-    # aggregation query and one text query (untimed): whole-stage
-    # codegen, the lambda interpreter, and the shuffle machinery
-    # otherwise bill their one-time cost to whichever query happens to
-    # run first in registration order
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    # ann_cosine_topk additionally warms the higher-order-function lambda
-    # machinery (zip_with/aggregate) the similarity family runs on
-    for warm in ("q1_pricing_summary", "text_analysis", "ann_cosine_topk"):
-        try:
-            QUERIES[warm](spark, sf_dir).collect()
-        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
-            pass
-    # the streaming machinery (microbatch executor, state store, memory
-    # sink) class-loads on the FIRST streaming query of a session —
-    # measured ~2s billed to whichever streaming gate runs first. Warm it
-    # with a one-row rate-source aggregate that never touches the data.
-    try:
-        (
-            spark.readStream.format("rate").option("numPartitions", "1")
-            .option("rowsPerSecond", "1").load()
-            .withWatermark("timestamp", "0 seconds")
-            .groupBy("timestamp").count()
-            .writeStream.format("memory").queryName("__warm_stream")
-            .outputMode("complete").trigger(availableNow=True)
-            .start().awaitTermination(30)
-        )
-    except Exception:  # noqa: BLE001
-        pass
-    spark.catalog.clearCache()
+    # aggregation query, one text query, and one HOF query (untimed):
+    # whole-stage codegen, the lambda interpreter, and the shuffle
+    # machinery otherwise bill their one-time cost to whichever query
+    # happens to run first in registration order; the rate-source
+    # stream warms the microbatch executor + state store the same way
+    _warm(spark, sf_dir)
 
     def run_once(name, fn) -> float:
         t0 = time.time()
@@ -302,4 +400,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--single" in sys.argv:
+        single_main(sys.argv[sys.argv.index("--single") + 1])
+    elif "--isolate" in sys.argv:
+        isolate_main(sys.argv[sys.argv.index("--isolate") + 1])
+    else:
+        main()
