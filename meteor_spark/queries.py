@@ -1339,8 +1339,12 @@ def event_type_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "next_fit_bin_packing",
+    # tk MUST be MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    # so the recursive step re-evaluated the regexp token split once per
+    # iteration — 327.8s -> 8.8s at 10x (the pagerank/minhash_eval
+    # lesson's third sighting)
     f"""
-    WITH RECURSIVE tk AS (
+    WITH RECURSIVE tk AS MATERIALIZED (
       SELECT doc_id, source,
              CAST(len(regexp_split_to_array({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
