@@ -46,6 +46,95 @@ def z_value_expr(x: str, y: str, bits: int = 10, div: str = "div") -> str:
     return " + ".join(terms)
 
 
+def write_zorder_files(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    order_col: str,
+    n_files: int = 16,
+    bits: int = 15,
+    zorder: bool = True,
+) -> None:
+    """Materialize the zorder_skipping_report chunking as REAL parquet
+    files: the same exact ntile rank-normalization + Morton interleave
+    (or the single-key order when zorder=False), chunked into `n_files`
+    by ntile over the sort order, written one file per chunk
+    (partitionBy on the chunk id after repartitioning by it — each
+    chunk's rows land in exactly one task, so exactly one file). The
+    written files carry REAL footer min/max stats, which is what
+    zorder_footer_skipping certifies against the synthetic report's
+    pruning rule. Exact ntile (not write_zordered's approxQuantile
+    buckets) so the layout is bit-deterministic for the oracle."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(order_col).cast("long").alias("k"),
+    )
+    if zorder:
+        nb = 1 << bits
+        wx = Window.orderBy(F.col("x"), F.col("k"))
+        wy = Window.orderBy(F.col("y"), F.col("k"))
+        base = (
+            base.withColumn("xb", (F.ntile(nb).over(wx) - 1).cast("long"))
+            .withColumn("yb", (F.ntile(nb).over(wy) - 1).cast("long"))
+            .withColumn("z", F.expr(z_value_expr("xb", "yb", bits)).cast("long"))
+        )
+        w = Window.orderBy(F.col("z"), F.col("k"))
+    else:
+        w = Window.orderBy(F.col("k"))
+    (
+        base.withColumn("file_id", F.ntile(n_files).over(w))
+        .select("x", "y", "k", "file_id")
+        .repartition(n_files, "file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
+def footer_box_hits(
+    spark,
+    path: str,
+    box: tuple[int, int, int, int],
+) -> tuple[int, int]:
+    """(n_files, n_read) under min/max footer pruning for a box
+    predicate, from the REAL parquet footers of a write_zorder_files
+    layout — pyarrow metadata only, zero data pages (the independent
+    twin of the oracle's duckdb parquet_metadata() read). Driver-side
+    loop: one footer (KB) per file, n_files bounded."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    x_lo, x_hi, y_lo, y_hi = box
+    n_files = n_read = 0
+    for f in sorted(_glob.glob(f"{path}/file_id=*/part-*.parquet")):
+        md = pq.read_metadata(f)
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if col.path_in_schema in ("x", "y") and st is not None and st.has_min_max:
+                    name = col.path_in_schema
+                    mins[name] = min(mins.get(name, st.min), st.min)
+                    maxs[name] = max(maxs.get(name, st.max), st.max)
+        n_files += 1
+        if (
+            maxs["x"] >= x_lo
+            and mins["x"] <= x_hi
+            and maxs["y"] >= y_lo
+            and mins["y"] <= y_hi
+        ):
+            n_read += 1
+    return n_files, n_read
+
+
 def zorder_skipping_report(
     df: DataFrame,
     x_col: str,

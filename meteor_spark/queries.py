@@ -8588,6 +8588,90 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed, uid-keyed layout dir: the footer-skipping oracle must name the
+# written files in its (static) SQL text, so this one path cannot ride
+# the per-process mkdtemp root. uid-keying keeps users apart on shared
+# hosts; within a uid, concurrent sweeps over DIFFERENT fixtures would
+# race this gate's rewrite — run it in one sweep at a time (documented
+# limitation of path-embedding oracles).
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+_ZREAL_BASE = _os.path.join(
+    _tempfile.gettempdir(), f"msk_zreal_u{_os.getuid()}"
+)
+
+
+def _zreal_oracle() -> str:
+    x_lo, x_hi, y_lo, y_hi = _ZBOX
+    per_file = """
+      SELECT file_name,
+             min(CASE WHEN path_in_schema = 'x' THEN mn END) AS x_min,
+             max(CASE WHEN path_in_schema = 'x' THEN mx END) AS x_max,
+             min(CASE WHEN path_in_schema = 'y' THEN mn END) AS y_min,
+             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max
+      FROM (
+        SELECT file_name, path_in_schema,
+               CAST(stats_min_value AS BIGINT) AS mn,
+               CAST(stats_max_value AS BIGINT) AS mx
+        FROM parquet_metadata('{glob}')
+        WHERE path_in_schema IN ('x', 'y'))
+      GROUP BY file_name
+    """
+    agg = f"""
+      SELECT '{{layout}}' AS layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+                            AND y_max >= {y_lo} AND y_min <= {y_hi}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_read
+      FROM ({per_file})
+    """
+    mz = agg.format(layout="zorder", glob=f"{_ZREAL_BASE}/zorder/file_id=*/*.parquet")
+    mk = agg.format(layout="rowkey", glob=f"{_ZREAL_BASE}/rowkey/file_id=*/*.parquet")
+    return f"""
+    WITH m AS ({mz} UNION ALL {mk})
+    SELECT layout, n_files, n_read,
+           CAST({_ppm("n_read", "n_files", "//")} AS BIGINT) AS read_ppm
+    FROM m
+    """
+
+
+@query("zorder_footer_skipping", _zreal_oracle())
+def zorder_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zorder_skipping_report payoff certified on the STORAGE
+    ENGINE itself (layout.write_zorder_files + footer_box_hits): the
+    same ntile-rank-normalized Morton chunking is WRITTEN as real
+    parquet files (one per chunk, both layouts), and the skipping count
+    comes from the files' REAL footer min/max statistics — Spark reads
+    them through pyarrow metadata, the oracle independently through
+    DuckDB's parquet_metadata(), neither touching a data page. Agreeing
+    n_read means the min/max pruning rule the synthetic report models
+    is exactly what these files deliver to any stats-pruning reader
+    (Spark parquet filter pushdown, DuckDB zone-map skipping,
+    Delta/Iceberg file stats). Write cost: the one range sort per
+    layout any sorted write pays; the readout touches 2 x n_files
+    KB-sized footers."""
+    from meteor_spark.operators.layout import footer_box_hits, write_zorder_files
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+    )
+    rows = []
+    for layout, z in (("zorder", True), ("rowkey", False)):
+        path = f"{_ZREAL_BASE}/{layout}"
+        write_zorder_files(
+            li, path, "l_partkey", "l_suppkey", "rk",
+            n_files=_ZCHUNKS, bits=_ZB, zorder=z,
+        )
+        n_files, n_read = footer_box_hits(spark, path, _ZBOX)
+        rows.append((layout, n_files, n_read, n_read * 1_000_000 // n_files))
+    return spark.createDataFrame(
+        rows, "layout string, n_files long, n_read long, read_ppm long"
+    )
+
+
 @query(
     "multi_touch_attribution",
     f"""

@@ -119,7 +119,10 @@ def build(spark, base: str, out: str, copies: int = COPIES,
                 exprs.append(F.col(c))
         return (
             df.crossJoin(
-                spark.range(copies).select(F.col("id").cast("int").alias("__copy"))
+                # long, not int: copy * stride overflows int32 past
+                # ~214 copies of the 10M-stride key families (ANSI
+                # mode raises; pre-ANSI it would silently wrap)
+                spark.range(copies).select(F.col("id").alias("__copy"))
             )
             .select(*exprs)
         )
