@@ -3849,14 +3849,19 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "curation_pipeline",
+    # kept MUST be MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and kept (whose lineage is the ENTIRE text-analysis
+    # CTE — the 250s-at-100x part) is referenced by surv, k2, and
+    # through them the chunk join — >900s at 100x un-materialized,
+    # minutes materialized (the pagerank/next_fit lesson again)
     f"""
     WITH t AS ({_TEXT_ORACLE}),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT doc_id, quality, fingerprint FROM t
       WHERE lang_guess = 'en' AND quality >= 0.55),
     surv AS (
       SELECT fingerprint, min(doc_id) AS doc_id FROM kept GROUP BY fingerprint),
-    k2 AS (
+    k2 AS MATERIALIZED (
       SELECT k.doc_id, k.quality FROM kept k
       JOIN surv s ON k.fingerprint = s.fingerprint AND k.doc_id = s.doc_id),
     nd AS (
