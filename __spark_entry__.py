@@ -36,11 +36,15 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 212 entries, 208 with exact DuckDB oracles (r9 adds
+                 213 entries, 209 with exact DuckDB oracles (r9 adds
                  zorder_footer_skipping — the z-order skipping payoff
                  certified on REAL parquet footer min/max stats, read
                  independently via pyarrow metadata and DuckDB
-                 parquet_metadata(); r8 adds
+                 parquet_metadata();
+                 nation_revenue_salted_join — the salted-JOIN twin
+                 completing the oracle-gated salted pair, dim
+                 replicated per salt bucket, oracle is the plain
+                 relational join; r8 adds
                  user_tcloseness_census — skewness-attack audit
                  completing the k-anonymity / l-diversity /
                  t-closeness trio, exact-integer total variation;

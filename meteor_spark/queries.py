@@ -666,6 +666,46 @@ def events_usage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nation_revenue_salted_join",
+    """
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def nation_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe SALTED JOIN (operators.skew.salted_join) — the join
+    twin of events_usage_salted's salted aggregation, completing the
+    oracle-gated salted-twin pair: the fact side carries a
+    deterministic row-hash salt, the dim side replicates once per salt
+    bucket, and a hot supplier key spreads over 16 reducers instead of
+    one. The oracle is the PLAIN relational join — equality is the
+    entire claim, and it is what lets a 100 TB deployment flip salting
+    on (where one reducer's hot partition exceeds its task budget;
+    measured break-even in docs/SCALING.md SKEW) without re-validating
+    semantics. Revenue rides the exact-cents fixed-point discipline.
+    Certified on the uniform fixtures AND the Zipf(1.2) skew fixture
+    whose hottest per-copy supplier draws ~15% of rows."""
+    from meteor_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"], salt_buckets=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("price_cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
     "events_multi_rollup",
     """
     SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)  AS day,

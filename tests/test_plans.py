@@ -408,6 +408,9 @@ _PLAN_BUDGETS = {
     # interval self-join broadcasts the purchase side; touch counts
     # ride a pair-keyed window
     "multi_touch_attribution": (1, 1, 0),
+    # r9: the x16-replicated dim still broadcasts (it is dim x salt
+    # sized); the one shuffle is the nationkey groupBy
+    "nation_revenue_salted_join": (1, 1, 0),
     # cold-print inflation: the persisted token-register partials'
     # InMemoryRelation subplan repeats per consumer (singles + two
     # pair orientations); genuine exchanges are the token groupBy +
