@@ -388,6 +388,8 @@ def main() -> None:
         "language_confidence_report",
         "hot_passage_scrub",
         "rerank_cross_encoder",
+        "zorder_footer_skipping",
+        "nation_revenue_salted_join",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
         "streaming_incremental_neardup",
