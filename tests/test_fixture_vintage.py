@@ -70,3 +70,52 @@ def test_streaming_normalize_ts(spark, events_path):
     assert isinstance(out.schema["ts"].dataType, T.TimestampType)
     got = sorted(r[0] for r in out.select(F.unix_micros("ts")).collect())
     assert got == sorted(r[1] for r in ROWS)
+
+
+def test_zipf_rank_bounds_determinism_and_skew(spark):
+    """The --zipf-keys remap (tools/make_scale10._zipf_rank over _u01):
+    ranks stay in [1, k], the draw is a pure function of the id column
+    (byte-reproducible builds), and the head is genuinely hot — the
+    top rank must hold >= 10% of rows at s=1.2 (the property the skew
+    certification exists to exercise; uniform clones never produce it)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools.make_scale10 import _u01, _zipf_rank
+
+    df = spark.range(200_000).select(F.col("id"))
+    ranked = df.select(_zipf_rank(_u01(F.col("id")), 1000, 1.2).alias("r"))
+    stats = ranked.agg(
+        F.min("r").alias("mn"), F.max("r").alias("mx"), F.count("*").alias("n")
+    ).first()
+    assert stats["mn"] >= 1 and stats["mx"] <= 1000
+    top = (
+        ranked.groupBy("r").count().orderBy(F.col("count").desc()).first()
+    )
+    assert top["count"] >= 0.10 * stats["n"], f"head not hot: {top}"
+    # determinism: the same ids map to the same ranks on a re-plan
+    again = df.select(_zipf_rank(_u01(F.col("id")), 1000, 1.2).alias("r"))
+    assert ranked.exceptAll(again).count() == 0
+
+
+def test_zipf_lineitem_remap_preserves_fk(spark, tmp_path):
+    """--zipf-keys rewrites l_partkey/l_suppkey WITHIN each copy's own
+    shifted universe: every remapped key must still resolve against the
+    part/supplier tables (the FK property the skewed star joins rely
+    on)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools.make_scale10 import build
+
+    out = str(tmp_path / "zf")
+    build(spark, "/root/testdata/sf0.001", out, copies=3, zipf_s=1.2)
+    li = spark.read.parquet(f"{out}/lineitem.parquet")
+    part = spark.read.parquet(f"{out}/part.parquet")
+    supp = spark.read.parquet(f"{out}/supplier.parquet")
+    assert (
+        li.join(part, li.l_partkey == part.p_partkey, "left_anti").count() == 0
+    )
+    assert (
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_anti").count() == 0
+    )
