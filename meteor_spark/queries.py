@@ -328,19 +328,32 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_rollup",
+    # fixed-point cents, NOT round(sum(double)): the float sum's
+    # accumulation order differs between engines, and at the x1000
+    # fixture (150M rows) the ulp drift crossed the 2-decimal rounding
+    # boundary — the first hash mismatch the fourth magnitude caught
+    # (the r3 sql_api_revenue lesson, resurfacing one ladder rung up).
+    # Cents stay exact in int64 to ~9e16 rows; one final division is
+    # correctly rounded on any IEEE engine.
     """
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: ROLLUP over status x priority (subtotals + grand
-    total) — Catalyst expands to a single Expand+Aggregate."""
+    total) — Catalyst expands to a single Expand+Aggregate. The price
+    sum rides exact integer cents (strict at 150M rows; the float sum
+    it replaces hash-mismatched there)."""
     o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"),
+        F.round(F.sum(cents) / 100.0, 2).alias("total"),
     )
 
 
