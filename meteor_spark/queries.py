@@ -609,12 +609,27 @@ def props_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_asof_purchase",
+    # the right side is deduped to ONE purchase per (user, ts) BEFORE
+    # the ASOF join, picking the largest event_id — the operator's
+    # documented right-right tie contract (largest value struct wins;
+    # event_id is unique, so it decides). Without this the oracle is
+    # UNDERDETERMINED whenever a user has two purchases at the same
+    # timestamp: DuckDB's native ASOF assumes unique (key, ts) and
+    # picks arbitrarily — exactly what the Zipf skew fixture surfaced
+    # (merging users onto one hot key creates equal-ts purchase pairs
+    # the uniform fixtures never had).
     """
     SELECT e.event_id, e.user_id,
            p.event_id                 AS purchase_event_id_asof,
            round(p.value, 2)          AS purchase_value_asof
     FROM events e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, event_id, value
+      FROM (SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1) p
       ON e.user_id = p.user_id AND e.ts >= p.ts
     """,
 )
