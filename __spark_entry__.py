@@ -158,7 +158,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r08 union: all 211 gates, incl. the 4 rows-only ones, which have
+#      r09 union: all 213 gates, incl. the 4 rows-only ones, which have
 #      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 # Post-round hygiene (documented process): refresh these sets from the
@@ -177,6 +177,7 @@ _CHECKED_GREEN = {
     "streaming_rate_changepoint", "streaming_ttl_dedup",
     "user_ldiversity_census", "user_tcloseness_census",
     "zorder_skipping_report",
+    "nation_revenue_salted_join", "zorder_footer_skipping",
     "bpe_fertility_by_lang", "bpe_merge_rules", "bpe_token_stats",
     "building_segment_small_spenders", "catalog_assets",
     "catalog_snapshot_diff", "cdc_shared_chunks", "char_entropy_quality",

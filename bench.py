@@ -127,25 +127,35 @@ def isolate_main(spec: str) -> None:
     if spec == "auto":
         with open(full_path) as f:
             prior = json.load(f)
+        # 1.0s (was 2.0 through r9): the headline tier starts around 1s
+        # at sf0.1, and sub-second drift there (r9's ivf_ann_topk +0.55s)
+        # should be self-adjudicating via the isolated medians
         names = sorted(
             k for k, t in prior.get("queries", {}).items()
-            if t > 2.0 and not k.endswith(("_cold", "_per_batch", "_per_mb"))
+            if t > 1.0 and not k.endswith(("_cold", "_per_batch", "_per_mb"))
         )
     else:
         names = [n for n in spec.split(",") if n]
     isolated: dict[str, float] = {}
     for n in names:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", n],
-            capture_output=True, text=True, timeout=1800,
-        )
+        r = None
         try:
+            # TimeoutExpired must land INSIDE the loop: one hung gate
+            # records -1.0 and the sweep keeps its other medians
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", n],
+                capture_output=True, text=True, timeout=1800,
+            )
             runs = json.loads(r.stdout.strip().splitlines()[-1])["runs"]
             good = [t for t in runs if t > 0]
             isolated[n] = round(statistics.median(good), 3) if good else -1.0
+        except subprocess.TimeoutExpired:
+            print(f"isolate timeout in {n} (1800s)", file=sys.stderr)
+            isolated[n] = -1.0
         except Exception as e:  # noqa: BLE001
-            print(f"isolate error in {n}: {e}: {r.stdout[-300:]} {r.stderr[-300:]}",
-                  file=sys.stderr)
+            out = r.stdout[-300:] if r is not None else ""
+            err = r.stderr[-300:] if r is not None else ""
+            print(f"isolate error in {n}: {e}: {out} {err}", file=sys.stderr)
             isolated[n] = -1.0
     try:
         with open(full_path) as f:

@@ -125,7 +125,12 @@ def footer_box_hits(
                     mins[name] = min(mins.get(name, st.min), st.min)
                     maxs[name] = max(maxs.get(name, st.max), st.max)
         n_files += 1
-        if (
+        if not all(c in mins and c in maxs for c in ("x", "y")):
+            # min/max pruning rule: a file without stats on a predicate
+            # column can never be skipped — count it read (stats can be
+            # absent when a writer disables them or a column is all-null)
+            n_read += 1
+        elif (
             maxs["x"] >= x_lo
             and mins["x"] <= x_hi
             and maxs["y"] >= y_lo

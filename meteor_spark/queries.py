@@ -8663,16 +8663,39 @@ def zorder_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed, uid-keyed layout dir: the footer-skipping oracle must name the
 # written files in its (static) SQL text, so this one path cannot ride
-# the per-process mkdtemp root. uid-keying keeps users apart on shared
-# hosts; within a uid, concurrent sweeps over DIFFERENT fixtures would
-# race this gate's rewrite — run it in one sweep at a time (documented
-# limitation of path-embedding oracles).
+# the per-process mkdtemp root. Two hardenings beyond the bare name:
+#   - the base dir is created 0700 and verified (lstat: directory, not
+#     a symlink, owned by this uid) before any write — a /tmp squat of
+#     the predictable name fails loudly instead of letting Spark's
+#     overwrite delete/write through the squatted target;
+#   - layouts are keyed one level deeper by FIXTURE label (basename of
+#     sf_dir on the Spark side; $SPARK_GRAFT_FIXTURE, default sf0.01,
+#     on the oracle side — tools/check_parity.py exports it before
+#     importing this module), so concurrent sweeps over different
+#     fixtures write disjoint dirs instead of racing one rewrite.
 import os as _os  # noqa: E402
+import stat as _stat  # noqa: E402
 import tempfile as _tempfile  # noqa: E402
 
 _ZREAL_BASE = _os.path.join(
     _tempfile.gettempdir(), f"msk_zreal_u{_os.getuid()}"
 )
+_ZREAL_FIXTURE = _os.environ.get("SPARK_GRAFT_FIXTURE", "sf0.01")
+
+
+def _zreal_secure_base() -> str:
+    """Create/verify the fixed layout root before trusting it."""
+    try:
+        _os.makedirs(_ZREAL_BASE, mode=0o700)
+    except FileExistsError:
+        pass
+    st = _os.lstat(_ZREAL_BASE)
+    if not _stat.S_ISDIR(st.st_mode) or st.st_uid != _os.getuid():
+        raise RuntimeError(
+            f"refusing to use {_ZREAL_BASE}: exists but is not a directory "
+            f"owned by uid {_os.getuid()} (symlink squat?) — remove it"
+        )
+    return _ZREAL_BASE
 
 
 def _zreal_oracle() -> str:
@@ -8699,9 +8722,15 @@ def _zreal_oracle() -> str:
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_read
       FROM ({per_file})
     """
-    mz = agg.format(layout="zorder", glob=f"{_ZREAL_BASE}/zorder/file_id=*/*.parquet")
-    mk = agg.format(layout="rowkey", glob=f"{_ZREAL_BASE}/rowkey/file_id=*/*.parquet")
+    zdir = f"{_ZREAL_BASE}/{_ZREAL_FIXTURE}"
+    mz = agg.format(layout="zorder", glob=f"{zdir}/zorder/file_id=*/*.parquet")
+    mk = agg.format(layout="rowkey", glob=f"{zdir}/rowkey/file_id=*/*.parquet")
     return f"""
+    -- PRECONDITION: the Spark side of zorder_footer_skipping writes the
+    -- parquet layouts this oracle reads (under {zdir}, keyed by fixture
+    -- label = basename(sf_dir) / $SPARK_GRAFT_FIXTURE). Running this SQL
+    -- first (or at a different fixture) fails at bind time with DuckDB's
+    -- "No files found" IOException naming the missing path.
     WITH m AS ({mz} UNION ALL {mk})
     SELECT layout, n_files, n_read,
            CAST({_ppm("n_read", "n_files", "//")} AS BIGINT) AS read_ppm
@@ -8731,9 +8760,12 @@ def zorder_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
     )
+    zdir = _os.path.join(
+        _zreal_secure_base(), _os.path.basename(sf_dir.rstrip("/"))
+    )
     rows = []
     for layout, z in (("zorder", True), ("rowkey", False)):
-        path = f"{_ZREAL_BASE}/{layout}"
+        path = f"{zdir}/{layout}"
         write_zorder_files(
             li, path, "l_partkey", "l_suppkey", "rk",
             n_files=_ZCHUNKS, bits=_ZB, zorder=z,

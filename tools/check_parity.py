@@ -194,6 +194,10 @@ def main() -> int:
     only = set(a for a in argv if not os.path.isdir(a))
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # path-embedding oracles (zorder_footer_skipping) key their written
+    # layout by fixture label; export it BEFORE the oracle strings are
+    # built at import time so both engines resolve the same dir
+    os.environ["SPARK_GRAFT_FIXTURE"] = os.path.basename(sf_dir.rstrip("/"))
     from meteor_spark.session import get_spark
 
     import __spark_entry__ as entrymod
