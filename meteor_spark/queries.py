@@ -5093,13 +5093,26 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cdc_oracle_sql(min_size: int = 16, avg_bits: int = 6, max_size: int = 256) -> str:
-    """Recursive-CTE replay of multimodal.cdc_boundaries: the rolling
-    gear hash IS SQL-expressible — one recursion level per byte carries
-    (pos, h, chunk_start) per doc, h' = (2h + gear[byte]) mod 2^64 in
-    HUGEINT, boundary when (size >= min AND h' has avg_bits low zero
-    bits) OR size >= max, tail chunk appended after the walk. The 256
-    gear constants (first 8 md5 bytes of each byte value — a fixed
-    public constant of the algorithm, multimodal._gear_table) are
+    """Windowed replay of multimodal.cdc_boundaries (the restatement
+    that retired two rounds of 100x timeouts; the per-BYTE recursive
+    walk this replaces re-joined a corpus-sized bytes table once per
+    recursion level).
+
+    Lossless identity: the gear recurrence h' = (2h + gear[b]) mod 2^64
+    shifts each byte's contribution left once per step, so h mod
+    2^avg_bits at position p is sum(gear[byte_{p-j}] * 2^j, j=0..avg_bits-1)
+    mod 2^avg_bits — older bytes are annihilated because
+    2^avg_bits | 2^j for j >= avg_bits. The boundary test therefore
+    depends only on the trailing avg_bits bytes WHENEVER the chunk is at
+    least avg_bits bytes old, which min_size (16) > avg_bits (6)
+    guarantees — chunk-start resets cannot be observed by the test. So:
+      1. flag candidate positions with one lag-window expression over
+         the bytes (no recursion, gear table reduced mod 2^avg_bits);
+      2. recurse over CHUNKS, not bytes: each level jumps a whole chunk
+         via next-candidate-at-least-min_size from a per-doc candidate
+         LIST (~n/2^avg_bits entries), capped by max_size and doc end.
+    The 256 gear constants (first 8 md5 bytes of each byte value — a
+    fixed public constant of the algorithm, multimodal._gear_table) are
     inlined as VALUES because DuckDB's md5 only takes VARCHAR, and
     md5(chr(b)) for b > 127 would hash the 2-byte utf-8 form, not the
     raw byte. ord(substr(text, ...)) equals the utf-8 byte only for
@@ -5107,11 +5120,13 @@ def _cdc_oracle_sql(min_size: int = 16, avg_bits: int = 6, max_size: int = 256) 
     utf-8 text bytes on the Spark side."""
     import hashlib as _h
 
+    assert min_size > avg_bits, "window identity needs min_size > avg_bits"
+    m = 1 << avg_bits
     gear_vals = ", ".join(
-        f"({i}, CAST('{int.from_bytes(_h.md5(bytes([i])).digest()[:8], 'big')}' AS HUGEINT))"
+        f"({i}, {int.from_bytes(_h.md5(bytes([i])).digest()[:8], 'big') % m})"
         for i in range(256)
     )
-    mod = f"CAST('{1 << 64}' AS HUGEINT)"
+    win = " + ".join(f"{1 << j} * lag(g, {j}, 0) OVER w" for j in range(avg_bits))
     return f"""
 WITH RECURSIVE
 gear(bv, g) AS (VALUES {gear_vals}),
@@ -5122,25 +5137,30 @@ bytes AS MATERIALIZED (
   SELECT b.doc_id, b.pos, g.g
   FROM (SELECT doc_id, CAST(unnest(range(n)) + 1 AS INT) AS pos, text FROM docs) b
   JOIN gear g ON g.bv = ord(substr(b.text, b.pos, 1))),
-walk(doc_id, pos, h, start, e_start, e_len) AS (
-  SELECT doc_id, 0, CAST(0 AS HUGEINT), 0, NULL, NULL FROM docs
+cands AS MATERIALIZED (
+  SELECT doc_id, list(pos ORDER BY pos) AS cs FROM (
+    SELECT doc_id, pos, ({win}) % {m} AS wmod
+    FROM bytes WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE wmod = 0 AND pos >= {min_size}
+  GROUP BY doc_id),
+walk(doc_id, s, n, cs) AS (
+  SELECT d.doc_id, 0, d.n, coalesce(c.cs, CAST([] AS INT[]))
+  FROM docs d LEFT JOIN cands c USING (doc_id)
   UNION ALL
-  SELECT doc_id, pos, CASE WHEN boundary THEN CAST(0 AS HUGEINT) ELSE nh END,
-         CASE WHEN boundary THEN pos ELSE start END,
-         CASE WHEN boundary THEN start ELSE NULL END,
-         CASE WHEN boundary THEN pos - start ELSE NULL END
-  FROM (
-    SELECT w.doc_id, w.pos + 1 AS pos, w.start,
-           (w.h * 2 + b.g) % {mod} AS nh,
-           ((w.pos + 1 - w.start >= {min_size}
-             AND (w.h * 2 + b.g) % {mod} % {1 << avg_bits} = 0)
-            OR w.pos + 1 - w.start >= {max_size}) AS boundary
-    FROM walk w JOIN bytes b ON b.doc_id = w.doc_id AND b.pos = w.pos + 1)),
+  SELECT doc_id, nb, n, cs FROM (
+    SELECT doc_id,
+           CAST(least(coalesce(list_min(list_filter(cs, x -> x >= s + {min_size})),
+                               2147483647),
+                      s + {max_size}) AS INT) AS nb,
+           n, cs
+    FROM walk WHERE s < n)
+  WHERE nb < n),
 chunks AS MATERIALIZED (
-  SELECT doc_id, e_start AS off, e_len FROM walk WHERE e_start IS NOT NULL
-  UNION ALL
-  SELECT w.doc_id, w.start, d.n - w.start
-  FROM walk w JOIN docs d USING (doc_id) WHERE w.pos = d.n AND w.start < d.n),
+  SELECT doc_id, s AS off,
+         least(CAST(least(coalesce(list_min(list_filter(cs, x -> x >= s + {min_size})),
+                                   2147483647),
+                          s + {max_size}) AS INT), n) - s AS e_len
+  FROM walk),
 hashed AS (
   SELECT c.doc_id, md5(substr(d.text, c.off + 1, c.e_len)) AS chunk_md5, c.e_len
   FROM chunks c JOIN docs d USING (doc_id))
