@@ -120,7 +120,12 @@ def test_record_entry_shape_and_decertify_contract():
         name
         for name, entry in reg.items()
         if "oracle_md5" in entry
-        and entry.get("oracle") != "scale-tier"
+        # entries carrying an "oracle" marker are not recomputable from
+        # the default-env oracle text: "scale-tier" rows hash a
+        # tools/scale_oracles.py restatement, "path-embedded" rows hash
+        # SQL whose text is keyed by $SPARK_GRAFT_FIXTURE (the zorder
+        # layout dir) — check_parity stamps both markers at record time
+        and entry.get("oracle") is None
         and name in oracles
         and entry["oracle_md5"] != hashlib.md5(oracles[name].encode()).hexdigest()
     ]

@@ -201,6 +201,7 @@ def main() -> int:
     from meteor_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+    from meteor_spark.queries import _ZREAL_BASE
 
     spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -212,11 +213,22 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     scale_gates: set[str] = set()
+    scale_fns: dict = {}
+    scale_fns_md5 = ""
     if use_scale:
-        from tools.scale_oracles import SCALE_ORACLES
+        import inspect
+
+        import tools.scale_oracles as so
+        from tools.scale_oracles import SCALE_ORACLE_FNS, SCALE_ORACLES
 
         oracles = {**oracles, **SCALE_ORACLES}
-        scale_gates = set(SCALE_ORACLES)
+        scale_fns = SCALE_ORACLE_FNS
+        scale_gates = set(SCALE_ORACLES) | set(scale_fns)
+        # callable oracles are keyed by the md5 of the WHOLE module
+        # source + gate name: shared helpers (the materialized pair/CC
+        # state) mean any edit must invalidate every callable's cache
+        # entry, the same edit-detection contract string oracles get
+        scale_fns_md5 = hashlib.md5(inspect.getsource(so).encode()).hexdigest()
     fdig = fixture_digest(sf_dir)
     fdig_legacy = fixture_digest_legacy(sf_dir)
     cache = _load_json(cache_path) if cache_path else None
@@ -250,13 +262,16 @@ def main() -> int:
             failures.append(name)
             _decertify(name)
             continue
-        if name not in oracles:
+        if name not in oracles and name not in scale_fns:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         t_spark = time.time() - t0
-        sql_md5 = hashlib.md5(oracles[name].encode()).hexdigest()
+        if name in scale_fns:
+            sql_md5 = hashlib.md5(f"{scale_fns_md5}:{name}".encode()).hexdigest()
+        else:
+            sql_md5 = hashlib.md5(oracles[name].encode()).hexdigest()
         ckey = f"{fdig}:{sql_md5}"
         hit = cache.get(ckey) if cache is not None else None
         if hit is None and cache is not None:
@@ -279,7 +294,7 @@ def main() -> int:
         else:
             t1 = time.time()
             try:
-                rel = con.sql(oracles[name])
+                rel = scale_fns[name](con) if name in scale_fns else con.sql(oracles[name])
                 dcols = [c for c in rel.columns]
                 unsafe = unsafe_oracle_types(rel)
                 drows = rel.fetchall()
@@ -352,8 +367,14 @@ def main() -> int:
                     "spark_sec": round(t_spark, 1),
                     "oracle_sec": t_oracle,
                 }
-                if name in scale_gates:
+                if name in scale_fns or name in scale_gates:
                     record[name]["oracle"] = "scale-tier"
+                elif _ZREAL_BASE in oracles[name]:
+                    # fixture-keyed path-embedding oracle: its SQL text
+                    # (hence md5) differs per fixture — mark it so the
+                    # ledger staleness audit knows not to recompute the
+                    # md5 from the default-env oracle text
+                    record[name]["oracle"] = "path-embedded"
                 _dump_json(record_path, record)
         else:
             failures.append(name)

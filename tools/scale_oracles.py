@@ -207,3 +207,264 @@ SELECT doc_id, tc, uniq_ppm
 FROM d
 WHERE (m_gt IS NULL OR m_gt < uniq_ppm) AND m_eq = uniq_ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# Callable oracle tier (round 10): the near-dup CHAIN-END gates at 100x.
+#
+# The six gates below consume the banded-minhash verified pairs and their
+# transitive closure. Two things made their string oracles infeasible at
+# the 100x fixture (500k docs, every doc in a 100-clone family):
+#   1. the `reach` recursive CTE materializes ALL (node, reachable) pairs
+#      — Sum(component^2) rows, ~50M+ at 100x, re-unioned per iteration;
+#   2. plain CTE nesting re-evaluates the band-join pipeline per
+#      reference.
+# A callable oracle keeps every stage EXACT (the SQL text of each stage
+# is imported from meteor_spark.queries, so the shingle/signature/band/
+# verify arithmetic is the canonical text run once into TEMP tables) and
+# replaces only the closure ALGORITHM: min-label propagation — one
+# edge-join per iteration, O(E * diameter) instead of O(Sum(comp^2)) —
+# run as a Python loop over temp tables. The fixpoint (min node id per
+# component) is the same unique object the recursive CTE defines.
+#
+# tools/check_parity.py runs these when --scale-oracles is passed; cache/
+# ledger keys use the md5 of THIS MODULE's source, so any edit here
+# invalidates every callable's cached oracle result.
+# ---------------------------------------------------------------------------
+
+SCALE_ORACLE_FNS: dict = {}
+
+# one heavy-state build per (connection, fixture): the six gates share the
+# verified-pair and label temp tables within a sweep
+_MS_BUILT: dict[int, str] = {}
+_TR_BUILT: dict[int, str] = {}
+
+
+def _fixture_token(con) -> str:
+    return str(con.sql(
+        "SELECT count(*), min(doc_id), max(doc_id), sum(n_chars) FROM documents"
+    ).fetchone())
+
+
+def _ensure_minhash_state(con) -> None:
+    """TEMP tables ms_sh(doc_id, sh), ms_verified(a, b, jaccard>=0.5),
+    cc_l(node, lbl = min doc_id of the component)."""
+    tok = _fixture_token(con)
+    if _MS_BUILT.get(id(con)) == tok:
+        return
+    from meteor_spark.queries import (
+        _BAND_SQL,
+        _HS_SQL,
+        _MINHASH_BANDS,
+        _MINHASH_K,
+        _NORM_SQL,
+        _SIG_SQL,
+        _shingle_sql,
+    )
+
+    for t in ("ms_sh", "ms_bands", "ms_cand", "ms_verified", "cc_e", "cc_l"):
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    # canonical _MINHASH_CTES stages, one temp table each (same SQL text)
+    con.execute(f"""
+        CREATE TEMP TABLE ms_sh AS
+        WITH nd AS (
+          SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS nws
+          FROM documents)
+        SELECT doc_id, {_shingle_sql(_MINHASH_K)} AS sh FROM nd""")
+    con.execute(f"""
+        CREATE TEMP TABLE ms_bands AS
+        WITH hs AS (SELECT doc_id, sh, {_HS_SQL} AS hs FROM ms_sh),
+        sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM hs)
+        SELECT doc_id, {_BAND_SQL} FROM sig""")
+    band_joins = " UNION ALL ".join(
+        f"""SELECT a.doc_id AS a, b.doc_id AS b
+            FROM ms_bands a JOIN ms_bands b
+              ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(_MINHASH_BANDS)
+    )
+    con.execute(f"CREATE TEMP TABLE ms_cand AS SELECT DISTINCT a, b FROM ({band_joins})")
+    con.execute("""
+        CREATE TEMP TABLE ms_verified AS
+        SELECT * FROM (
+          SELECT p.a, p.b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+          FROM ms_cand p
+          JOIN ms_sh x ON x.doc_id = p.a
+          JOIN ms_sh y ON y.doc_id = p.b)
+        WHERE jaccard >= 0.5""")
+    con.execute("DROP TABLE ms_bands")
+    con.execute("DROP TABLE ms_cand")
+    # min-label propagation to the closure fixpoint
+    con.execute("""
+        CREATE TEMP TABLE cc_e AS
+        SELECT a AS s, b AS d FROM ms_verified
+        UNION
+        SELECT b AS s, a AS d FROM ms_verified""")
+    con.execute("""
+        CREATE TEMP TABLE cc_l AS
+        SELECT s AS node, least(s, min(d)) AS lbl FROM cc_e GROUP BY s""")
+    for _ in range(200):
+        con.execute("""
+            CREATE TEMP TABLE cc_l2 AS
+            SELECT l.node, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+            FROM cc_l l LEFT JOIN (
+              SELECT e.d AS node, min(x.lbl) AS m
+              FROM cc_e e JOIN cc_l x ON x.node = e.s
+              GROUP BY e.d) nb ON nb.node = l.node""")
+        changed = con.sql(
+            "SELECT count(*) FROM cc_l2 j JOIN cc_l o ON j.node = o.node "
+            "WHERE j.lbl <> o.lbl"
+        ).fetchone()[0]
+        con.execute("DROP TABLE cc_l")
+        con.execute("ALTER TABLE cc_l2 RENAME TO cc_l")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("cc label propagation did not converge in 200 rounds")
+    _MS_BUILT[id(con)] = tok
+
+
+def _ensure_truth_state(con) -> None:
+    """TEMP table tr_true(a, b): ALL pairs with round(jaccard,4) >= 0.5 —
+    the minhash_eval_report ground truth — via the PPJoin prefix filter
+    instead of the full posting join (13.9B pair-rows at 100x).
+
+    Lossless (Bayardo/Xiao prefix-filter theorem): under one global
+    token order, J(a,b) >= t implies the (|x| - ceil(t*|x|) + 1)-prefixes
+    of a and b share a token; order = (document frequency, token), the
+    rarest-first order that keeps prefix postings short. Verification
+    recomputes the exact rounded Jaccard on the full shingle sets, so
+    the filter only bounds the CANDIDATE set."""
+    tok = _fixture_token(con)
+    if _TR_BUILT.get(id(con)) == tok:
+        return
+    _ensure_minhash_state(con)
+    for t in ("tr_prefix", "tr_true"):
+        con.execute(f"DROP TABLE IF EXISTS {t}")
+    con.execute("""
+        CREATE TEMP TABLE tr_prefix AS
+        WITH ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
+        df AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+        ranked AS (
+          SELECT e.doc_id, e.tok,
+                 row_number() OVER (PARTITION BY e.doc_id
+                                    ORDER BY d.df, e.tok) AS rk,
+                 count(*) OVER (PARTITION BY e.doc_id) AS sz
+          FROM ex e JOIN df d USING (tok))
+        SELECT doc_id, tok FROM ranked
+        WHERE rk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1""")
+    con.execute("""
+        CREATE TEMP TABLE tr_true AS
+        SELECT a, b FROM (
+          SELECT c.a, c.b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                       / (len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
+          FROM (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+                FROM tr_prefix p JOIN tr_prefix q
+                  ON p.tok = q.tok AND p.doc_id < q.doc_id) c
+          JOIN ms_sh x ON x.doc_id = c.a
+          JOIN ms_sh y ON y.doc_id = c.b)
+        WHERE jaccard >= 0.5""")
+    con.execute("DROP TABLE tr_prefix")
+    _TR_BUILT[id(con)] = tok
+
+
+def _fn_cluster_survivors(con):
+    _ensure_minhash_state(con)
+    return con.sql("""
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN cc_l cc ON cc.node = d.doc_id AND cc.lbl <> cc.node
+        WHERE cc.node IS NULL""")
+
+
+def _fn_best_survivors(con):
+    _ensure_minhash_state(con)
+    return con.sql("""
+        WITH ranked AS (
+          SELECT cc.node,
+                 row_number() OVER (PARTITION BY cc.lbl
+                                    ORDER BY d.n_chars DESC, cc.node) AS rk
+          FROM cc_l cc JOIN documents d ON d.doc_id = cc.node)
+        SELECT d.doc_id FROM documents d
+        LEFT JOIN (SELECT node FROM ranked WHERE rk > 1) l ON l.node = d.doc_id
+        WHERE l.node IS NULL""")
+
+
+def _fn_dedup_rate_by_source(con):
+    _ensure_minhash_state(con)
+    return con.sql("""
+        WITH surv AS (
+          SELECT d.doc_id FROM documents d
+          LEFT JOIN cc_l cc ON cc.node = d.doc_id AND cc.lbl <> cc.node
+          WHERE cc.node IS NULL)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(s.doc_id) AS BIGINT) AS n_survivors,
+               round(1 - count(s.doc_id) / CAST(count(*) AS DOUBLE), 4) AS dedup_rate
+        FROM documents d LEFT JOIN surv s ON s.doc_id = d.doc_id
+        GROUP BY d.source ORDER BY d.source""")
+
+
+def _fn_leakage_free_split(con):
+    _ensure_minhash_state(con)
+    return con.sql("""
+        WITH g AS (
+          SELECT d.doc_id, coalesce(cc.lbl, d.doc_id) AS group_rep
+          FROM documents d LEFT JOIN cc_l cc ON cc.node = d.doc_id),
+        b AS (SELECT group_rep,
+                     ('0x' || substr(md5(CAST(group_rep AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 AS bucket
+              FROM g)
+        SELECT CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT group_rep) AS n_groups
+        FROM b GROUP BY split""")
+
+
+def _fn_split_leakage_report(con):
+    from meteor_spark.queries import _SPLIT_SQL
+
+    _ensure_minhash_state(con)
+    return con.sql(f"""
+        WITH sp AS ({_SPLIT_SQL})
+        SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+        FROM ms_verified p
+        JOIN sp sa ON sa.doc_id = p.a
+        JOIN sp sb ON sb.doc_id = p.b
+        WHERE sa.split <> sb.split
+        ORDER BY p.a, p.b""")
+
+
+def _fn_minhash_eval_report(con):
+    _ensure_truth_state(con)
+    return con.sql("""
+        SELECT CAST((SELECT count(*) FROM tr_true) AS BIGINT) AS n_true,
+               CAST((SELECT count(*) FROM ms_verified) AS BIGINT) AS n_detected,
+               CAST((SELECT count(*) FROM tr_true t
+                     SEMI JOIN ms_verified d ON t.a = d.a AND t.b = d.b) AS BIGINT) AS n_hit,
+               round((SELECT count(*) FROM tr_true t
+                      SEMI JOIN ms_verified d ON t.a = d.a AND t.b = d.b)
+                     / CAST(greatest((SELECT count(*) FROM tr_true), 1) AS DOUBLE), 4) AS recall,
+               round((SELECT count(*) FROM tr_true t
+                      SEMI JOIN ms_verified d ON t.a = d.a AND t.b = d.b)
+                     / CAST(greatest((SELECT count(*) FROM ms_verified), 1) AS DOUBLE), 4) AS precision
+        """)
+
+
+SCALE_ORACLE_FNS["near_dup_cluster_survivors"] = _fn_cluster_survivors
+SCALE_ORACLE_FNS["near_dup_best_survivors"] = _fn_best_survivors
+SCALE_ORACLE_FNS["dedup_rate_by_source"] = _fn_dedup_rate_by_source
+SCALE_ORACLE_FNS["leakage_free_split"] = _fn_leakage_free_split
+SCALE_ORACLE_FNS["split_leakage_report"] = _fn_split_leakage_report
+SCALE_ORACLE_FNS["minhash_eval_report"] = _fn_minhash_eval_report
+
+
+def _fn_near_dup_clusters(con):
+    _ensure_minhash_state(con)
+    return con.sql("SELECT node AS doc_id, lbl AS cluster_id FROM cc_l")
+
+
+SCALE_ORACLE_FNS["near_dup_clusters"] = _fn_near_dup_clusters
