@@ -175,6 +175,20 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int =
     dimension (256 quantile buckets per column — file-level skipping
     resolution; finer buckets only inflate the per-row boundary fold).
     """
+    (
+        zordered_frame(df, zorder_cols, bits=bits, n_files=n_files)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zordered_frame(
+    df: DataFrame, zorder_cols: list[str], bits: int = 16, n_files: int | None = None
+) -> DataFrame:
+    """The distributed plan behind write_zordered, exposed so tests can
+    pin its physical shape (no single-partition Exchange, no Window —
+    the exact failure mode the quantile-bucket normalization replaced).
+    Returns the range-repartitioned, z-sorted frame ready to write."""
     bits = min(bits, 63 // len(zorder_cols), 8)
     n_bounds = (1 << bits) - 1
     probs = [i / (1 << bits) for i in range(1, n_bounds + 1)]
@@ -198,10 +212,8 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int =
         "__z", zorder_value([F.col(f"__n_{c}") for c in zorder_cols], bits)
     )
     n = n_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    (
+    return (
         tmp.repartitionByRange(n, "__z")
         .sortWithinPartitions("__z")
         .drop("__z", *[f"__n_{c}" for c in zorder_cols])
-        .write.mode("overwrite")
-        .parquet(path)
     )

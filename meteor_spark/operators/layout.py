@@ -99,6 +99,7 @@ def footer_box_hits(
     spark,
     path: str,
     box: tuple[int, int, int, int],
+    glob_pattern: str = "file_id=*/part-*.parquet",
 ) -> tuple[int, int]:
     """(n_files, n_read) under min/max footer pruning for a box
     predicate, from the REAL parquet footers of a write_zorder_files
@@ -111,7 +112,7 @@ def footer_box_hits(
 
     x_lo, x_hi, y_lo, y_hi = box
     n_files = n_read = 0
-    for f in sorted(_glob.glob(f"{path}/file_id=*/part-*.parquet")):
+    for f in sorted(_glob.glob(f"{path}/{glob_pattern}")):
         md = pq.read_metadata(f)
         mins: dict[str, int] = {}
         maxs: dict[str, int] = {}

@@ -8797,6 +8797,92 @@ def zorder_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# skipping bound for the DISTRIBUTED writer: <= 6/16 files under _ZBOX.
+# Measured n_read/16: sf0.01 4, sf0.1 2, 10x 1 — the bound is 1.5x the
+# worst observed (small fixtures are noisiest: fewer rows per quantile
+# bucket widen each file's min/max box).
+_ZDIST_BOUND_PPM = 375_000
+
+
+def _zdist_oracle() -> str:
+    x_lo, x_hi, y_lo, y_hi = _ZBOX
+    glob = f"{_ZREAL_BASE}/{_ZREAL_FIXTURE}/zdist/part-*.parquet"
+    return f"""
+    -- PRECONDITION: the Spark side of zorder_distributed_skipping writes
+    -- the layout this oracle reads (see zorder_footer_skipping's note).
+    WITH per_file AS (
+      SELECT file_name,
+             min(CASE WHEN path_in_schema = 'x' THEN mn END) AS x_min,
+             max(CASE WHEN path_in_schema = 'x' THEN mx END) AS x_max,
+             min(CASE WHEN path_in_schema = 'y' THEN mn END) AS y_min,
+             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max
+      FROM (
+        SELECT file_name, path_in_schema,
+               CAST(stats_min_value AS BIGINT) AS mn,
+               CAST(stats_max_value AS BIGINT) AS mx
+        FROM parquet_metadata('{glob}')
+        WHERE path_in_schema IN ('x', 'y'))
+      GROUP BY file_name)
+    SELECT 'zorder_distributed' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+                          AND y_max >= {y_lo} AND y_min <= {y_hi}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+           CAST({_ZDIST_BOUND_PPM} AS BIGINT) AS bound_ppm,
+           (sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+                      AND y_max >= {y_lo} AND y_min <= {y_hi}
+                     THEN 1 ELSE 0 END) * 1000000
+            <= count(*) * {_ZDIST_BOUND_PPM}) AS within_bound
+    FROM per_file
+    """
+
+
+@query("zorder_distributed_skipping", _zdist_oracle())
+def zorder_distributed_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION z-order write path certified on real footers:
+    io.write_zordered — one multi-column approxQuantile pass for the
+    bucket boundaries, Morton interleave JVM-side, repartitionByRange +
+    sortWithinPartitions (a distributed plan: no single-partition
+    Exchange, no Window — pinned in tests/test_plans.py) — writes the
+    layout, then both engines read the REAL parquet footers (pyarrow vs
+    DuckDB parquet_metadata) and check a skipping BOUND: n_read <=
+    bound_ppm of n_files under the _ZBOX predicate. A bound, not exact
+    chunk identity, because range boundaries come from reservoir
+    sampling and quantiles from an approx sketch — the file split may
+    move a row between neighbors across runs, but the clustering payoff
+    it exists to deliver must hold every run. The exact-identity twins
+    (zorder_skipping_report / zorder_footer_skipping, serial ntile)
+    stay the bit-deterministic gates; this one certifies the writer a
+    1000-executor cluster would actually run. The bound claim itself is
+    enforced in tests/test_scale_io.py; here both engines must agree on
+    every published number from independent footer reads."""
+    from meteor_spark.io import write_zordered
+    from meteor_spark.operators.layout import footer_box_hits
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    )
+    path = _os.path.join(
+        _zreal_secure_base(), _os.path.basename(sf_dir.rstrip("/")), "zdist"
+    )
+    write_zordered(li, path, ["x", "y"], bits=8, n_files=_ZCHUNKS)
+    n_files, n_read = footer_box_hits(
+        spark, path, _ZBOX, glob_pattern="part-*.parquet"
+    )
+    return spark.createDataFrame(
+        [(
+            "zorder_distributed",
+            n_files,
+            n_read,
+            _ZDIST_BOUND_PPM,
+            n_read * 1_000_000 <= n_files * _ZDIST_BOUND_PPM,
+        )],
+        "layout string, n_files long, n_read long, bound_ppm long, within_bound boolean",
+    )
+
+
 @query(
     "multi_touch_attribution",
     f"""

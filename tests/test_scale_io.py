@@ -208,3 +208,33 @@ def test_zorder_reads_fewer_chunks_than_rowkey(spark, sf_dir):
     # z-ordered chunks than row-key-ordered chunks
     assert out["zorder"]["n_read"] < out["rowkey"]["n_read"]
     assert out["zorder"]["n_chunks"] == out["rowkey"]["n_chunks"] == 16
+
+
+def test_zordered_frame_plan_is_distributed_and_bound_holds(spark, sf_dir):
+    """The production z-order writer must stay a DISTRIBUTED plan — no
+    single-partition Exchange (the percent_rank window it replaced
+    funnelled the whole table through one task) and no Window at all —
+    and the layout it writes must actually deliver the skipping bound
+    the zorder_distributed_skipping gate publishes (n_read <= 6/16
+    files under the gate's box predicate)."""
+    from meteor_spark.io import zordered_frame, write_zordered
+    from meteor_spark.operators.layout import footer_box_hits
+    import tempfile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("x"),
+        F.col("l_suppkey").alias("y"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    )
+    plan = _plan(zordered_frame(li, ["x", "y"], bits=8, n_files=16))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+    with tempfile.TemporaryDirectory() as d:
+        write_zordered(li, d, ["x", "y"], bits=8, n_files=16)
+        n_files, n_read = footer_box_hits(
+            spark, d, (100, 299, 10, 39), glob_pattern="part-*.parquet"
+        )
+    assert n_files == 16
+    assert n_read * 1_000_000 <= n_files * 375_000, (n_files, n_read)
