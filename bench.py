@@ -399,7 +399,9 @@ def main() -> None:
         "hot_passage_scrub",
         "rerank_cross_encoder",
         "zorder_footer_skipping",
+        "zorder_distributed_skipping",
         "nation_revenue_salted_join",
+        "streaming_click_attribution_salted",
         "minhash_near_duplicates_cold",
         "near_dup_clusters_cold",
         "streaming_incremental_neardup",

@@ -2744,6 +2744,40 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_click_attribution_salted",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def streaming_click_attribution_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe streaming attribution twin
+    (streaming.pipeline.stream_stream_attribution_salted): identical
+    rows to streaming_click_attribution — the oracle is the SAME batch
+    interval-join SQL — with the symmetric-hash-join state salted over
+    (user, salt) shards so a Zipf-hot user's click state parallelizes
+    across `salt` tasks instead of one (the 555s-vs-3.1s pathology on
+    the 10x Zipf fixture, docs/SCALING.md SKEW). The equality contract
+    is the point: a deployment can flip to the salted plan at the scale
+    where one key's state exceeds its task budget, oracle-checked to
+    change nothing but the physical layout."""
+    from meteor_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        stream_events,
+        stream_stream_attribution_salted,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_batch(
+        stream_stream_attribution_salted(events), output_mode="append"
+    )
+
+
+@query(
     "multimodal_features",
     """
     SELECT doc_id,

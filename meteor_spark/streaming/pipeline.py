@@ -165,6 +165,60 @@ def stream_stream_attribution(
     ).select("purchase_id", "click_id", "user_id", F.round("value", 2).alias("purchase_value"))
 
 
+def stream_stream_attribution_salted(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe twin of stream_stream_attribution — same rows, same
+    oracle, different state layout.
+
+    The symmetric hash join keys its state by the equality columns, so
+    one mega-hot user (Zipf keys: the hottest user draws ~15% of all
+    events) funnels through ONE state-store partition — measured 555s
+    vs 3.1s uniform on the 10x Zipf fixture. Salting the state key
+    spreads it: clicks (the stored side) get a deterministic row-hash
+    salt in [0, salt); purchases (the probing side) explode x salt so
+    every (user, salt) shard is probed. Each click lands in exactly one
+    shard, so the joined row set is IDENTICAL — the total comparison
+    work is unchanged, but the hot user's state and probe work run on
+    `salt` tasks instead of one. Same eviction contract: both sides
+    watermarked, time-bound join, append mode. The cost is replicating
+    the purchase stream x salt — worth it exactly when one key's state
+    partition exceeds its task budget; the plain twin stays the default
+    (docs/SCALING.md SKEW: salting below that regime is overhead)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(salt)).cast("int").alias("c_salt"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+            F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("salt"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"user_id = c_user AND salt = c_salt"
+            f" AND click_ts >= purchase_ts - INTERVAL {horizon}"
+            " AND click_ts <= purchase_ts"
+        ),
+    ).select("purchase_id", "click_id", "user_id", F.round("value", 2).alias("purchase_value"))
+
+
 def incremental_dedup_stream(
     spark,
     watch_dir: str,
