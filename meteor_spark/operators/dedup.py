@@ -500,9 +500,24 @@ def prefix_filter_jaccard_pairs(
     # BEFORE the exact verify join ever shuffles their shingle arrays.
     # The groupBy replaces the former .distinct() — same shuffle, and the
     # candidate set it emits is a fraction of the raw prefix matches.
+    # The index side is BROADCAST when it fits: prefix matches expand
+    # clone-quadratically (4.84B raw pair rows on the 100x fixture),
+    # and a shuffle join must WRITE that expansion to disk (~190 GB —
+    # measured fatal) before the pair aggregation can collapse it. With
+    # a broadcast index the join and the partial aggregation pipeline
+    # inside one stage, and because the probe side arrives partitioned
+    # by document, every gram match of a pair (a, b) hits the same
+    # task's hash table — the expansion collapses to ~|distinct pairs|
+    # rows BEFORE anything shuffles. Past the broadcast budget (the
+    # 1000x regime) fall back to the shuffle join; at real cluster
+    # scale the same collapse comes from bucketing both sides by gram.
+    n_prefix = sh.agg(
+        F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
+    ).first()[0] or 0  # exact, from the already-persisted shingle frame
+    pb_side = F.broadcast(pb) if n_prefix <= 20_000_000 else pb
     cands = (
         pa.join(
-            pb,
+            pb_side,
             (F.col("pa.gram") == F.col("pb.gram"))
             & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
             & (F.col("pb.sz") * F.lit(threshold) <= F.col("pa.sz"))

@@ -3059,13 +3059,18 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep-set: drop the higher id of every semantic match
     (min-id representative — a deterministic, SQL-expressible survivor
-    rule). Anti-join against the pair report; all 20 planted copies MUST
-    be dropped (cos 1.0 with their originals) or the gate fails."""
+    rule). All 20 planted copies MUST be dropped (cos 1.0 with their
+    originals) or the gate fails. Since round 10 this runs the
+    PAIR-FREE formulation (similarity.semantic_dedup_survivors_scalable:
+    per-cluster blocked-GEMM prefix-max with a two-zone exact recheck —
+    bit-equal to the pair-join anti-join, pinned at sf0.001/sf0.01 in
+    tests/test_similarity.py), so the gate certifies the plan that
+    survives a 100× scale-up where the pair join is quadratic. The
+    oracle is unchanged: the canonical within-cluster pair SQL."""
     assigned = _semdedup_assigned(spark, sf_dir)
-    pairs = similarity.semantic_dedup_pairs(assigned, threshold=_SEMDEDUP_TAU)
-    return similarity.semantic_dedup_survivors(
-        assigned.select("vec_id", "cluster"), pairs
-    )
+    return similarity.semantic_dedup_survivors_scalable(
+        assigned, threshold=_SEMDEDUP_TAU
+    ).select("vec_id", "cluster")
 
 
 # --------------------------------------------------------------------------

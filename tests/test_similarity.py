@@ -502,3 +502,26 @@ def test_margin_bitext_mine_shape(spark):
     assert len({r["src_id"] for r in out}) == 3
     assert all(r["margin_ppm"] > 0 for r in out)
     assert all(r["cos_e4"] >= 0 for r in out)
+
+
+def test_semantic_survivors_scalable_equals_pair_antijoin(spark, sf_dir):
+    """The pair-free prefix-max formulation must reproduce the
+    pair-join anti-join survivor set bit-for-bit (it shares that
+    gate's oracle), including the two-zone boundary discipline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = similarity.semantic_assign(emb, n_clusters=8).persist()
+    pairs = similarity.semantic_dedup_pairs(assigned, threshold=0.35)
+    old = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.semantic_dedup_survivors(
+            assigned.select("vec_id", "cluster"), pairs
+        ).collect()
+    }
+    new = {
+        (r["vec_id"], r["cluster"])
+        for r in similarity.semantic_dedup_survivors_scalable(
+            assigned, threshold=0.35
+        ).collect()
+    }
+    assert new == old
+    assigned.unpersist()
