@@ -163,37 +163,68 @@ _N_COLS = {
 @query(
     "q1_pricing_summary",
     """
+    WITH fx AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT)            AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT)      AS disc_pct,
+             CAST(round(l_tax * 100) AS BIGINT)           AS tax_pct
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                           AS sum_qty,
-           round(sum(l_extendedprice), 2)                                      AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           round(avg(l_quantity), 4)                                           AS avg_qty,
-           round(avg(l_extendedprice), 4)                                      AS avg_price,
-           round(avg(l_discount), 4)                                           AS avg_disc,
-           count(*)                                                            AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           round(CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE), 2)               AS sum_qty,
+           round(CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100, 2)     AS sum_base_price,
+           round(CAST(CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+           round(CAST(CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS DOUBLE) / 1e6, 2) AS sum_charge,
+           round(CAST(CAST(sum(qty) AS BIGINT) AS DOUBLE) / count(*), 4)    AS avg_qty,
+           round(CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / (100 * count(*)), 4) AS avg_price,
+           round(CAST(CAST(sum(disc_pct) AS BIGINT) AS DOUBLE) / (100 * count(*)), 4) AS avg_disc,
+           count(*)                                                          AS count_order
+    FROM fx
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped scan+aggregate: the canonical 'one wide groupBy'
     profile workload. Filter pushes to the parquet scan; partial
-    aggregation makes the shuffle 6 rows."""
+    aggregation makes the shuffle 6 rows.
+
+    Money sums ride EXACT fixed-point int64 (the sql_api_revenue /
+    orders_rollup discipline): TPC-H decimals are 2-place by
+    construction, so price lifts to cents, discount/tax to integer
+    percent, disc_price to 1e-4 units and charge to 1e-6 units exactly;
+    one int->double conversion + division + round at publish. The
+    600M-row rung (x1000 lineitem axis) caught the float form: each
+    group's corpus-spanning sum reaches ~2.8e18 micro-units where
+    float64 association order drifted past the 2-decimal boundary
+    (spark ...730.09 vs duckdb ...730.40). Headroom: charge_micro sums
+    to ~2.8e18 of int64's 9.2e18 at 600M rows — the next magnitude
+    needs split accumulators, recorded in docs/SCALING.md."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus",
+                qty.alias("qty"), price_c.alias("price_c"),
+                disc_pct.alias("disc_pct"), tax_pct.alias("tax_pct"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum("qty").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("price_c").cast("double") / 100, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).cast("double") / 1e4, 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("price_c") * (100 - F.col("disc_pct")) * (100 + F.col("tax_pct"))
+                ).cast("double") / 1e6, 2
+            ).alias("sum_charge"),
+            F.round(F.sum("qty").cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum("price_c").cast("double") / (100 * n), 4).alias("avg_price"),
+            F.round(F.sum("disc_pct").cast("double") / (100 * n), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -2660,6 +2691,20 @@ def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "prefix_pairs",
         lambda: dedup.prefix_filter_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ).persist(),
+    )
+
+
+def _true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same pair set as _prefix_pairs (tests pin the equality), via the
+    # blocked posting join that stays output-linear on clone-heavy
+    # fixtures where prefix candidates explode
+    return _shared(
+        spark,
+        sf_dir,
+        "true_pairs",
+        lambda: dedup.exact_jaccard_pairs_blocked(
             _docs(spark, sf_dir), threshold=0.5
         ).persist(),
     )
@@ -6821,10 +6866,13 @@ def minhash_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and shingles. Exact-Jaccard verification pins precision
     at 1.0; recall is the band/hash tuning signal. Both inputs already
     carry their own oracles, so this gate composes them — evaluation
-    itself is value-checked. Ground truth comes through the _SHARED
-    prefix-pair state (same frame the prefix_filter gate materializes),
-    not a rebuild of the expensive lossless arm."""
-    truth = _prefix_pairs(spark, sf_dir).select("a", "b")
+    itself is value-checked. Ground truth rides the BLOCKED posting
+    join (dedup.exact_jaccard_pairs_blocked, pinned bit-equal to the
+    prefix-filter pairs in tests/test_dedup.py): the prefix join's
+    candidate set explodes clone-quadratically at 100x (4.84B raw
+    matches, 2B+ distinct candidates — measured fatal on disk twice),
+    while the blocked join is output-linear with broadcast postings."""
+    truth = _true_pairs(spark, sf_dir).select("a", "b")
     det = _minhash_pairs(spark, sf_dir).select("a", "b")
     hit = truth.join(det, ["a", "b"], "left_semi")
     return (

@@ -316,3 +316,20 @@ def test_sorted_neighborhood_partitioning_invariant(spark):
         got = sorted_neighborhood_pairs(base.repartition(parts), threshold=0.3).collect()
         outs.append(sorted((r["a"], r["b"], r["jaccard"]) for r in got))
     assert outs[0] == outs[1]
+
+
+def test_blocked_exact_pairs_equal_prefix_filter(spark, sf_dir):
+    """The blocked posting-multiplication join must reproduce the
+    PPJoin prefix-filter pair set (itself oracle-proven equal to brute
+    force) bit-for-bit — it shares the eval gate's ground-truth role
+    at the scales where prefix candidates explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    new = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.exact_jaccard_pairs_blocked(docs, threshold=0.5).collect()
+    }
+    assert new == old

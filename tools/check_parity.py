@@ -207,6 +207,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bound the oracle engine and let it spill: an unbounded DuckDB sort
+    # (weighted median at the 600M-row rung) reached 78 GB anon RSS and
+    # was OOM-killed alongside a concurrent Spark JVM; out-of-core is
+    # the point of scale certification, so make it the default
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/msk_duck_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

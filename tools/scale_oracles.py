@@ -327,47 +327,80 @@ def _ensure_minhash_state(con) -> None:
 
 def _ensure_truth_state(con) -> None:
     """TEMP table tr_true(a, b): ALL pairs with round(jaccard,4) >= 0.5 —
-    the minhash_eval_report ground truth — via the PPJoin prefix filter
-    instead of the full posting join (13.9B pair-rows at 100x).
+    the minhash_eval_report ground truth — via the BLOCKED POSTING
+    MULTIPLICATION core (operators.dedup._posting_true_pairs_block).
 
-    Lossless (Bayardo/Xiao prefix-filter theorem): under one global
-    token order, J(a,b) >= t implies the (|x| - ceil(t*|x|) + 1)-prefixes
-    of a and b share a token; order = (document frequency, token), the
-    rarest-first order that keeps prefix postings short. Verification
-    recomputes the exact rounded Jaccard on the full shingle sets, so
-    the filter only bounds the CANDIDATE set."""
+    Why not SQL here: the full posting join is 13.9B pair-rows at 100x,
+    and even the Bayardo/Xiao prefix-filter cut leaves 4.84B raw
+    matches / 2B+ DISTINCT candidates on the clone fixture (measured;
+    the aggregation hash OOM-killed the process) — candidate
+    MATERIALIZATION is the wall, and the bincount core never
+    materializes candidates. The shingle sets still come from the
+    canonical ms_sh temp table (DuckDB text of the canonical CTEs);
+    numpy only concatenates posting tails and bincounts.
+
+    Independence caveat, stated plainly: this core is SHARED with the
+    Spark truth arm. The arithmetic it implements is pinned against two
+    independent formulations (brute-force oracle, PPJoin prefix join)
+    at sf0.001/sf0.01 in tests/test_dedup.py; what the 100x gate then
+    cross-checks is the two engines' full LSH detection pipelines
+    against a truth whose construction is validated at committed SF."""
     tok = _fixture_token(con)
     if _TR_BUILT.get(id(con)) == tok:
         return
     _ensure_minhash_state(con)
-    for t in ("tr_prefix", "tr_true"):
-        con.execute(f"DROP TABLE IF EXISTS {t}")
-    con.execute("""
-        CREATE TEMP TABLE tr_prefix AS
+    import numpy as np
+
+    from meteor_spark.operators.dedup import _posting_true_pairs_block
+
+    con.execute("DROP TABLE IF EXISTS tr_true")
+    ent = con.sql("""
         WITH ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
-        df AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
-        ranked AS (
-          SELECT e.doc_id, e.tok,
-                 row_number() OVER (PARTITION BY e.doc_id
-                                    ORDER BY d.df, e.tok) AS rk,
-                 count(*) OVER (PARTITION BY e.doc_id) AS sz
-          FROM ex e JOIN df d USING (tok))
-        SELECT doc_id, tok FROM ranked
-        WHERE rk <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1""")
-    con.execute("""
-        CREATE TEMP TABLE tr_true AS
-        SELECT a, b FROM (
-          SELECT c.a, c.b,
-                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                       / (len(x.sh) + len(y.sh)
-                          - len(list_intersect(x.sh, y.sh))), 4) AS jaccard
-          FROM (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
-                FROM tr_prefix p JOIN tr_prefix q
-                  ON p.tok = q.tok AND p.doc_id < q.doc_id) c
-          JOIN ms_sh x ON x.doc_id = c.a
-          JOIN ms_sh y ON y.doc_id = c.b)
-        WHERE jaccard >= 0.5""")
-    con.execute("DROP TABLE tr_prefix")
+        d AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS gid
+              FROM (SELECT DISTINCT tok FROM ex))
+        SELECT e.doc_id, d.gid FROM ex e JOIN d USING (tok)
+    """).arrow()
+    sz = con.sql("SELECT doc_id, len(sh) AS sz FROM ms_sh ORDER BY doc_id").arrow()
+    doc_ids = sz["doc_id"].to_numpy()
+    sizes = sz["sz"].to_numpy().astype(np.int32)
+    idx_of = {int(d): i for i, d in enumerate(doc_ids)}
+    e_doc = np.fromiter(
+        (idx_of[int(d)] for d in ent["doc_id"].to_numpy()),
+        dtype=np.int64,
+        count=len(ent),
+    )
+    e_gid = ent["gid"].to_numpy().astype(np.int64)
+    order = np.lexsort((e_doc, e_gid))
+    e_doc, e_gid = e_doc[order], e_gid[order]
+    n_grams = int(e_gid.max()) + 1 if len(e_gid) else 0
+    post_indptr = np.zeros(n_grams + 1, dtype=np.int64)
+    np.add.at(post_indptr, e_gid + 1, 1)
+    post_indptr = np.cumsum(post_indptr)
+    post_docs = e_doc.astype(np.int32)
+    # per-doc gram lists, in doc-index order
+    by_doc = np.argsort(e_doc, kind="stable")
+    d_sorted, g_sorted = e_doc[by_doc], e_gid[by_doc]
+    starts = np.searchsorted(d_sorted, np.arange(len(doc_ids)))
+    ends = np.searchsorted(d_sorted, np.arange(len(doc_ids)), side="right")
+    a_list, b_list = [], []
+    for a, b, _ in _posting_true_pairs_block(
+        range(len(doc_ids)),
+        (g_sorted[s:e] for s, e in zip(starts, ends)),
+        post_indptr,
+        post_docs,
+        sizes,
+        0.5,
+        4,
+    ):
+        a_list.append(int(doc_ids[a]))
+        b_list.append(int(doc_ids[b]))
+    import pandas as pd
+
+    tr = pd.DataFrame({"a": np.asarray(a_list, dtype=np.int64),
+                       "b": np.asarray(b_list, dtype=np.int64)})
+    con.register("__tr_pairs", tr)
+    con.execute("CREATE TEMP TABLE tr_true AS SELECT a, b FROM __tr_pairs")
+    con.unregister("__tr_pairs")
     _TR_BUILT[id(con)] = tok
 
 
