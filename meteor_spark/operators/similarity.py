@@ -656,6 +656,80 @@ def semantic_dedup_survivors(
     return df.join(removed, id_col, "left_anti")
 
 
+def make_semantic_exact_decider(threshold: float, round_to: int = 4):
+    """decide_exact(x, y) for the two-zone band: left-to-right float64
+    folds (Spark F.aggregate / DuckDB list_dot_product evaluation
+    order) + HALF_UP decimal rounding of the shortest repr (Java
+    BigDecimal.valueOf semantics, Spark's Round)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-round_to)
+    tau = Decimal(str(threshold))
+
+    def _seq_cos(x, y) -> float:
+        d = 0.0
+        na = 0.0
+        nb = 0.0
+        for xi, yi in zip(x.tolist(), y.tolist()):
+            d += xi * yi
+        for xi in x.tolist():
+            na += xi * xi
+        for yi in y.tolist():
+            nb += yi * yi
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    def decide(x, y) -> bool:
+        c = Decimal(repr(_seq_cos(x, y))).quantize(q, rounding=ROUND_HALF_UP)
+        return c >= tau
+
+    return decide
+
+
+def prefix_max_dropped_mask(X, boundary: float, eps: float, decide_exact) -> "object":
+    """Numpy core of the pair-free SemDeDup survivor rule: row b of the
+    id-sorted matrix X is DROPPED iff some earlier row's cosine clears
+    `boundary` — blocked GEMM for the bulk, `decide_exact(x, y)` for
+    pairs inside the ±eps band (the two-zone discipline documented on
+    semantic_dedup_survivors_scalable). Shared by the Spark operator
+    and the 100x scale-tier oracle; the arithmetic is pinned against
+    the independent pair-join form at committed SFs
+    (tests/test_similarity.py)."""
+    import numpy as np
+
+    n = len(X)
+    nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+    dropped = np.zeros(n, dtype=bool)
+    amb: dict[int, list[int]] = {}
+    B = 2048
+    for i0 in range(0, n, B):
+        i1 = min(i0 + B, n)
+        for j0 in range(0, i1, B):
+            j1 = min(j0 + B, i1)
+            G = (X[i0:i1] @ X[j0:j1].T) / np.outer(nrm[i0:i1], nrm[j0:j1])
+            if j0 == i0:
+                # same block: only strictly-earlier columns count
+                G = np.where(
+                    np.arange(j0, j1)[None, :] < np.arange(i0, i1)[:, None],
+                    G,
+                    -2.0,
+                )
+            elif j0 > i0:
+                continue
+            hit = G >= boundary + eps
+            dropped[i0:i1] |= hit.any(axis=1)
+            band = (G >= boundary - eps) & ~hit
+            if band.any():
+                for r, c in zip(*np.nonzero(band)):
+                    amb.setdefault(i0 + int(r), []).append(j0 + int(c))
+    for b, cands in amb.items():
+        if dropped[b]:
+            continue
+        if any(decide_exact(X[a], X[b]) for a in cands):
+            dropped[b] = True
+    return dropped
+
+
 def semantic_dedup_survivors_scalable(
     assigned: DataFrame,
     threshold: float = 0.35,
@@ -689,72 +763,19 @@ def semantic_dedup_survivors_scalable(
     ~seconds of BLAS across 8 parallel groups; memory is one
     (block × block) tile at a time. At 100 TB, n_clusters grows ~sqrt(N)
     (see semantic_assign), keeping per-group state bounded."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     import numpy as np
     import pandas as pd
 
-    q = Decimal(1).scaleb(-round_to)
-    tau = Decimal(str(threshold))
     boundary = threshold - 0.5 * 10 ** (-round_to)
     eps = 1e-9
-
-    def _seq_cos(x, y) -> float:
-        # left-to-right float64 folds, exactly Spark's F.aggregate /
-        # DuckDB's list_dot_product evaluation order
-        d = 0.0
-        na = 0.0
-        nb = 0.0
-        for xi, yi in zip(x.tolist(), y.tolist()):
-            d += xi * yi
-        for xi in x.tolist():
-            na += xi * xi
-        for yi in y.tolist():
-            nb += yi * yi
-        return d / (math.sqrt(na) * math.sqrt(nb))
-
-    def _dropped_exact(x, y) -> bool:
-        # repr() mirrors Java's BigDecimal.valueOf(double) (shortest
-        # round-trip decimal string), the value Spark's Round quantizes
-        c = Decimal(repr(_seq_cos(x, y))).quantize(q, rounding=ROUND_HALF_UP)
-        return c >= tau
+    _dropped_exact = make_semantic_exact_decider(threshold, round_to)
 
     def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        n = len(pdf)
-        if n <= 1:
+        if len(pdf) <= 1:
             return pdf[[id_col, "cluster"]]
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
-        dropped = np.zeros(n, dtype=bool)
-        amb: dict[int, list[int]] = {}
-        B = 2048
-        for i0 in range(0, n, B):
-            i1 = min(i0 + B, n)
-            for j0 in range(0, i1, B):
-                j1 = min(j0 + B, i1)
-                G = (X[i0:i1] @ X[j0:j1].T) / np.outer(nrm[i0:i1], nrm[j0:j1])
-                if j0 == i0:
-                    # same block: only strictly-earlier columns count
-                    G = np.where(
-                        np.arange(j0, j1)[None, :] < np.arange(i0, i1)[:, None],
-                        G,
-                        -2.0,
-                    )
-                elif j0 > i0:
-                    continue
-                hit = G >= boundary + eps
-                dropped[i0:i1] |= hit.any(axis=1)
-                band = (G >= boundary - eps) & ~hit
-                if band.any():
-                    for r, c in zip(*np.nonzero(band)):
-                        amb.setdefault(i0 + int(r), []).append(j0 + int(c))
-        for b, cands in amb.items():
-            if dropped[b]:
-                continue
-            if any(_dropped_exact(X[a], X[b]) for a in cands):
-                dropped[b] = True
+        dropped = prefix_max_dropped_mask(X, boundary, eps, _dropped_exact)
         return pdf.loc[~dropped, [id_col, "cluster"]]
 
     return (

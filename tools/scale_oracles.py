@@ -501,3 +501,91 @@ def _fn_near_dup_clusters(con):
 
 
 SCALE_ORACLE_FNS["near_dup_clusters"] = _fn_near_dup_clusters
+
+
+def _fn_semantic_dedup_survivors(con):
+    """100x restatement of the SemDeDup survivor oracle: the canonical
+    _SEMDEDUP_CTE pair join is quadratic within clusters (~2.5e9
+    cosines at 200k vectors / 8 clusters — hours in SQL on either
+    engine), so the oracle replays the chain in numpy: plant + seeds +
+    nearest-seed assignment + per-cluster PREFIX-MAX survivor rule,
+    through the SAME two-zone exact-decision core the Spark operator
+    uses (similarity.prefix_max_dropped_mask /
+    make_semantic_exact_decider — pinned against the independent
+    pair-join form at sf0.001/sf0.01 in tests/test_similarity.py, and
+    this gate's canonical SQL oracle still gates sf0.01 and 10x).
+    Assignment argmax gets the same two-zone treatment: seed-cosine
+    gaps under 1e-9 are re-decided with the sequential fold both
+    engines evaluate."""
+    import numpy as np
+
+    from meteor_spark.operators.similarity import (
+        make_semantic_exact_decider,
+        prefix_max_dropped_mask,
+    )
+    from meteor_spark.queries import _SEMDEDUP_K, _SEMDEDUP_PLANT, _SEMDEDUP_TAU
+
+    base = con.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in base]
+    X = np.asarray([r[1] for r in base], dtype=np.float64)
+    plant_rows = [(i + 10_000_000, X[j]) for j, i in enumerate(ids) if i < _SEMDEDUP_PLANT]
+    all_ids = np.asarray(ids + [p[0] for p in plant_rows], dtype=np.int64)
+    V = np.vstack([X] + [p[1][None, :] for p in plant_rows]) if plant_rows else X
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, V = all_ids[order], V[order]
+    S = V[:_SEMDEDUP_K]  # seeds = K lowest-id vectors
+
+    vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+    sn = np.sqrt(np.einsum("ij,ij->i", S, S))
+    C = (V @ S.T) / np.outer(vn, sn)
+    # argmax by (cos, -cluster): numpy argmax takes the FIRST maximum,
+    # which IS the lowest cluster id on exact ties
+    assign = C.argmax(axis=1)
+    top = np.sort(C, axis=1)
+    gap = top[:, -1] - (top[:, -2] if _SEMDEDUP_K > 1 else top[:, -1])
+    decider = make_semantic_exact_decider(_SEMDEDUP_TAU, 4)
+    import math
+
+    def _seq_cos(x, y):
+        d = na = nb = 0.0
+        for xi, yi in zip(x.tolist(), y.tolist()):
+            d += xi * yi
+        for xi in x.tolist():
+            na += xi * xi
+        for yi in y.tolist():
+            nb += yi * yi
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    for i in np.nonzero(gap < 1e-9)[0]:
+        cos = [_seq_cos(V[i], S[k]) for k in range(_SEMDEDUP_K)]
+        assign[i] = max(range(_SEMDEDUP_K), key=lambda k: (cos[k], -k))
+
+    boundary = _SEMDEDUP_TAU - 0.5 * 1e-4
+    keep_ids, keep_cl = [], []
+    for k in range(_SEMDEDUP_K):
+        m = np.nonzero(assign == k)[0]  # V is id-sorted, so m is too
+        if len(m) == 0:
+            continue
+        dropped = (
+            prefix_max_dropped_mask(V[m], boundary, 1e-9, decider)
+            if len(m) > 1
+            else np.zeros(1, dtype=bool)
+        )
+        keep_ids.extend(int(x) for x in all_ids[m[~dropped]])
+        keep_cl.extend([k] * int((~dropped).sum()))
+
+    import pandas as pd
+
+    out = pd.DataFrame({"vec_id": np.asarray(keep_ids, dtype=np.int64),
+                        "cluster": np.asarray(keep_cl, dtype=np.int64)})
+    con.register("__sem_surv", out)
+    con.execute("DROP TABLE IF EXISTS sem_surv")
+    con.execute("CREATE TEMP TABLE sem_surv AS SELECT vec_id, cluster FROM __sem_surv")
+    con.unregister("__sem_surv")
+    return con.sql("SELECT vec_id, cluster FROM sem_surv")
+
+
+SCALE_ORACLE_FNS["semantic_dedup_survivors"] = _fn_semantic_dedup_survivors
