@@ -363,7 +363,10 @@ _PLAN_BUDGETS = {
     # fetch + Arrow rerank — the candidate join must stay broadcast
     "rerank_cross_encoder": (11, 2, 2),
     "near_dup_clusters": (0, 0, 0),
-    "minhash_eval_report": (35, 16, 2, 1),
+    # r10: truth arm moved from the prefix join (8 extra BHJs) to the
+    # blocked posting join (mapInPandas + broadcast postings — not a
+    # JOIN operator, so the budget drops); cold plan measures (27, 8)
+    "minhash_eval_report": (28, 8, 2, 1),
     "semantic_dedup_pairs": (0, 1, 0),
     "profile_lineitem_approx": (2, 0, 0),
     "pq_ann_topk": (3, 3, 1),
