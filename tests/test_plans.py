@@ -358,7 +358,10 @@ _PLAN_BUDGETS = {
     # Zero-count plans are still pinned: these gates publish from
     # localCheckpointed/collected state, so ANY exchange appearing in
     # the readout plan is a regression.
-    "semantic_dedup_survivors": (2, 1, 0, 1),
+    # r10: the pair-free prefix-max form — ONE shuffle (groupBy cluster
+    # into applyInPandas), no joins at all (the pair join + anti-join
+    # twin needed 2 shuffles + a broadcast + an SMJ)
+    "semantic_dedup_survivors": (1, 0, 0, 0),
     # round-7 gate: hybrid retrieval stages + broadcast candidate
     # fetch + Arrow rerank — the candidate join must stay broadcast
     "rerank_cross_encoder": (11, 2, 2),
