@@ -147,6 +147,27 @@ def zorder_value(cols: list, bits: int = 16) -> F.Column:
     return z
 
 
+def _bucket_search_expr(col: F.Column, bounds: list[float]) -> F.Column:
+    """count(bounds <= col) as a BALANCED BINARY-SEARCH `when` tree —
+    log2(n) codegen'd comparisons per row. The HOF fold this replaced
+    (aggregate over a literal bounds array) runs the lambda INTERPRETED,
+    one step per boundary per row: at 255 boundaries x 2 columns it was
+    ~500 interpreted steps/row and dominated the whole z-order write
+    (measured 36s vs ~3s for everything else at sf0.1). NULL input
+    lands in bucket 0, matching the old coalesce(fold, 0) contract."""
+    def rec(lo: int, hi: int) -> F.Column:
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        # col >= bounds[mid] -> answer in [mid+1, hi]; NULL comparisons
+        # fall through to the low branch, bottoming out at 0
+        return F.when(col >= F.lit(float(bounds[mid])), rec(mid + 1, hi)).otherwise(
+            rec(lo, mid)
+        )
+
+    return rec(0, len(bounds))
+
+
 def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int = 16, n_files: int | None = None) -> None:
     """Persist a table clustered along a Z-order curve of the given
     columns — multi-dimensional data skipping without a table format.
@@ -200,14 +221,8 @@ def zordered_frame(
     ).approxQuantile([f"__v_{i}" for i in range(len(zorder_cols))], probs, 0.001)
     tmp = df
     for c, bounds in zip(zorder_cols, all_bounds):
-        lit_bounds = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            lit_bounds,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-        )
-        tmp = tmp.withColumn(f"__n_{c}", F.coalesce(bucket, F.lit(0)).cast("long"))
+        bucket = _bucket_search_expr(F.col(c).cast("double"), bounds)
+        tmp = tmp.withColumn(f"__n_{c}", bucket.cast("long"))
     tmp = tmp.withColumn(
         "__z", zorder_value([F.col(f"__n_{c}") for c in zorder_cols], bits)
     )

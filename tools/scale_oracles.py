@@ -589,3 +589,16 @@ def _fn_semantic_dedup_survivors(con):
 
 
 SCALE_ORACLE_FNS["semantic_dedup_survivors"] = _fn_semantic_dedup_survivors
+
+
+def _fn_minhash_near_duplicates(con):
+    """The headline pair gate itself: once the shared state exists, the
+    oracle is just the verified-pair temp table. At 100x this is a
+    26.4M-row full-value comparison — the r9 exclusion row inferred
+    'hundreds of millions' from an OOM during a doubled-up sweep; the
+    measured count made the direct comparison worth attempting."""
+    _ensure_minhash_state(con)
+    return con.sql("SELECT a, b, jaccard FROM ms_verified")
+
+
+SCALE_ORACLE_FNS["minhash_near_duplicates"] = _fn_minhash_near_duplicates
