@@ -36,7 +36,14 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 213 entries, 209 with exact DuckDB oracles (r9 adds
+                 215 entries, 211 with exact DuckDB oracles (r10 adds
+                 streaming_click_attribution_salted — the skew-safe
+                 stream-stream attribution twin, (user,salt)-sharded
+                 state, bit-equal to the plain twin on the Zipf
+                 fixture; zorder_distributed_skipping — the
+                 distributed z-order WRITE path certified via
+                 footer-stats skipping bound, repartitionByRange with
+                 no single-partition exchange; r9 adds
                  zorder_footer_skipping — the z-order skipping payoff
                  certified on REAL parquet footer min/max stats, read
                  independently via pyarrow metadata and DuckDB
@@ -158,7 +165,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r09 union: all 213 gates, incl. the 4 rows-only ones, which have
+#      r10 union: all 215 gates, incl. the 4 rows-only ones, which have
 #      no hash to go red on); re-sampled last.
 # Within each tier, oracle-bearing entries precede rows-only ones.
 # Post-round hygiene (documented process): refresh these sets from the
@@ -259,6 +266,7 @@ _CHECKED_GREEN = {
     "weighted_sample_docs", "winnowing_fingerprints",
     "workload_graph_triangles", "workload_lineage_closure",
     "workload_table_pagerank",
+    "streaming_click_attribution_salted", "zorder_distributed_skipping",
 }
 
 
