@@ -30,6 +30,14 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
                (all-pairs O(N^2)) run against the lossless equi-join
                restatement instead, so they can certify at 10x. The
                registry marks them "oracle": "scale-tier".
+--digest a,b   Digest tier: for the named gates, compare an engine-side
+               row-hash digest (16 bucket rows per engine) instead of
+               collecting full outputs through Python — the only way to
+               value-certify the pair-output gates (26M-1B rows) at
+               100x. See the DIGEST_SPEC block below for the canonical
+               rendering and its validation contract; --record rows
+               carry "check": "digest-v1" so the ledger distinguishes
+               them from full strict rows.
 """
 
 from __future__ import annotations
@@ -80,6 +88,132 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Digest tier (r11): O(1)-transfer value certification for gates whose
+# PUBLISHED OUTPUT is a huge pair set (26M-1B rows). The full comparison
+# collects both engines' complete outputs through Python rows — measured
+# kernel-kill at 88 GB at 100x — so instead each engine computes, INSIDE
+# itself, a canonical per-row 60-bit hash and publishes only 16 bucket
+# rows (bucket, count, sum-of-hash). The harness transfers ~17 rows per
+# engine and compares them exactly.
+#
+# Canonical row rendering (must be bit-identical across engines — every
+# primitive below was cross-checked empirically, see
+# tests/test_digest_parity.py):
+#   * cells ordered by SORTED column name, joined with '|'
+#   * NULL -> literal 'NULL' (explicit coalesce; concat_ws would skip)
+#   * integer types -> decimal string (Spark CAST(STRING) == DuckDB
+#     ::VARCHAR, negatives included)
+#   * DOUBLE -> CAST(round(x * 1e8) AS BIGINT) rendered as string. Both
+#     engines round half-away-from-zero on the exact binary value
+#     (Spark Round/HALF_UP over BigDecimal(double), DuckDB std::round),
+#     and the catalog's pair gates publish round(metric, 4) doubles in
+#     [-1, 1], so the x1e8 scaling is injective on them with ~1e4
+#     headroom below the rounding boundary. NOT bit-exact for raw
+#     doubles beyond 1e-8 relative precision and collapses -0.0 == 0.0:
+#     this tier is only for gates validated digest-vs-full at sf0.01
+#     AND 10x first (the same discipline the callable-oracle tier
+#     used), where the full repr comparison still runs.
+#     |x| >= 9e9 would overflow the BIGINT cast silently in Spark's
+#     non-ANSI mode -> guarded by a max(abs) term in the digest itself.
+#   * row hash h = first 15 hex chars of md5(line) as an unsigned int
+#     (60 bits; Spark conv(substr(md5,1,15),16,10) == DuckDB
+#     ('0x'||substr(md5,1,15))::BIGINT, verified equal).
+#   * digest = sorted rows of GROUP BY h % 16: (bucket, count, sum(h))
+#     with exact integer sums (Spark DECIMAL(38,0) — 1e9 rows x 2^60
+#     ~ 1.2e27 << 1e38; DuckDB HUGEINT).
+# Why %.17e printf was rejected: Java's Formatter pads the SHORTEST
+# repr with zeros instead of correctly rounding (0.1 -> '1.000...0e-01'
+# vs DuckDB/C '1.00000000000000006e-01'), so printf-rendered doubles
+# diverge cross-engine on almost every non-terminating value.
+# ---------------------------------------------------------------------------
+
+DIGEST_SPEC = "digest-v1"
+_DIGEST_SCALE = 100_000_000.0  # doubles -> round(x * 1e8) as int
+_DIGEST_BUCKETS = 16
+
+_DIGEST_INT_SPARK = {"bigint", "int", "smallint", "tinyint"}
+_DIGEST_INT_DUCK = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT"}
+
+
+def spark_digest(sdf) -> tuple[list[str], int, list[tuple[int, int, int]], float]:
+    """(sorted cols, total rows, sorted bucket rows, max |double|).
+
+    All hashing/aggregation happens JVM-side (md5/conv/round are
+    codegen'd built-ins); only the <=16 bucket rows are collected."""
+    from pyspark.sql import functions as F
+
+    cells = []
+    abs_terms = []
+    for f in sorted(sdf.schema.fields, key=lambda f: f.name):
+        c = F.col(f.name)
+        t = f.dataType.simpleString()
+        if t in _DIGEST_INT_SPARK:
+            r = c.cast("string")
+        elif t == "double":
+            r = F.round(c * F.lit(_DIGEST_SCALE)).cast("long").cast("string")
+            abs_terms.append(F.abs(c))
+        elif t == "string":
+            r = c
+        elif t == "boolean":
+            r = F.when(c, F.lit("true")).otherwise(F.lit("false"))
+        else:
+            raise ValueError(f"digest tier: unsupported Spark column type {t} ({f.name})")
+        cells.append(F.coalesce(r, F.lit("NULL")))
+    line = F.concat_ws("|", *cells)
+    h = F.conv(F.substring(F.md5(line), 1, 15), 16, 10).cast("decimal(38,0)")
+    mx = F.greatest(*abs_terms) if len(abs_terms) > 1 else (
+        abs_terms[0] if abs_terms else F.lit(0.0))
+    agg = (
+        sdf.select(h.alias("h"), mx.alias("mx"))
+        .groupBy(F.pmod(F.col("h"), F.lit(_DIGEST_BUCKETS)).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"),
+             F.max("mx").alias("mx"))
+        .collect()
+    )
+    rows = sorted((int(r["bucket"]), int(r["n"]), int(r["s"])) for r in agg)
+    max_abs = max((float(r["mx"]) for r in agg), default=0.0)
+    return sorted(sdf.columns), sum(r[1] for r in rows), rows, max_abs
+
+
+def duck_digest(rel) -> tuple[list[str], int, list[tuple[int, int, int]], float]:
+    """Same digest computed inside DuckDB over a relation (string oracle
+    or callable scale-tier oracle alike)."""
+    cells = []
+    abs_terms = []
+    for c, t in sorted(zip(rel.columns, rel.types), key=lambda x: x[0]):
+        ts = str(t)
+        q = f'"{c}"'
+        if ts in _DIGEST_INT_DUCK:
+            r = f"{q}::VARCHAR"
+        elif ts == "DOUBLE":
+            r = f"CAST(round({q} * {_DIGEST_SCALE!r}) AS BIGINT)::VARCHAR"
+            abs_terms.append(f"abs({q})")
+        elif ts == "VARCHAR":
+            r = q
+        elif ts == "BOOLEAN":
+            r = f"CASE WHEN {q} THEN 'true' ELSE 'false' END"
+        else:
+            raise ValueError(f"digest tier: unsupported DuckDB column type {ts} ({c})")
+        cells.append(f"coalesce({r}, 'NULL')")
+    mx = ("greatest(" + ", ".join(abs_terms) + ")" if len(abs_terms) > 1
+          else (abs_terms[0] if abs_terms else "0.0"))
+    agg = rel.query(
+        "__digq",
+        f"""
+        SELECT h % {_DIGEST_BUCKETS} AS bucket, count(*) AS n, sum(h) AS s,
+               max(mx) AS mx
+        FROM (SELECT ('0x' || substr(md5(concat_ws('|', {', '.join(cells)})), 1, 15))::BIGINT AS h,
+                     {mx} AS mx
+              FROM __digq)
+        GROUP BY 1
+        """,
+    ).fetchall()
+    rows = sorted((int(b), int(n), int(s)) for b, n, s, _ in agg)
+    max_abs = max((float(m) for *_, m in agg), default=0.0)
+    return sorted(rel.columns), sum(r[1] for r in rows), rows, max_abs
 
 
 # DuckDB result types that round-trip identically through every fetch
@@ -176,10 +310,11 @@ def main() -> int:
     argv = list(sys.argv[1:])
     cache_path = record_path = None
     skip: set[str] = set()
+    digest_gates: set[str] = set()
     use_scale = "--scale-oracles" in argv
     if use_scale:
         argv.remove("--scale-oracles")
-    for flag in ("--cache", "--record", "--skip"):
+    for flag in ("--cache", "--record", "--skip", "--digest"):
         if flag in argv:
             i = argv.index(flag)
             val = argv[i + 1]
@@ -188,6 +323,8 @@ def main() -> int:
                 cache_path = val
             elif flag == "--record":
                 record_path = val
+            elif flag == "--digest":
+                digest_gates = set(val.split(","))
             else:
                 skip = set(val.split(","))
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.001"
@@ -212,7 +349,14 @@ def main() -> int:
     # was OOM-killed alongside a concurrent Spark JVM; out-of-core is
     # the point of scale certification, so make it the default
     con.execute("SET memory_limit='40GB'")
-    con.execute("SET temp_directory='/tmp/msk_duck_spill'")
+    # uid-keyed spill dir (a fixed world-shared path breaks on a
+    # multi-user host if another uid owns it), created 0700 like the
+    # zorder layout root
+    import tempfile
+
+    spill = f"{tempfile.gettempdir()}/msk_duck_spill_u{os.getuid()}"
+    os.makedirs(spill, mode=0o700, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -259,6 +403,91 @@ def main() -> int:
             n_skipped += 1
             continue
         t0 = time.time()
+        if name in digest_gates:
+            # O(1)-transfer tier: neither engine's pair set ever leaves
+            # the engine; only the 16 bucket rows are compared. Guarded
+            # by the digest-vs-full validation at sf0.01/10x (see
+            # DIGEST_SPEC block above and tests/test_digest_parity.py).
+            if name not in oracles and name not in scale_fns:
+                print(f"FAIL {name}: --digest requires an oracle")
+                failures.append(name)
+                continue
+            try:
+                scols, stotal, sdig, smax = spark_digest(fn(spark, sf_dir))
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: spark error: {e}")
+                failures.append(name)
+                _decertify(name)
+                continue
+            t_spark = time.time() - t0
+            if name in scale_fns:
+                sql_md5 = hashlib.md5(f"{scale_fns_md5}:{name}".encode()).hexdigest()
+            else:
+                sql_md5 = hashlib.md5(oracles[name].encode()).hexdigest()
+            ckey = f"{fdig}:{sql_md5}:{DIGEST_SPEC}"
+            hit = cache.get(ckey) if cache is not None else None
+            t_oracle: float | str
+            if hit is not None:
+                dcols, dtotal, dmax = hit["cols"], hit["nrows"], hit["max_abs"]
+                ddig = [tuple(r) for r in hit["digest"]]
+                t_oracle = "cached"
+            else:
+                t1 = time.time()
+                try:
+                    rel = scale_fns[name](con) if name in scale_fns else con.sql(oracles[name])
+                    dcols, dtotal, ddig, dmax = duck_digest(rel)
+                except Exception as e:  # noqa: BLE001
+                    print(f"FAIL {name}: duckdb error: {e}")
+                    failures.append(name)
+                    _decertify(name)
+                    continue
+                t_oracle = round(time.time() - t1, 1)
+                if cache is not None:
+                    cache[ckey] = {
+                        "gate": name, "fixture": fixture_label, "cols": dcols,
+                        "nrows": dtotal, "digest": [list(r) for r in ddig],
+                        "max_abs": dmax,
+                    }
+                    _dump_json(cache_path, cache)
+            ok = True
+            if max(smax, dmax) >= 9e9:
+                print(f"FAIL {name}: digest double magnitude {max(smax, dmax)} "
+                      f"overflows the x1e8 BIGINT render — use the full tier")
+                ok = False
+            if stotal != dtotal:
+                print(f"FAIL {name}: rowcount spark={stotal} duckdb={dtotal}")
+                ok = False
+            if scols != dcols:
+                print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+                ok = False
+            if ok and sdig != ddig:
+                print(f"FAIL {name}: digest mismatch ({stotal} rows)")
+                for a, b in zip(sdig, ddig):
+                    if a != b:
+                        print(f"  spark : {a}\n  duckdb: {b}")
+                        break
+                ok = False
+            if ok:
+                print(f"PASS {name} [{DIGEST_SPEC}] ({stotal} rows, spark "
+                      f"{t_spark:.1f}s, oracle {t_oracle}"
+                      f"{'' if t_oracle == 'cached' else 's'})")
+                if record is not None:
+                    record[name] = {
+                        "fixture": fixture_label,
+                        "fixture_digest": fdig,
+                        "oracle_md5": sql_md5,
+                        "rows": stotal,
+                        "spark_sec": round(t_spark, 1),
+                        "oracle_sec": t_oracle,
+                        "check": DIGEST_SPEC,
+                    }
+                    if name in scale_fns or name in scale_gates:
+                        record[name]["oracle"] = "scale-tier"
+                    _dump_json(record_path, record)
+            else:
+                failures.append(name)
+                _decertify(name)
+            continue
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
