@@ -116,6 +116,26 @@ def single_main(name: str) -> None:
     spark.stop()
 
 
+def write_bench_full(full_path: str, payload: dict) -> None:
+    """Write the full-sweep record, PRESERVING the prior file's
+    "isolated" block: a driver bench overwrite must not drop the
+    medians --isolate recorded — that block is the sweep's own
+    adjudication record (lost once at commit d70031a and absent from
+    the committed record for two rounds). Same merge-on-write idea as
+    check_parity._dump_json, minus the lock: the driver never runs two
+    benches concurrently."""
+    isolated_prev = {}
+    try:
+        with open(full_path) as f:
+            isolated_prev = json.load(f).get("isolated", {})
+    except (OSError, ValueError):
+        pass
+    if isolated_prev and "isolated" not in payload:
+        payload["isolated"] = isolated_prev
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
 def isolate_main(spec: str) -> None:
     """Parent mode: median-of-3 per gate, each in its own process."""
     import statistics
@@ -298,19 +318,17 @@ def main() -> None:
     # (this is exactly what nulled BENCH_r01).
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-            json.dump(
-                {
-                    "metric": "total_query_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "queries": timings,
-                    "failed": failed,
-                    "sf": sf,
-                },
-                f,
-                indent=1,
-            )
+        write_bench_full(
+            os.path.join(here, "BENCH_FULL.json"),
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "failed": failed,
+                "sf": sf,
+            },
+        )
     except OSError as e:
         # the side file is best-effort; the stdout line below must still
         # print (a read-only checkout/full disk must not null the bench)

@@ -447,6 +447,8 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     round_to: int = 4,
+    broadcast_index: bool | None = None,
+    broadcast_budget_bytes: int = 3 << 30,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (the PPJoin
     family, Xiao et al. WWW'08) — every pair with shingle Jaccard >=
@@ -511,10 +513,26 @@ def prefix_filter_jaccard_pairs(
     # rows BEFORE anything shuffles. Past the broadcast budget (the
     # 1000x regime) fall back to the shuffle join; at real cluster
     # scale the same collapse comes from bucketing both sides by gram.
-    n_prefix = sh.agg(
-        F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
-    ).first()[0] or 0  # exact, from the already-persisted shingle frame
-    pb_side = F.broadcast(pb) if n_prefix <= 20_000_000 else pb
+    # Budget in estimated BYTES, not rows (r10 advice): gram strings are
+    # k-word shingles of unbounded length, so a row-count threshold can
+    # blow the 8 GB broadcast/driver ceiling on long-token corpora. One
+    # agg over the already-persisted shingle frame yields both the exact
+    # prefix row count and the corpus mean gram length; estimated
+    # broadcast size = rows x (mean gram bytes + ~64B UnsafeRow/id/sz/rn
+    # overhead), held under a 3 GB default margin. Callers that need the
+    # plan fully lazy (or know their corpus) pin broadcast_index
+    # explicitly and skip the sizing action.
+    if broadcast_index is None:
+        est = sh.agg(
+            F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
+            .alias("npfx"),
+            (F.sum(F.aggregate("sh", F.lit(0), lambda acc, g: acc + F.length(g)))
+             / F.sum("sz")).alias("gbytes"),
+        ).first()
+        n_prefix = est["npfx"] or 0
+        est_bytes = n_prefix * ((est["gbytes"] or 0.0) + 64.0)
+        broadcast_index = est_bytes <= broadcast_budget_bytes
+    pb_side = F.broadcast(pb) if broadcast_index else pb
     cands = (
         pa.join(
             pb_side,
@@ -625,6 +643,7 @@ def exact_jaccard_pairs_blocked(
     k: int = 3,
     threshold: float = 0.5,
     round_to: int = 4,
+    max_postings: int = 500_000_000,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard >= threshold via BLOCKED POSTING
     MULTIPLICATION — the form that survives clone-heavy corpora where
@@ -650,18 +669,43 @@ def exact_jaccard_pairs_blocked(
     partition the VOCABULARY and run one broadcast round per vocab
     shard (counts add across shards only for pairs, which don't cross
     shards here since each gram lives in one shard — the same
-    disjoint-union the band joins use). The gram-id dictionary is a
-    vocabulary-sized window (112k rows at 100x), not a corpus-sized
-    one."""
-    from pyspark.sql import Window
-
+    disjoint-union the band joins use). The first wall in-container is
+    the DRIVER materialization of the incidence, not the executor
+    broadcast: the pull is Arrow-packed int64 columns (no Python
+    objects — index lookups are searchsorted over the sorted doc-id
+    array, never a dict), ~16 bytes/posting transient, and
+    max_postings guards it with an actionable error instead of an
+    opaque driver OOM. Gram ids come from a distributed sort +
+    zipWithIndex — no single-partition window anywhere in the plan."""
     spark = df.sparkSession
     sh = shingle_frame(df, text_col, id_col, k).withColumn("sz", F.size("sh"))
     ex = sh.select(F.col(id_col), F.explode("sh").alias("gram"))
-    gram_ids = (
-        ex.select("gram")
-        .distinct()
-        .withColumn("gid", F.row_number().over(Window.orderBy("gram")) - 1)
+    n_postings = ex.count()
+    if n_postings > max_postings:
+        raise ValueError(
+            f"exact_jaccard_pairs_blocked: {n_postings} postings exceeds "
+            f"max_postings={max_postings} (~{16 * max_postings >> 30} GB "
+            f"driver transient). Shard the VOCABULARY and run one "
+            f"broadcast round per shard (pairs never cross gram shards), "
+            f"or raise max_postings if the driver has headroom."
+        )
+    if n_postings > max_postings // 2:
+        import warnings
+
+        warnings.warn(
+            f"exact_jaccard_pairs_blocked: {n_postings} postings is past "
+            f"half of max_postings={max_postings}; plan vocabulary "
+            f"sharding before the next magnitude",
+            ResourceWarning,
+            stacklevel=2,
+        )
+    # gram-id dictionary without a single-partition window: distributed
+    # range-sort, then zipWithIndex (ids are an arbitrary bijection; the
+    # sort only makes them deterministic)
+    gram_ids = spark.createDataFrame(
+        ex.select("gram").distinct().sort("gram").rdd
+        .zipWithIndex().map(lambda t: (t[0][0], t[1])),
+        "gram string, gid long",
     )
     entries = (
         ex.join(F.broadcast(gram_ids), "gram").select(F.col(id_col), "gid")
@@ -674,9 +718,10 @@ def exact_jaccard_pairs_blocked(
 
     doc_ids = docs_pd["_id"].to_numpy()
     sizes = docs_pd["sz"].to_numpy().astype(np.int32)
-    id_to_idx = {int(d): i for i, d in enumerate(doc_ids)}
     ent_pd = entries.toPandas()
-    ent_doc = ent_pd[id_col].map(id_to_idx).to_numpy(dtype=np.int64)
+    # searchsorted over the sorted id array: packed numpy end-to-end
+    # (the former dict .map() built one Python int per posting)
+    ent_doc = np.searchsorted(doc_ids, ent_pd[id_col].to_numpy())
     ent_gid = ent_pd["gid"].to_numpy(dtype=np.int64)
     order = np.lexsort((ent_doc, ent_gid))
     ent_doc, ent_gid = ent_doc[order], ent_gid[order]
@@ -700,7 +745,7 @@ def exact_jaccard_pairs_blocked(
         indptr, pdocs, szs, dids = b_post.value
         for pdf in batches:
             rows_a, rows_b, rows_j = [], [], []
-            a_idxs = [id_to_idx_b.value[int(x)] for x in pdf[id_col]]
+            a_idxs = np.searchsorted(dids, pdf[id_col].to_numpy())
             gls = [np.asarray(g, dtype=np.int64) for g in pdf["gids"]]
             for a, b, j in _posting_true_pairs_block(
                 a_idxs, gls, indptr, pdocs, szs, threshold, round_to
@@ -710,7 +755,6 @@ def exact_jaccard_pairs_blocked(
                 rows_j.append(j)
             yield pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard": rows_j})
 
-    id_to_idx_b = spark.sparkContext.broadcast(id_to_idx)
     return doc_grams.repartition(
         max(spark.sparkContext.defaultParallelism, 8)
     ).mapInPandas(emit, "a long, b long, jaccard double")

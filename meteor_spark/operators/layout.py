@@ -116,6 +116,7 @@ def footer_box_hits(
         md = pq.read_metadata(f)
         mins: dict[str, int] = {}
         maxs: dict[str, int] = {}
+        stats_rgs: dict[str, int] = {"x": 0, "y": 0}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -123,13 +124,18 @@ def footer_box_hits(
                 st = col.statistics
                 if col.path_in_schema in ("x", "y") and st is not None and st.has_min_max:
                     name = col.path_in_schema
+                    stats_rgs[name] += 1
                     mins[name] = min(mins.get(name, st.min), st.min)
                     maxs[name] = max(maxs.get(name, st.max), st.max)
         n_files += 1
-        if not all(c in mins and c in maxs for c in ("x", "y")):
-            # min/max pruning rule: a file without stats on a predicate
-            # column can never be skipped — count it read (stats can be
-            # absent when a writer disables them or a column is all-null)
+        if any(stats_rgs[c] < md.num_row_groups for c in ("x", "y")):
+            # min/max pruning rule: a file can only be skipped when
+            # EVERY row group carries stats on both predicate columns —
+            # a partially-statted file's aggregated min/max says nothing
+            # about the statless row group, so it counts as read (the
+            # r10 advice: the old file-level `c in mins` check wrongly
+            # skipped mixed files). Stats can be absent when a writer
+            # disables them or a column is all-null.
             n_read += 1
         elif (
             maxs["x"] >= x_lo

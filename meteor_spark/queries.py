@@ -8812,7 +8812,9 @@ def _zreal_oracle() -> str:
              min(CASE WHEN path_in_schema = 'x' THEN mn END) AS x_min,
              max(CASE WHEN path_in_schema = 'x' THEN mx END) AS x_max,
              min(CASE WHEN path_in_schema = 'y' THEN mn END) AS y_min,
-             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max
+             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max,
+             sum(CASE WHEN mn IS NULL OR mx IS NULL THEN 1 ELSE 0 END)
+               AS n_statless
       FROM (
         SELECT file_name, path_in_schema,
                CAST(stats_min_value AS BIGINT) AS mn,
@@ -8821,10 +8823,15 @@ def _zreal_oracle() -> str:
         WHERE path_in_schema IN ('x', 'y'))
       GROUP BY file_name
     """
+    # n_statless > 0 => READ: a row group without stats on a predicate
+    # column makes the whole file unprunable, matching footer_box_hits'
+    # per-row-group completeness rule (the old NULL-falls-to-ELSE-0 bias
+    # counted exactly those files as skipped)
     agg = f"""
       SELECT '{{layout}}' AS layout,
              CAST(count(*) AS BIGINT) AS n_files,
-             CAST(sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+             CAST(sum(CASE WHEN n_statless > 0 THEN 1
+                           WHEN x_max >= {x_lo} AND x_min <= {x_hi}
                             AND y_max >= {y_lo} AND y_min <= {y_hi}
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_read
       FROM ({per_file})
@@ -8902,25 +8909,31 @@ def _zdist_oracle() -> str:
              min(CASE WHEN path_in_schema = 'x' THEN mn END) AS x_min,
              max(CASE WHEN path_in_schema = 'x' THEN mx END) AS x_max,
              min(CASE WHEN path_in_schema = 'y' THEN mn END) AS y_min,
-             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max
+             max(CASE WHEN path_in_schema = 'y' THEN mx END) AS y_max,
+             sum(CASE WHEN mn IS NULL OR mx IS NULL THEN 1 ELSE 0 END)
+               AS n_statless
       FROM (
         SELECT file_name, path_in_schema,
                CAST(stats_min_value AS BIGINT) AS mn,
                CAST(stats_max_value AS BIGINT) AS mx
         FROM parquet_metadata('{glob}')
         WHERE path_in_schema IN ('x', 'y'))
-      GROUP BY file_name)
+      GROUP BY file_name),
+    -- a row group without stats on a predicate column makes its file
+    -- unprunable (matches footer_box_hits' completeness rule)
+    reads AS (
+      SELECT CASE WHEN n_statless > 0 THEN 1
+                  WHEN x_max >= {x_lo} AND x_min <= {x_hi}
+                   AND y_max >= {y_lo} AND y_min <= {y_hi}
+                  THEN 1 ELSE 0 END AS is_read
+      FROM per_file)
     SELECT 'zorder_distributed' AS layout,
            CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
-                          AND y_max >= {y_lo} AND y_min <= {y_hi}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_read,
+           CAST(sum(is_read) AS BIGINT) AS n_read,
            CAST({_ZDIST_BOUND_PPM} AS BIGINT) AS bound_ppm,
-           (sum(CASE WHEN x_max >= {x_lo} AND x_min <= {x_hi}
-                      AND y_max >= {y_lo} AND y_min <= {y_hi}
-                     THEN 1 ELSE 0 END) * 1000000
-            <= count(*) * {_ZDIST_BOUND_PPM}) AS within_bound
-    FROM per_file
+           (sum(is_read) * 1000000 <= count(*) * {_ZDIST_BOUND_PPM})
+             AS within_bound
+    FROM reads
     """
 
 

@@ -45,3 +45,26 @@ def test_pathological_failed_list_is_truncated():
     assert len(out) <= 1800
     d = json.loads(out)
     assert d["failed"][-1] == "..." and len(d["failed"]) == 11
+
+
+def test_write_bench_full_preserves_isolated_block(tmp_path):
+    # a driver full-sweep overwrite must carry the prior --isolate
+    # medians forward (the committed record lost them at d70031a)
+    import json
+
+    from bench import write_bench_full
+
+    p = str(tmp_path / "BENCH_FULL.json")
+    with open(p, "w") as f:
+        json.dump({"queries": {"a": 1.0}, "isolated": {"a": 0.9}}, f)
+    write_bench_full(p, {"queries": {"a": 1.1}, "value": 1.1})
+    d = json.load(open(p))
+    assert d["queries"] == {"a": 1.1}
+    assert d["isolated"] == {"a": 0.9}
+    # an isolate run that writes its own block is NOT clobbered by prior
+    write_bench_full(p, {"queries": {"a": 1.2}, "isolated": {"a": 1.05}})
+    assert json.load(open(p))["isolated"] == {"a": 1.05}
+    # and a missing/corrupt prior file is fine
+    p2 = str(tmp_path / "new.json")
+    write_bench_full(p2, {"queries": {}})
+    assert "isolated" not in json.load(open(p2))

@@ -401,6 +401,44 @@ def _ensure_truth_state(con) -> None:
     con.register("__tr_pairs", tr)
     con.execute("CREATE TEMP TABLE tr_true AS SELECT a, b FROM __tr_pairs")
     con.unregister("__tr_pairs")
+    # INDEPENDENT ARM (r10 advice): the bincount core above is shared
+    # with the Spark truth arm, so a deterministic 5-doc sample gets its
+    # COMPLETE partner set re-derived in pure SQL — the canonical
+    # list_intersect/list_distinct formulation, no numpy — and the two
+    # sets must match exactly (both directions: a pair the core missed
+    # AND a pair it invented both fail). Cost: one posting equi-join
+    # restricted to 5 docs.
+    bad = con.sql("""
+        WITH samp AS (
+          SELECT doc_id FROM ms_sh
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 5),
+        ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
+        sx AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh
+               WHERE doc_id IN (SELECT doc_id FROM samp)),
+        cand AS (
+          SELECT DISTINCT s.doc_id AS sd, e.doc_id AS od
+          FROM sx s JOIN ex e ON e.tok = s.tok AND e.doc_id <> s.doc_id),
+        sqlpairs AS (
+          SELECT DISTINCT least(c.sd, c.od) AS a, greatest(c.sd, c.od) AS b
+          FROM cand c
+          JOIN ms_sh x ON x.doc_id = c.sd
+          JOIN ms_sh y ON y.doc_id = c.od
+          WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5),
+        trpairs AS (
+          SELECT a, b FROM tr_true
+          WHERE a IN (SELECT doc_id FROM samp)
+             OR b IN (SELECT doc_id FROM samp))
+        SELECT count(*) FROM (
+          (SELECT a, b FROM sqlpairs EXCEPT SELECT a, b FROM trpairs)
+          UNION ALL
+          (SELECT a, b FROM trpairs EXCEPT SELECT a, b FROM sqlpairs))
+    """).fetchone()[0]
+    if bad:
+        raise RuntimeError(
+            f"truth-state independent arm: {bad} pair rows differ between "
+            f"the bincount core and the pure-SQL sample re-derivation"
+        )
     _TR_BUILT[id(con)] = tok
 
 
@@ -564,6 +602,41 @@ def _fn_semantic_dedup_survivors(con):
         assign[i] = max(range(_SEMDEDUP_K), key=lambda k: (cos[k], -k))
 
     boundary = _SEMDEDUP_TAU - 0.5 * 1e-4
+
+    def _indep_recheck(Vc, dropped, k):
+        # INDEPENDENT ARM (r10 advice): prefix_max_dropped_mask and the
+        # decider are the exact functions the Spark gate runs, so a
+        # deterministic sample of this cluster's decisions is re-derived
+        # here WITHOUT them: per sampled position p, max cosine against
+        # ALL earlier members via plain np.dot, published through an
+        # inline HALF_UP shortest-repr round — the documented publish
+        # rule — with the 1e-9 boundary zone re-decided by the engines'
+        # own sequential fold (_seq_cos). Any keep/drop flip raises.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        n = len(Vc)
+        if n < 2:
+            return
+        step = max(1, n // 8)
+        tau_d = Decimal(str(_SEMDEDUP_TAU))
+        for p in range(1, n, step):
+            best = -2.0
+            nb = float(np.dot(Vc[p], Vc[p])) ** 0.5
+            for jj in range(p):
+                c = float(np.dot(Vc[p], Vc[jj])) / (
+                    nb * float(np.dot(Vc[jj], Vc[jj])) ** 0.5
+                )
+                if abs(c - boundary) < 1e-9:
+                    c = _seq_cos(Vc[p], Vc[jj])
+                best = max(best, c)
+            want = Decimal(repr(best)).quantize(
+                Decimal(1).scaleb(-4), ROUND_HALF_UP) >= tau_d
+            if bool(dropped[p]) != want:
+                raise RuntimeError(
+                    f"semantic-survivor independent arm: cluster {k} "
+                    f"position {p} core={bool(dropped[p])} sample={want}"
+                )
+
     keep_ids, keep_cl = [], []
     for k in range(_SEMDEDUP_K):
         m = np.nonzero(assign == k)[0]  # V is id-sorted, so m is too
@@ -574,6 +647,7 @@ def _fn_semantic_dedup_survivors(con):
             if len(m) > 1
             else np.zeros(1, dtype=bool)
         )
+        _indep_recheck(V[m], dropped, k)
         keep_ids.extend(int(x) for x in all_ids[m[~dropped]])
         keep_cl.extend([k] * int((~dropped).sum()))
 
