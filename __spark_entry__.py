@@ -36,7 +36,15 @@ queries()     -> every implemented operator from SURVEY.md §2 plus the
                  conditional transition entropy, user-activity Gini,
                  language-ID confidence margins,
                  cross-encoder-stub candidate reranking) —
-                 215 entries, 211 with exact DuckDB oracles (r10 adds
+                 215 entries, ALL oracle-bearing as of r11: 211 with
+                 full-value exact DuckDB oracles + 4 with
+                 checked-contract oracles (the former rows-only gates:
+                 ivf/pq kmeans ANN publish k-rows-per-query +
+                 recall-vs-exact-twin floor booleans; the HLL sketch
+                 rollup publishes exact distinct counts + a 5%
+                 tolerance boolean; the approx profile publishes its
+                 exact fields value-hashed + unique/median tolerance
+                 booleans) (r10 adds
                  streaming_click_attribution_salted — the skew-safe
                  stream-stream attribution twin, (user,salt)-sharded
                  state, bit-equal to the plain twin on the Zipf

@@ -2957,18 +2957,66 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_kmeans_ann_topk")  # no oracle: Spark ML KMeans init is engine-internal, rows-only
+def _ann_contract_row(
+    spark: SparkSession, res: DataFrame, exact: DataFrame, k: int,
+    floor_ppm: int,
+) -> DataFrame:
+    """Publish a kmeans-backed ANN gate as a CHECKED CONTRACT (r10
+    verdict task: no gate may say only 'rows'): one row of
+    (n_queries, k, rows_per_query_ok, recall_floor_met). The neighbor
+    ids themselves are quantizer-dependent (Spark ML / numpy k-means is
+    not SQL-reproducible), so they stay pinned by the hash-pivot
+    exact-gated twins; what the oracle can and now does value-check is
+    the contract — every query returns exactly k rows and mean recall
+    against the in-engine exact top-k clears the floor. Collects here
+    are two agg scalars (bounded)."""
+    got = res.select("query_id", "neighbor_id")
+    per_q = got.groupBy("query_id").agg(F.count("*").alias("nres")).agg(
+        F.count("*").alias("nq"),
+        F.min("nres").alias("lo"),
+        F.max("nres").alias("hi"),
+    ).first()
+    hits = got.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    nq = int(per_q["nq"])
+    recall_ppm = hits * 1_000_000 // max(nq * k, 1)
+    return spark.createDataFrame(
+        [(nq, k, per_q["lo"] == k and per_q["hi"] == k,
+          recall_ppm >= floor_ppm)],
+        "n_queries long, k long, rows_per_query_ok boolean, "
+        "recall_floor_met boolean",
+    )
+
+
+_ANN_CONTRACT_ORACLE = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({_ANN_K} AS BIGINT) AS k,
+       true AS rows_per_query_ok,
+       true AS recall_floor_met
+FROM embeddings WHERE vec_id < {_ANN_NQUERY}
+"""
+
+
+@query("ivf_kmeans_ann_topk", _ANN_CONTRACT_ORACLE)
 def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the seeded k-means coarse quantizer, multi-probe,
     exact re-rank (operators.similarity.ivf_topk). Deterministic per
-    engine (seeded) but the centroid fit is not SQL-reproducible;
-    recall vs brute force and determinism are pinned in
-    tests/test_similarity.py. EXACT-GATED TWIN: ivf_ann_topk runs the
+    engine (seeded) but the centroid fit is not SQL-reproducible, so
+    the PUBLISH is the checked contract row (_ann_contract_row): k rows
+    per query and mean recall vs the exact top-k >= 0.40 (measured
+    0.60-0.80 across sf0.001/sf0.01/sf0.1 with n_probe=3 of 8 cells on
+    random vectors — the floor is the catastrophic-breakage detector,
+    not a tuning claim). Per-value determinism and recall are pinned in
+    tests/test_similarity.py; EXACT-GATED TWIN: ivf_ann_topk runs the
     same IVF pipeline with hash-pivot cells and carries the full value
     oracle — only the quantizer differs."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return similarity.ivf_topk(emb, q, k=_ANN_K, n_cells=8, n_probe=3)
+    res = similarity.ivf_topk(emb, q, k=_ANN_K, n_cells=8, n_probe=3)
+    exact = similarity.brute_force_topk(emb, q, k=_ANN_K)
+    return _ann_contract_row(spark, res, exact, _ANN_K, 400_000)
 
 
 _ENDUP_ORACLE = f"""
@@ -3429,7 +3477,16 @@ def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_distinct_sketch_rollup")  # no oracle: HLL registers are engine-specific, rows-only
+@query(
+    "events_distinct_sketch_rollup",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS estimate_within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (operators.sketches): per-day HLL user
     sketches merged up to per-type distinct counts WITHOUT rescanning
@@ -3439,19 +3496,38 @@ def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     invariance pinned in tests/test_sketches.py. EXACT-GATED TWIN:
     events_portable_hll_rollup computes the same rollup with a
     pure-SQL md5-register HLL whose DuckDB oracle is bit-exact; this
-    gate stays rows-only because Datasketches register state is
-    engine-internal, and test_sketches.py pins the two gates' estimates
-    against each other and the exact count. Register-level cross-twin
-    equality cannot hold — the two sketches use different hash families
-    (xxhash64 vs md5) by design — but
+    Datasketches register state stays engine-internal, so since r11 the
+    PUBLISH is the checked contract (r10 verdict task: no gate may say
+    only 'rows'): per event_type, the EXACT distinct count and row
+    count (both value-hashed against the oracle) plus
+    estimate_within_tol — the merged-sketch estimate within 5% of exact
+    (lg_k=12 -> rsd ~1.6%, so 5% is ~3 sigma). Register-level
+    cross-twin equality cannot hold — the two sketches use different
+    hash families (xxhash64 vs md5) by design — but
     test_datasketches_register_state_vs_md5_twin pins what can: the
     serialized preamble (serVer/family/lgK) and byte-identical
-    merge-determinism across partitionings."""
+    merge-determinism across partitionings; test_sketches.py pins
+    merge invariance and accuracy."""
     from meteor_spark.operators import sketches
 
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     daily = sketches.distinct_sketches(e, ["event_type", "day"], "user_id")
-    return sketches.merge_distinct(daily, ["event_type"])
+    est = sketches.merge_distinct(daily, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.count("*").alias("n_rows"),
+    )
+    return exact.join(
+        est.select("event_type", "approx_distinct"), "event_type"
+    ).select(
+        "event_type",
+        "exact_distinct",
+        "n_rows",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.05)
+        ).alias("estimate_within_tol"),
+    )
 
 
 _HLL64_LGK = 10
@@ -4057,17 +4133,89 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "quality").join(per_doc, "doc_id")
 
 
-@query("profile_lineitem_approx")  # no oracle: approximate aggregates, rows-only
+def _profile_approx_oracle(table: str, cols: list[str], numeric: set[str]) -> str:
+    parts = []
+    for c in cols:
+        avg = f"round(avg({c}), 4)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", CAST(min({c}) AS VARCHAR) AS \"min\", "
+            f"CAST(max({c}) AS VARCHAR) AS \"max\", {avg} AS \"avg\", "
+            f'count({c}) AS "count", true AS unique_ok, true AS med_ok '
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_PROFILE_LI_NUMERIC = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "profile_lineitem_approx",
+    _profile_approx_oracle(
+        "lineitem", _PROFILE_COLS["lineitem"], set(_PROFILE_LI_NUMERIC)
+    ),
+)
 def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL profiling semantics (bigquery.go:386-411:
     APPROX_QUANTILES median, APPROX_COUNT_DISTINCT, APPROX_TOP_COUNT
     top-1) as ONE single-pass wide aggregate — the scale path: no
     frequency table, no window, one scan + one tiny shuffle. Sketch
-    outputs are engine-specific, so the gate is rows-only; EXACT-GATED
-    TWIN: profile_lineitem computes the same profile with exact
-    interpolated percentiles and carries the full value oracle."""
+    values are engine-specific, so since r11 the PUBLISH is the checked
+    contract (r10 verdict task: no gate may say only 'rows'): the exact
+    fields the approx plan still computes exactly (min/max/avg/count,
+    value-hashed against the oracle) plus unique_ok (approx distinct
+    within 15% of exact — 3 sigma of the default rsd 0.05) and med_ok
+    (approx median inside the exact p45..p55 rank window —
+    percentile_approx's accuracy=10000 guarantees ~1e-4 of rank, so the
+    window detects breakage, not drift). EXACT-GATED TWIN:
+    profile_lineitem computes the same profile with exact interpolated
+    percentiles and carries the full value oracle."""
     li = _t(spark, sf_dir, "lineitem")
-    return profile_df(li, _PROFILE_COLS["lineitem"], exact=False)
+    cols = _PROFILE_COLS["lineitem"]
+    pa = profile_df(li, cols, exact=False)
+    pe = profile_df(li, cols, exact=True).select(
+        "column",
+        F.col("med").alias("emed"),
+        F.col("unique").alias("euniq"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column"), F.col(c).cast("double").alias("v"))
+            for c in _PROFILE_LI_NUMERIC
+        ]
+    )
+    bounds = (
+        li.select(F.explode(pairs).alias("p"))
+        .select("p.column", "p.v")
+        .filter(F.col("v").isNotNull())
+        .groupBy("column")
+        .agg(
+            F.percentile("v", F.lit(0.45)).alias("p45"),
+            F.percentile("v", F.lit(0.55)).alias("p55"),
+        )
+    )
+    return (
+        pa.join(pe, "column")
+        .join(bounds, "column", "left")
+        .select(
+            "column",
+            "min",
+            "max",
+            "avg",
+            "count",
+            (
+                F.abs(F.col("unique") - F.col("euniq"))
+                <= F.col("euniq") * F.lit(0.15)
+            ).alias("unique_ok"),
+            F.when(
+                F.col("med").isNull() & F.col("emed").isNull(), F.lit(True)
+            )
+            .otherwise(
+                (F.col("med") >= F.col("p45")) & (F.col("med") <= F.col("p55"))
+            )
+            .alias("med_ok"),
+        )
+    )
 
 
 @query(
@@ -4374,20 +4522,25 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pq_kmeans_ann_topk")  # no oracle: numpy-kmeans codebook, rows-only
+@query("pq_kmeans_ann_topk", _ANN_CONTRACT_ORACLE)
 def pq_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with the trained codebook
     (similarity.pq_topk): the memory-bound scale path — 64 float32 per
     vector compress to 16 one-byte codes, a vectorized mapInPandas pass
     scores codes via per-query lookup tables and emits per-batch
     top-candidates (map-side top-k), exact cosine re-ranks candidates
-    only. Recall vs brute force pinned by tests (>= 0.9 @ k=5).
-    EXACT-GATED TWIN: pq_ann_topk runs the same PQ scoring with
-    hash-pivot codebooks and carries the full value oracle — only the
-    codebook training differs."""
+    only. The numpy-kmeans codebook is not SQL-reproducible, so the
+    PUBLISH is the checked contract row (_ann_contract_row): k rows per
+    query and mean recall vs the exact top-k >= 0.80 (measured 1.0 at
+    all three committed SFs; tests pin >= 0.9 @ k=5). EXACT-GATED
+    TWIN: pq_ann_topk runs the same PQ scoring with hash-pivot
+    codebooks and carries the full value oracle — only the codebook
+    training differs."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _ANN_NQUERY)
-    return similarity.pq_topk(emb, q, k=_ANN_K)
+    res = similarity.pq_topk(emb, q, k=_ANN_K)
+    exact = similarity.brute_force_topk(emb, q, k=_ANN_K)
+    return _ann_contract_row(spark, res, exact, _ANN_K, 800_000)
 
 
 @query(

@@ -246,15 +246,24 @@ def test_hll64_null_values_dont_occupy_registers(spark):
 
 
 def test_rows_only_gate_tracks_portable_twin(spark, sf_dir):
-    # the Datasketches rollup gate (events_distinct_sketch_rollup,
-    # rows-only: register state is engine-internal) must agree with its
-    # EXACT-GATED twin (events_portable_hll_rollup, bit-exact DuckDB
-    # oracle) and with the exact count — this is the cross-gate pin the
-    # rows-only docstring promises
+    # the Datasketches rollup (register state is engine-internal) must
+    # agree with its EXACT-GATED twin (events_portable_hll_rollup,
+    # bit-exact DuckDB oracle) and with the exact count. Since r11 the
+    # gate publishes the checked contract (exact_distinct +
+    # estimate_within_tol) instead of the raw estimate, so the estimate
+    # itself is rebuilt here from the same sketch pipeline, and the
+    # gate's contract booleans are asserted all-true.
+    from meteor_spark.operators import sketches
     from meteor_spark.queries import QUERIES
 
+    gate = QUERIES["events_distinct_sketch_rollup"](spark, sf_dir).collect()
+    assert all(r["estimate_within_tol"] for r in gate)
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.to_date("ts"))
     ds = {r["event_type"]: r["approx_distinct"]
-          for r in QUERIES["events_distinct_sketch_rollup"](spark, sf_dir).collect()}
+          for r in sketches.merge_distinct(
+              sketches.distinct_sketches(ev, ["event_type", "day"], "user_id"),
+              ["event_type"]).collect()}
     port = {r["event_type"]: r["approx_distinct"]
             for r in QUERIES["events_portable_hll_rollup"](spark, sf_dir).collect()}
     events = read_parquet_table(spark, f"{sf_dir}/events.parquet")
