@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import meteor_spark.processors  # noqa: F401 — registers processor plugins (enrich_catalog)
@@ -95,6 +95,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — conf may be restricted
         pass
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _fp_lift(col: Column, scale: int = 100) -> Column:
+    """Exact fixed-point lift of a NON-NEGATIVE n-decimal double:
+    CAST(x*scale + 0.5 AS LONG). Equals round-half-up for x >= 0 but
+    stays whole-stage-codegen arithmetic — F.round(double) routes every
+    row through BigDecimal.setScale, which measured 2.3x the whole q1
+    runtime at 10x (docs/SCALING.md r11). NOT for signed columns:
+    truncation-toward-zero flips the half-up direction below 0."""
+    return (col * scale + F.lit(0.5)).cast("long")
 
 
 # Session-scoped shared intermediates: the minhash-LSH verified-pairs
@@ -200,10 +210,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~2.8e18 of int64's 9.2e18 at 600M rows — the next magnitude
     needs split accumulators, recorded in docs/SCALING.md."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
-    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    # codegen-only lifts (_fp_lift): the F.round(double) form routed
+    # every row through BigDecimal and cost 2.3x the whole query at 10x
+    # (measured r11, docs/SCALING.md); quantity is an exact integral
+    # double, plain cast
+    qty = F.col("l_quantity").cast("long")
+    price_c = _fp_lift(F.col("l_extendedprice"))
+    disc_pct = _fp_lift(F.col("l_discount"))
+    tax_pct = _fp_lift(F.col("l_tax"))
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
@@ -381,7 +395,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum rides exact integer cents (strict at 150M rows; the float sum
     it replaces hash-mismatched there)."""
     o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = _fp_lift(F.col("o_totalprice"))
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
         F.round(F.sum(cents) / 100.0, 2).alias("total"),
@@ -752,7 +766,7 @@ def nation_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        _fp_lift(F.col("l_extendedprice")).alias("price_cents"),
     )
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
@@ -9175,7 +9189,7 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
         F.col("ts").alias("p_ts"),
-        F.round(F.col("value") * 100).cast("long").alias("purchase_value_cents"),
+        _fp_lift(F.col("value")).alias("purchase_value_cents"),
     )
     c = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
