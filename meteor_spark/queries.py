@@ -3033,6 +3033,16 @@ def ivf_kmeans_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_contract_row(spark, res, exact, _ANN_K, 400_000)
 
 
+# 8 SRP bits for the near-dup BLOCKING (vs _SRP_BITS=4 for the topk
+# gates, whose oracles are independent): 4 bits = 16 buckets makes the
+# bucket self-join quadratic past ~100k vectors — measured at 100x as a
+# ~2.5e9-candidate single-hot-bucket stage (r11). 256 buckets keep the
+# join output candidate-linear; identical vectors (the planted copies
+# and the clone families — the pairs the gate exists for) share every
+# bit at any width, so the planted-recall contract is unchanged, and
+# the oracle rebuilds the same 8-bit family so parity stays exact.
+_ENDUP_BITS = 8
+
 _ENDUP_ORACLE = f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3042,7 +3052,7 @@ WITH base AS (
 planes AS (
   SELECT b.range::INT AS b, j.range::INT AS j,
          ('0x' || substr(md5(b.range || ':' || j.range), 1, 8))::BIGINT / 2147483647.0 - 1.0 AS h
-  FROM range({_SRP_BITS}) b, range(64) j),
+  FROM range({_ENDUP_BITS}) b, range(64) j),
 comps AS (
   SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM base),
 dots AS (
@@ -3082,7 +3092,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select((F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding", "label")
     )
-    return similarity.embedding_near_duplicates(emb.unionByName(planted), threshold=0.9, bits=4, dim=64)
+    return similarity.embedding_near_duplicates(
+        emb.unionByName(planted), threshold=0.9, bits=_ENDUP_BITS, dim=64
+    )
 
 
 _SEMDEDUP_K = 8
