@@ -371,7 +371,11 @@ _PLAN_BUDGETS = {
     # JOIN operator, so the budget drops); cold plan measures (27, 8)
     "minhash_eval_report": (28, 8, 2, 1),
     "semantic_dedup_pairs": (0, 1, 0),
-    "profile_lineitem_approx": (2, 0, 0),
+    # r11 checked-contract publish: the approx profile now ALSO runs the
+    # exact profile + a p45/p55 bounds agg and joins all three on
+    # `column` (broadcast — rows = n_columns), so the cold plan is the
+    # sum of both profiles' aggs; measured (9, 3)
+    "profile_lineitem_approx": (9, 3, 0),
     "pq_ann_topk": (3, 3, 1),
     "doc_similarity_topk": (6, 3, 0),
     "embedding_pc1_power_iteration": (0, 0, 0),
