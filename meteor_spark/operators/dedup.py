@@ -448,7 +448,7 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     round_to: int = 4,
     broadcast_index: bool | None = None,
-    broadcast_budget_bytes: int = 3 << 30,
+    broadcast_budget_bytes: int = 6 << 30,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (the PPJoin
     family, Xiao et al. WWW'08) — every pair with shingle Jaccard >=
@@ -519,9 +519,12 @@ def prefix_filter_jaccard_pairs(
     # agg over the already-persisted shingle frame yields both the exact
     # prefix row count and the corpus mean gram length; estimated
     # broadcast size = rows x (mean gram bytes + ~64B UnsafeRow/id/sz/rn
-    # overhead), held under a 3 GB default margin. Callers that need the
-    # plan fully lazy (or know their corpus) pin broadcast_index
-    # explicitly and skip the sizing action.
+    # overhead), held under a 6 GB default margin (below Spark's 8 GB
+    # broadcast ceiling; the 100x fixture's 48M-row/~4GB index MUST
+    # broadcast — the shuffle fallback writes the 4.84B-row prefix
+    # expansion to disk, ~190 GB, measured fatal twice). Callers that
+    # need the plan fully lazy (or know their corpus) pin
+    # broadcast_index explicitly and skip the sizing action.
     if broadcast_index is None:
         est = sh.agg(
             F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)

@@ -676,3 +676,81 @@ def _fn_minhash_near_duplicates(con):
 
 
 SCALE_ORACLE_FNS["minhash_near_duplicates"] = _fn_minhash_near_duplicates
+
+
+def _fn_doc_similarity_topk(con):
+    """Scale restatement (r11): the canonical oracle references its
+    `verified` CTE twice (sym's UNION ALL), and DuckDB inlines plain
+    CTEs, so the whole clone-quadratic band-join pipeline evaluated
+    TWICE and spilled >62 GB of temp at 100x. Same staging the other
+    minhash-family state uses: materialize the UNTHRESHOLDED verified
+    candidates once into a temp table (the topk universe is every
+    banded candidate with its jaccard — NOT ms_verified's >= 0.5 cut),
+    then symmetrize + rank with the identical canonical tail text."""
+    from meteor_spark.queries import (
+        _BAND_SQL,
+        _HS_SQL,
+        _MINHASH_BANDS,
+        _SIG_SQL,
+        _SIMDOC_K,
+    )
+
+    _ensure_minhash_state(con)  # ms_sh
+    band_joins = " UNION ALL ".join(
+        f"""SELECT a.doc_id AS a, b.doc_id AS b
+            FROM ms_tk_bands a JOIN ms_tk_bands b
+              ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(_MINHASH_BANDS)
+    )
+    con.execute("DROP TABLE IF EXISTS ms_tk_bands")
+    con.execute("DROP TABLE IF EXISTS ms_tk_scored")
+    con.execute(f"""
+        CREATE TEMP TABLE ms_tk_bands AS
+        WITH hs AS (SELECT doc_id, sh, {_HS_SQL} AS hs FROM ms_sh),
+        sig AS (SELECT doc_id, sh, [{_SIG_SQL}] AS sig FROM hs)
+        SELECT doc_id, {_BAND_SQL} FROM sig""")
+    con.execute(f"""
+        CREATE TEMP TABLE ms_tk_scored AS
+        SELECT p.a, p.b,
+               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+        FROM (SELECT DISTINCT a, b FROM ({band_joins})) p
+        JOIN ms_sh x ON x.doc_id = p.a
+        JOIN ms_sh y ON y.doc_id = p.b""")
+    con.execute("DROP TABLE ms_tk_bands")
+    return con.sql(f"""
+        WITH sym AS (
+          SELECT a AS d, b AS o, jaccard FROM ms_tk_scored
+          UNION ALL
+          SELECT b AS d, a AS o, jaccard FROM ms_tk_scored),
+        ranked AS (
+          SELECT d AS doc_id, o AS similar_doc, jaccard,
+                 CAST(row_number() OVER (PARTITION BY d ORDER BY jaccard DESC, o)
+                      AS INTEGER) AS rnk
+          FROM sym)
+        SELECT doc_id, similar_doc, jaccard, rnk
+        FROM ranked WHERE rnk <= {_SIMDOC_K}""")
+
+
+SCALE_ORACLE_FNS["doc_similarity_topk"] = _fn_doc_similarity_topk
+
+
+def _fn_prefix_filter_jaccard_pairs(con):
+    """Scale restatement (r11): the posting-join GROUP BY in the r9
+    scale SQL materializes the clone-quadratic candidate aggregation
+    (4.84B raw matches at 100x). The answer set IS tr_true (all pairs
+    with round(jaccard,4) >= 0.5, built pair-free by the blocked
+    bincount core and spot-checked by the independent SQL arm), so
+    publish it with jaccard recomputed per published pair via the
+    canonical list_intersect text — output-linear work."""
+    _ensure_truth_state(con)
+    return con.sql("""
+        SELECT t.a, t.b,
+               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+        FROM tr_true t
+        JOIN ms_sh x ON x.doc_id = t.a
+        JOIN ms_sh y ON y.doc_id = t.b""")
+
+
+SCALE_ORACLE_FNS["prefix_filter_jaccard_pairs"] = _fn_prefix_filter_jaccard_pairs
