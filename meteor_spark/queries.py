@@ -288,7 +288,9 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                      AS BIGINT) AS DOUBLE) / 1e4, 2) AS revenue
     FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
@@ -299,19 +301,28 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join: every dim is broadcast; only lineitem-orders
-    shuffles (and under AQE even that can go broadcast at small SF)."""
+    shuffles (and under AQE even that can go broadcast at small SF).
+    Revenue rides exact fixed-point 1e-4 units (the q1/orders_rollup
+    discipline): the SIXTH ladder bug — per-nation sums span 24M rows
+    at the x1000 join axis, where float64 association order crossed the
+    2-decimal publish boundary exactly as q1's did at 600M (r11)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     o = _t(spark, sf_dir, "orders")
+    rev_u = _fp_lift(F.col("l_extendedprice")) * (
+        100 - _fp_lift(F.col("l_discount"))
+    )
     return (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(F.sum(rev_u).cast("double") / 1e4, 2).alias("revenue")
+        )
     )
 
 
