@@ -636,8 +636,18 @@ def semantic_dedup_pairs(
     sided = assigned.withColumn("__nv", norm(F.col("v")))
     grid = F.array(*[F.lit(k) for k in range(blocks)])
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
+    # the probe side must be SPREAD before the join: when Catalyst picks
+    # a broadcast join (it does here — the build side fits), the stream
+    # side keeps its INPUT partitioning, and a single-file fixture scan
+    # is ONE partition — measured at 100x as the whole quadratic pair
+    # compute serialized on one core. A round-robin repartition of the
+    # input-linear probe rows parallelizes the broadcast case; in the
+    # shuffle-join case (real-cluster build sides) the (cluster, i, j)
+    # exchange below subsumes it.
+    par = max(assigned.sparkSession.sparkContext.defaultParallelism, 8)
     l = (
-        sided.withColumn("__bi", blk)
+        sided.repartition(par)
+        .withColumn("__bi", blk)
         .withColumn("__bj", F.explode(grid))
         .alias("l")
     )

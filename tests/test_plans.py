@@ -370,7 +370,10 @@ _PLAN_BUDGETS = {
     # blocked posting join (mapInPandas + broadcast postings — not a
     # JOIN operator, so the budget drops); cold plan measures (27, 8)
     "minhash_eval_report": (28, 8, 2, 1),
-    "semantic_dedup_pairs": (0, 1, 0),
+    # one round-robin exchange spreads the broadcast-join probe side
+    # (input-linear; a single-file scan is 1 partition and serialized
+    # the 100x pair compute on one core before r11)
+    "semantic_dedup_pairs": (1, 1, 0),
     # r11 checked-contract publish: the approx profile now ALSO runs the
     # exact profile + a p45/p55 bounds agg and joins all three on
     # `column` (broadcast — rows = n_columns), so the cold plan is the
