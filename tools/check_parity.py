@@ -349,12 +349,21 @@ def main() -> int:
     # was OOM-killed alongside a concurrent Spark JVM; out-of-core is
     # the point of scale certification, so make it the default
     con.execute("SET memory_limit='40GB'")
-    # uid-keyed spill dir (a fixed world-shared path breaks on a
-    # multi-user host if another uid owns it), created 0700 like the
-    # zorder layout root
+    # uid+pid-keyed spill dir (a fixed world-shared path breaks on a
+    # multi-user host; a shared per-uid dir accumulates STALE temp from
+    # killed/crashed sweeps — measured 35 GB of leftovers starving a
+    # later run's Spark spill). Reap sibling dirs whose owning pid is
+    # gone; concurrent live sweeps keep their own dirs untouched.
+    import shutil
     import tempfile
 
-    spill = f"{tempfile.gettempdir()}/msk_duck_spill_u{os.getuid()}"
+    base = f"{tempfile.gettempdir()}/msk_duck_spill_u{os.getuid()}"
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    for d in os.listdir(base):
+        pid_s = d.rsplit("_", 1)[-1]
+        if pid_s.isdigit() and not os.path.exists(f"/proc/{pid_s}"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    spill = f"{base}/p_{os.getpid()}"
     os.makedirs(spill, mode=0o700, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
