@@ -137,6 +137,7 @@ oracle_sql()  -> DuckDB-equivalent SQL per query (see meteor_spark.queries;
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,9 +174,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. never-checked — no driver row yet in any round; new gates land
 #      here and therefore sort AHEAD of re-samples automatically.
 #   3. _CHECKED_GREEN — green at latest driver status (CORRECTNESS_r01-
-#      r10 union: all 215 gates, incl. the 4 rows-only ones, which have
-#      no hash to go red on); re-sampled last.
-# Within each tier, oracle-bearing entries precede rows-only ones.
+#      r11 union: all 215 gates, incl. the 4 checked-contract ones);
+#      re-sampled last, ROTATED by staleness (see below).
+# Within each tier, oracle-bearing entries precede rows-only ones, and
+# ties break on rounds-since-last-driver-row (read from the committed
+# CORRECTNESS_r*.json records): with all 215 gates green, a fixed
+# registration order would re-sample the same 50-gate prefix every
+# round (r11 re-sampled 48 of r10's 50); sorting the green tier
+# stalest-first makes each round's sample maximize coverage of gates
+# whose last driver check is oldest.
 # Post-round hygiene (documented process): refresh these sets from the
 # new CORRECTNESS_r{N}.json before adding round-{N+1} gates.
 _FAILED_LATEST: set[str] = set()
@@ -278,13 +285,42 @@ _CHECKED_GREEN = {
 }
 
 
+def _last_driver_round() -> dict[str, int]:
+    """gate -> most recent round with a CORRECTNESS_r{N}.json row.
+    Read from the committed driver records next to this file; any
+    read/parse problem degrades to {} (ordering falls back to name)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rec = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rec, dict):
+            for gate in rec:
+                last[gate] = max(last.get(gate, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    last = _last_driver_round()
     ordered = sorted(
         QUERIES,
         key=lambda n: (
             n not in _FAILED_LATEST,
             n in _CHECKED_GREEN,
             n not in ORACLES,
+            last.get(n, 0),  # stalest driver row first within each tier
+            n,
         ),
     )
     return {n: QUERIES[n] for n in ordered}

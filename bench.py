@@ -124,14 +124,25 @@ def write_bench_full(full_path: str, payload: dict) -> None:
     the committed record for two rounds). Same merge-on-write idea as
     check_parity._dump_json, minus the lock: the driver never runs two
     benches concurrently."""
-    isolated_prev = {}
+    isolated_prev: dict = {}
+    isolated_sf = None
     try:
         with open(full_path) as f:
-            isolated_prev = json.load(f).get("isolated", {})
+            prior = json.load(f)
+        isolated_prev = prior.get("isolated", {})
+        isolated_sf = prior.get("isolated_sf")
     except (OSError, ValueError):
         pass
-    if isolated_prev and "isolated" not in payload:
+    # Only carry medians measured at the SAME scale factor as the new
+    # sweep — pairing sf0.1 sweep timings with medians isolated at a
+    # different sf would silently mix scales (r11 advice). A prior file
+    # without isolated_sf predates the stamp; keep it but stamp nothing.
+    if isolated_prev and "isolated" not in payload and (
+        isolated_sf is None or isolated_sf == payload.get("sf")
+    ):
         payload["isolated"] = isolated_prev
+        if isolated_sf is not None:
+            payload["isolated_sf"] = isolated_sf
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1)
 
@@ -183,6 +194,7 @@ def isolate_main(spec: str) -> None:
     except OSError:
         full = {}
     full["isolated"] = isolated
+    full["isolated_sf"] = _sf_of(sf_dir)
     try:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1)

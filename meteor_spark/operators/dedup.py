@@ -529,7 +529,7 @@ def prefix_filter_jaccard_pairs(
         est = sh.agg(
             F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
             .alias("npfx"),
-            (F.sum(F.aggregate("sh", F.lit(0), lambda acc, g: acc + F.length(g)))
+            (F.sum(F.aggregate("sh", F.lit(0), lambda acc, g: acc + F.octet_length(g)))
              / F.sum("sz")).alias("gbytes"),
         ).first()
         n_prefix = est["npfx"] or 0
@@ -568,6 +568,39 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _posting_pair_counts_block(doc_idxs, gid_lists, post_indptr, post_docs):
+    """Enumeration core shared by the Jaccard decision below and the
+    containment scale oracle (tools/scale_oracles.py): for each doc
+    index `a` in the block, bincount its gram posting lists restricted
+    to partners strictly AFTER a, yielding (a, bs, cnt) — partner doc
+    indices and shared-gram counts as numpy arrays. Each unordered pair
+    surfaces exactly once (at its smaller index), with the exact
+    |A INTERSECT B|; the caller applies its own symmetric or directed
+    decision. Never materializes candidate pairs beyond one doc's
+    partner row."""
+    import numpy as np
+
+    for a, gids in zip(doc_idxs, gid_lists):
+        if len(gids) == 0:
+            continue
+        parts = []
+        for g in gids:
+            lo, hi = post_indptr[g], post_indptr[g + 1]
+            seg = post_docs[lo:hi]
+            # postings are sorted by doc index: partners strictly after a
+            cut = np.searchsorted(seg, a, side="right")
+            if cut < hi - lo:
+                parts.append(seg[cut:])
+        if not parts:
+            continue
+        partners = np.concatenate(parts)
+        counts = np.bincount(partners)
+        bs = np.nonzero(counts)[0]
+        if len(bs) == 0:
+            continue
+        yield a, bs, counts[bs]
+
+
 def _posting_true_pairs_block(
     doc_idxs,
     gid_lists,
@@ -600,25 +633,10 @@ def _posting_true_pairs_block(
     scale = 10.0**round_to
     q = Decimal(1).scaleb(-round_to)
     tau = Decimal(str(threshold))
-    for a, gids in zip(doc_idxs, gid_lists):
-        if len(gids) == 0:
-            continue
-        parts = []
-        for g in gids:
-            lo, hi = post_indptr[g], post_indptr[g + 1]
-            seg = post_docs[lo:hi]
-            # postings are sorted by doc index: partners strictly after a
-            cut = np.searchsorted(seg, a, side="right")
-            if cut < hi - lo:
-                parts.append(seg[cut:])
-        if not parts:
-            continue
-        partners = np.concatenate(parts)
-        counts = np.bincount(partners)
-        bs = np.nonzero(counts)[0]
-        if len(bs) == 0:
-            continue
-        si = counts[bs].astype(np.float64)
+    for a, bs, cnt in _posting_pair_counts_block(
+        doc_idxs, gid_lists, post_indptr, post_docs
+    ):
+        si = cnt.astype(np.float64)
         la = float(sizes[a])
         lb = sizes[bs].astype(np.float64)
         c = si / (la + lb - si)

@@ -128,7 +128,11 @@ def footer_box_hits(
                     mins[name] = min(mins.get(name, st.min), st.min)
                     maxs[name] = max(maxs.get(name, st.max), st.max)
         n_files += 1
-        if any(stats_rgs[c] < md.num_row_groups for c in ("x", "y")):
+        if md.num_row_groups == 0 or any(
+            stats_rgs[c] < md.num_row_groups for c in ("x", "y")
+        ):
+            # A zero-row-group file has no stats to prune on (mins/maxs
+            # empty) — count it as read rather than index empty dicts.
             # min/max pruning rule: a file can only be skipped when
             # EVERY row group carries stats on both predicate columns —
             # a partially-statted file's aggregated min/max says nothing

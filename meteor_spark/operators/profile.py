@@ -82,9 +82,24 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, exact: bool
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
-def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = True, round_to: int = 4) -> DataFrame:
+def profile_df(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    round_to: int = 4,
+    quantiles: dict[str, float] | None = None,
+) -> DataFrame:
     """DataFrame-shaped profile: one output row per column, columns
-    (column, min, max, avg, med, unique, count, top).
+    (column, min, max, avg, med, unique, count, top[, *quantiles]).
+
+    quantiles (exact path only): extra named EXACT interpolated
+    quantile columns, e.g. {"p45": 0.45} — derived from the SAME
+    persisted (column, v, cnt) frequency frame as the median via the
+    frequency-weighted percentile aggregate, so each extra quantile
+    costs one tiny agg over the freq frame, not another scan of df
+    (the r11 profile_lineitem_approx contract re-scanned lineitem with
+    a full-sort F.percentile for its p45/p55 window — 2s of its 5s).
+    NULL (double) for non-numeric columns.
 
     Plan shape (chosen over a single wide agg after measuring): unpivot
     FIRST into long form (column_name, value), then ONE groupBy per type
@@ -157,9 +172,11 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
             F.sum("cnt").alias("count"),
             F.min_by("v", F.struct((-F.col("cnt")).alias("nc"), F.col("v").alias("vv"))).cast("string").alias("top"),
         )
+        qnames = list((quantiles or {}))
         if not numeric:
             return stats.select(
-                "column", "min", "max", "avg", F.lit(None).cast("double").alias("med"), "unique", "count", "top"
+                "column", "min", "max", "avg", F.lit(None).cast("double").alias("med"), "unique", "count", "top",
+                *[F.lit(None).cast("double").alias(qn) for qn in qnames],
             )
         # exact interpolated median via the frequency-weighted percentile
         # AGGREGATE over the (column, v, cnt) frame — identical semantics
@@ -173,10 +190,17 @@ def profile_df(df: DataFrame, columns: list[str] | None = None, exact: bool = Tr
         med = pre.groupBy("column").agg(
             F.round(
                 F.percentile(F.col("v").cast("double"), F.lit(0.5), F.col("cnt")), round_to
-            ).alias("med")
+            ).alias("med"),
+            # extra exact quantiles ride the same freq-frame aggregate;
+            # unrounded — window-bound consumers must not lose a
+            # boundary to rounding
+            *[
+                F.percentile(F.col("v").cast("double"), F.lit(q), F.col("cnt")).alias(qn)
+                for qn, q in (quantiles or {}).items()
+            ],
         )
         return stats.join(med, "column").select(
-            "column", "min", "max", "avg", "med", "unique", "count", "top"
+            "column", "min", "max", "avg", "med", "unique", "count", "top", *qnames
         )
 
     outs = []

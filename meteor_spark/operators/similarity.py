@@ -645,9 +645,14 @@ def semantic_dedup_pairs(
     # shuffle-join case (real-cluster build sides) the (cluster, i, j)
     # exchange below subsumes it.
     par = max(assigned.sparkSession.sparkContext.defaultParallelism, 8)
+    # Repartition ONCE before deriving both aliases: whichever side
+    # Catalyst picks as broadcast build (both have near-identical size
+    # estimates), the other — the stream side that inherits input
+    # partitioning — is already spread, so a planner stats tiebreak
+    # can't re-serialize the pair compute on one core.
+    sided = sided.repartition(par)
     l = (
-        sided.repartition(par)
-        .withColumn("__bi", blk)
+        sided.withColumn("__bi", blk)
         .withColumn("__bj", F.explode(grid))
         .alias("l")
     )

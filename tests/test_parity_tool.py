@@ -150,3 +150,36 @@ def test_pareto_scale_oracle_equivalence():
     a = sorted(map(tuple, con.sql(ORACLES["document_pareto_frontier"]).fetchall()))
     b = sorted(map(tuple, con.sql(SCALE_ORACLES["document_pareto_frontier"]).fetchall()))
     assert a == b and len(a) > 0
+
+
+def test_r12_callable_scale_oracle_equivalence_sf001():
+    """The r12 callable restatements (containment bincount, ngram
+    posting-bincount, staged simhash/ahash pigeonholes) must return
+    EXACTLY the canonical brute-force oracle's rows at sf0.01 — the
+    validate-before-first-scale-use discipline every scale-tier
+    restatement has followed since r9. Each callable also runs its own
+    internal independent-sample arm (raises on divergence), so this
+    test exercises that too."""
+    import duckdb
+
+    from meteor_spark.queries import ORACLES
+    from tools.scale_oracles import SCALE_ORACLE_FNS
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    for gate in (
+        "doc_containment_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_hamming_pairs",
+        "image_ahash_pairs",
+    ):
+        a = sorted(map(tuple, con.sql(ORACLES[gate]).fetchall()))
+        b = sorted(map(tuple, SCALE_ORACLE_FNS[gate](con).fetchall()))
+        assert len(a) > 0, f"{gate}: canonical oracle empty at sf0.01"
+        assert a == b, (
+            f"{gate}: callable restatement diverges from canonical "
+            f"({len(a)} vs {len(b)} rows)"
+        )

@@ -373,7 +373,12 @@ _PLAN_BUDGETS = {
     # one round-robin exchange spreads the broadcast-join probe side
     # (input-linear; a single-file scan is 1 partition and serialized
     # the 100x pair compute on one core before r11)
-    "semantic_dedup_pairs": (1, 1, 0),
+    # 2 exchanges since r12: BOTH self-join aliases sit on the spread
+    # repartition (r11 advice — either broadcast build-side choice
+    # leaves the probe side parallel); self-join re-aliasing defeats
+    # ReuseExchange, so the input-linear round-robin shuffle prints
+    # (and runs) twice — trivia next to the pair compute it protects
+    "semantic_dedup_pairs": (2, 1, 0),
     # r11 checked-contract publish: the approx profile now ALSO runs the
     # exact profile + a p45/p55 bounds agg and joins all three on
     # `column` (broadcast — rows = n_columns), so the cold plan is the

@@ -93,55 +93,10 @@ _SIMHASH_CTES = """
            WHERE bit_count(simhash) > 0 AND bit_count(simhash) < 32)
 """
 
-SCALE_ORACLES["simhash_hamming_pairs"] = f"""
-    WITH {_SIMHASH_CTES},
-    cand AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b
-        ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN sh b
-        ON (a.simhash & 65535) = (b.simhash & 65535) AND a.doc_id < b.doc_id)
-    SELECT c.a, c.b,
-           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
-    FROM cand c JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b
-    WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
-"""
-
-SCALE_ORACLES["image_ahash_pairs"] = """
-    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 128),
-    tiles AS (SELECT doc_id, unnest(range(0, 32)) AS t, text FROM d),
-    tm AS (
-      SELECT doc_id, t,
-             list_avg(list_transform(range(1, 5),
-               i -> CAST(ascii(substr(text, CAST(t * 4 + i AS INT), 1)) AS DOUBLE))) AS m
-      FROM tiles),
-    gm AS (SELECT doc_id, avg(m) AS g FROM tm GROUP BY doc_id),
-    ah0 AS (
-      SELECT tm.doc_id,
-             CAST(sum(CASE WHEN tm.m > gm.g THEN 1 << t ELSE 0 END) AS BIGINT) AS ahash
-      FROM tm JOIN gm USING (doc_id) GROUP BY tm.doc_id),
-    ah AS (SELECT * FROM ah0
-           WHERE bit_count(ahash) > 0 AND bit_count(ahash) < 32),
-    cand AS (
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM ah a JOIN ah b
-        ON (a.ahash & 2047) = (b.ahash & 2047) AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM ah a JOIN ah b
-        ON ((a.ahash >> 11) & 2047) = ((b.ahash >> 11) & 2047) AND a.doc_id < b.doc_id
-      UNION
-      SELECT a.doc_id AS a, b.doc_id AS b
-      FROM ah a JOIN ah b
-        ON ((a.ahash >> 22) & 1023) = ((b.ahash >> 22) & 1023) AND a.doc_id < b.doc_id)
-    SELECT c.a, c.b,
-           CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
-    FROM cand c JOIN ah x ON x.doc_id = c.a JOIN ah y ON y.doc_id = c.b
-    WHERE bit_count(xor(x.ahash, y.ahash)) <= 2
-    ORDER BY a, b
-"""
+# simhash_hamming_pairs / image_ahash_pairs: formerly string entries
+# here; since r12 they are STAGED CALLABLES (end of this module) - the
+# string forms re-evaluated the hash pipelines per plain-CTE reference
+# and spilled >51 GB at 100x.
 
 
 def _minhash_eval_scale() -> str:
@@ -238,6 +193,64 @@ SCALE_ORACLE_FNS: dict = {}
 # verified-pair and label temp tables within a sweep
 _MS_BUILT: dict[int, str] = {}
 _TR_BUILT: dict[int, str] = {}
+_PS_BUILT: dict[int, tuple] = {}
+
+
+def _build_posting_arrays(con, ent_sql: str, sz_sql: str):
+    """Numpy posting arrays from a (doc_id, gid) entity query and a
+    (doc_id, sz) size query: (doc_ids, sizes, post_indptr, post_docs,
+    starts, ends, g_sorted) — the input shape of
+    operators.dedup._posting_pair_counts_block."""
+    import numpy as np
+
+    ent = con.sql(ent_sql).arrow()
+    sz = con.sql(sz_sql).arrow()
+    doc_ids = sz["doc_id"].to_numpy()
+    sizes = sz["sz"].to_numpy().astype(np.int32)
+    idx_of = {int(d): i for i, d in enumerate(doc_ids)}
+    e_doc = np.fromiter(
+        (idx_of[int(d)] for d in ent["doc_id"].to_numpy()),
+        dtype=np.int64,
+        count=len(ent),
+    )
+    e_gid = ent["gid"].to_numpy().astype(np.int64)
+    order = np.lexsort((e_doc, e_gid))
+    e_doc, e_gid = e_doc[order], e_gid[order]
+    n_grams = int(e_gid.max()) + 1 if len(e_gid) else 0
+    post_indptr = np.zeros(n_grams + 1, dtype=np.int64)
+    np.add.at(post_indptr, e_gid + 1, 1)
+    post_indptr = np.cumsum(post_indptr)
+    post_docs = e_doc.astype(np.int32)
+    # per-doc gram lists, in doc-index order
+    by_doc = np.argsort(e_doc, kind="stable")
+    d_sorted, g_sorted = e_doc[by_doc], e_gid[by_doc]
+    starts = np.searchsorted(d_sorted, np.arange(len(doc_ids)))
+    ends = np.searchsorted(d_sorted, np.arange(len(doc_ids)), side="right")
+    return (doc_ids, sizes, post_indptr, post_docs, starts, ends, g_sorted)
+
+
+def _posting_state(con):
+    """Shared numpy posting arrays over the canonical ms_sh shingles.
+    Built once per (connection, fixture) — the Jaccard truth table
+    (tr_true) and the containment callable both consume it, and at 100x
+    the gram-id assignment + lexsort is the expensive half of either."""
+    tok = _fixture_token(con)
+    hit = _PS_BUILT.get(id(con))
+    if hit and hit[0] == tok:
+        return hit[1]
+    _ensure_minhash_state(con)
+    state = _build_posting_arrays(
+        con,
+        """
+        WITH ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
+        d AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS gid
+              FROM (SELECT DISTINCT tok FROM ex))
+        SELECT e.doc_id, d.gid FROM ex e JOIN d USING (tok)
+        """,
+        "SELECT doc_id, len(sh) AS sz FROM ms_sh ORDER BY doc_id",
+    )
+    _PS_BUILT[id(con)] = (tok, state)
+    return state
 
 
 def _fixture_token(con) -> str:
@@ -348,40 +361,12 @@ def _ensure_truth_state(con) -> None:
     tok = _fixture_token(con)
     if _TR_BUILT.get(id(con)) == tok:
         return
-    _ensure_minhash_state(con)
     import numpy as np
 
     from meteor_spark.operators.dedup import _posting_true_pairs_block
 
+    doc_ids, sizes, post_indptr, post_docs, starts, ends, g_sorted = _posting_state(con)
     con.execute("DROP TABLE IF EXISTS tr_true")
-    ent = con.sql("""
-        WITH ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
-        d AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS gid
-              FROM (SELECT DISTINCT tok FROM ex))
-        SELECT e.doc_id, d.gid FROM ex e JOIN d USING (tok)
-    """).arrow()
-    sz = con.sql("SELECT doc_id, len(sh) AS sz FROM ms_sh ORDER BY doc_id").arrow()
-    doc_ids = sz["doc_id"].to_numpy()
-    sizes = sz["sz"].to_numpy().astype(np.int32)
-    idx_of = {int(d): i for i, d in enumerate(doc_ids)}
-    e_doc = np.fromiter(
-        (idx_of[int(d)] for d in ent["doc_id"].to_numpy()),
-        dtype=np.int64,
-        count=len(ent),
-    )
-    e_gid = ent["gid"].to_numpy().astype(np.int64)
-    order = np.lexsort((e_doc, e_gid))
-    e_doc, e_gid = e_doc[order], e_gid[order]
-    n_grams = int(e_gid.max()) + 1 if len(e_gid) else 0
-    post_indptr = np.zeros(n_grams + 1, dtype=np.int64)
-    np.add.at(post_indptr, e_gid + 1, 1)
-    post_indptr = np.cumsum(post_indptr)
-    post_docs = e_doc.astype(np.int32)
-    # per-doc gram lists, in doc-index order
-    by_doc = np.argsort(e_doc, kind="stable")
-    d_sorted, g_sorted = e_doc[by_doc], e_gid[by_doc]
-    starts = np.searchsorted(d_sorted, np.arange(len(doc_ids)))
-    ends = np.searchsorted(d_sorted, np.arange(len(doc_ids)), side="right")
     a_list, b_list = [], []
     for a, b, _ in _posting_true_pairs_block(
         range(len(doc_ids)),
@@ -754,3 +739,303 @@ def _fn_prefix_filter_jaccard_pairs(con):
 
 
 SCALE_ORACLE_FNS["prefix_filter_jaccard_pairs"] = _fn_prefix_filter_jaccard_pairs
+
+
+def _fn_doc_containment_pairs(con):
+    """Scale restatement (r12 — VERDICT r11 task #2): the r9 scale SQL's
+    posting-join GROUP BY materializes the clone-quadratic candidate
+    aggregation and spilled >56 GB at 100x (the Spark side COMPLETED);
+    the blocked bincount core never materializes candidates. Enumeration
+    reuses the SHARED posting state: _posting_pair_counts_block yields
+    each unordered intersecting pair once with its exact |A INTERSECT B|
+    (lossless for containment — si >= 0.7*la > 0 forces a shared
+    shingle); the DIRECTED decision applies the canonical SQL's exact
+    double arithmetic (si >= len(a.sh) * 0.7) in each orientation.
+    Containment VALUES are not taken from the core: they are recomputed
+    per published pair with the canonical list_intersect text —
+    output-linear, value-independent of the enumeration. An independent
+    pure-SQL arm re-derives a 5-doc sample's complete directed partner
+    sets and raises on any divergence (the r10 discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    from meteor_spark.operators.dedup import _posting_pair_counts_block
+
+    doc_ids, sizes, post_indptr, post_docs, starts, ends, g_sorted = _posting_state(con)
+    fa: list = []
+    fb: list = []
+    ids64 = doc_ids.astype(np.int64)
+    for a, bs, cnt in _posting_pair_counts_block(
+        range(len(doc_ids)),
+        (g_sorted[s:e] for s, e in zip(starts, ends)),
+        post_indptr,
+        post_docs,
+    ):
+        si = cnt.astype(np.float64)
+        la = float(sizes[a])
+        lb = sizes[bs].astype(np.float64)
+        fwd = np.nonzero(si >= la * 0.7)[0]  # a's shingles mostly in b
+        rev = np.nonzero(si >= lb * 0.7)[0]  # b's shingles mostly in a
+        if len(fwd):
+            fa.append(np.full(len(fwd), ids64[a], dtype=np.int64))
+            fb.append(ids64[bs[fwd]])
+        if len(rev):
+            fa.append(ids64[bs[rev]])
+            fb.append(np.full(len(rev), ids64[a], dtype=np.int64))
+    dirp = pd.DataFrame({
+        "a": np.concatenate(fa) if fa else np.empty(0, dtype=np.int64),
+        "b": np.concatenate(fb) if fb else np.empty(0, dtype=np.int64),
+    })
+    con.register("__ct_pairs", dirp)
+    con.execute("DROP TABLE IF EXISTS ct_pairs")
+    con.execute("CREATE TEMP TABLE ct_pairs AS SELECT a, b FROM __ct_pairs")
+    con.unregister("__ct_pairs")
+    bad = con.sql("""
+        WITH samp AS (
+          SELECT doc_id FROM ms_sh
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 5),
+        ex AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh),
+        sx AS (SELECT doc_id, unnest(sh) AS tok FROM ms_sh
+               WHERE doc_id IN (SELECT doc_id FROM samp)),
+        cand AS (
+          SELECT DISTINCT s.doc_id AS sd, e.doc_id AS od
+          FROM sx s JOIN ex e ON e.tok = s.tok AND e.doc_id <> s.doc_id),
+        sqlpairs AS (
+          SELECT c.sd AS a, c.od AS b
+          FROM cand c
+          JOIN ms_sh x ON x.doc_id = c.sd JOIN ms_sh y ON y.doc_id = c.od
+          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= len(x.sh) * 0.7
+          UNION
+          SELECT c.od AS a, c.sd AS b
+          FROM cand c
+          JOIN ms_sh x ON x.doc_id = c.od JOIN ms_sh y ON y.doc_id = c.sd
+          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) >= len(x.sh) * 0.7),
+        ctp AS (
+          SELECT a, b FROM ct_pairs
+          WHERE a IN (SELECT doc_id FROM samp)
+             OR b IN (SELECT doc_id FROM samp))
+        SELECT count(*) FROM (
+          (SELECT a, b FROM sqlpairs EXCEPT SELECT a, b FROM ctp)
+          UNION ALL
+          (SELECT a, b FROM ctp EXCEPT SELECT a, b FROM sqlpairs))
+    """).fetchone()[0]
+    if bad:
+        raise RuntimeError(
+            f"containment independent arm: {bad} directed pair rows differ "
+            f"between the bincount core and the pure-SQL sample re-derivation"
+        )
+    return con.sql("""
+        SELECT t.a, t.b,
+               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh), 4)
+                 AS containment
+        FROM ct_pairs t
+        JOIN ms_sh x ON x.doc_id = t.a
+        JOIN ms_sh y ON y.doc_id = t.b""")
+
+
+SCALE_ORACLE_FNS["doc_containment_pairs"] = _fn_doc_containment_pairs
+
+
+_NG_BUILT: dict[int, tuple] = {}
+
+
+def _ng_posting_state(con):
+    """Posting arrays for ngram_jaccard_pairs: 2-gram shingles with the
+    (lang, source) block key FOLDED INTO THE GRAM ID (tok ->
+    lang\\x01source\\x01tok) — a cross-block pair then shares zero gram
+    ids, so the global enumeration IS the blocked join. ng_sh keeps the
+    PLAIN shingle lists for the output-linear value recomputation."""
+    from meteor_spark.queries import _NORM_SQL, _shingle_sql
+
+    tok = _fixture_token(con)
+    hit = _NG_BUILT.get(id(con))
+    if hit and hit[0] == tok:
+        return hit[1]
+    con.execute("DROP TABLE IF EXISTS ng_sh")
+    con.execute(f"""
+        CREATE TEMP TABLE ng_sh AS
+        WITH nd AS (
+          SELECT doc_id, lang, source,
+                 regexp_split_to_array({_NORM_SQL}, ' ') AS nws
+          FROM documents)
+        SELECT doc_id, lang, source, {_shingle_sql(2)} AS sh FROM nd""")
+    state = _build_posting_arrays(
+        con,
+        """
+        WITH ex AS (
+          SELECT doc_id,
+                 lang || chr(1) || source || chr(1) || unnest(sh) AS tok
+          FROM ng_sh),
+        d AS (SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS gid
+              FROM (SELECT DISTINCT tok FROM ex))
+        SELECT e.doc_id, d.gid FROM ex e JOIN d USING (tok)
+        """,
+        "SELECT doc_id, len(sh) AS sz FROM ng_sh ORDER BY doc_id",
+    )
+    _NG_BUILT[id(con)] = (tok, state)
+    return state
+
+
+def _fn_ngram_jaccard_pairs(con):
+    """Scale restatement (r12 — VERDICT r11 task #3): the canonical
+    all-pairs list_intersect within (lang, source) blocks is the
+    quadratic truth (983s at 10x); this posting-bincount form does
+    Sum_gram df(gram)^2 work with zero candidate materialization. The
+    DIRECTED decision is the canonical filter's exact double arithmetic
+    (UNROUNDED si/(la+lb-si) >= 0.05 — note the canonical ngram filter,
+    unlike prefix_filter's, does not round before comparing). Values
+    are recomputed per published pair with the canonical list_intersect
+    text; a pure-SQL 5-doc sample arm re-derives complete partner sets
+    within blocks and raises on divergence."""
+    import numpy as np
+    import pandas as pd
+
+    from meteor_spark.operators.dedup import _posting_pair_counts_block
+
+    doc_ids, sizes, post_indptr, post_docs, starts, ends, g_sorted = _ng_posting_state(con)
+    fa: list = []
+    fb: list = []
+    ids64 = doc_ids.astype(np.int64)
+    for a, bs, cnt in _posting_pair_counts_block(
+        range(len(doc_ids)),
+        (g_sorted[s:e] for s, e in zip(starts, ends)),
+        post_indptr,
+        post_docs,
+    ):
+        si = cnt.astype(np.float64)
+        la = float(sizes[a])
+        lb = sizes[bs].astype(np.float64)
+        keep = np.nonzero(si / (la + lb - si) >= 0.05)[0]
+        if len(keep):
+            fa.append(np.full(len(keep), ids64[a], dtype=np.int64))
+            fb.append(ids64[bs[keep]])
+    pairs = pd.DataFrame({
+        "a": np.concatenate(fa) if fa else np.empty(0, dtype=np.int64),
+        "b": np.concatenate(fb) if fb else np.empty(0, dtype=np.int64),
+    })
+    con.register("__ng_pairs", pairs)
+    con.execute("DROP TABLE IF EXISTS ng_pairs")
+    con.execute("CREATE TEMP TABLE ng_pairs AS SELECT a, b FROM __ng_pairs")
+    con.unregister("__ng_pairs")
+    bad = con.sql("""
+        WITH samp AS (
+          SELECT doc_id FROM ng_sh
+          ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 5),
+        sqlpairs AS (
+          SELECT least(a.doc_id, b.doc_id) AS a,
+                 greatest(a.doc_id, b.doc_id) AS b
+          FROM ng_sh a JOIN ng_sh b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id <> b.doc_id
+          WHERE a.doc_id IN (SELECT doc_id FROM samp)
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05),
+        ngp AS (
+          SELECT a, b FROM ng_pairs
+          WHERE a IN (SELECT doc_id FROM samp)
+             OR b IN (SELECT doc_id FROM samp))
+        SELECT count(*) FROM (
+          (SELECT DISTINCT a, b FROM sqlpairs EXCEPT SELECT a, b FROM ngp)
+          UNION ALL
+          (SELECT a, b FROM ngp EXCEPT SELECT DISTINCT a, b FROM sqlpairs))
+    """).fetchone()[0]
+    if bad:
+        raise RuntimeError(
+            f"ngram independent arm: {bad} pair rows differ between the "
+            f"bincount core and the pure-SQL sample re-derivation"
+        )
+    return con.sql("""
+        SELECT t.a, t.b,
+               round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+        FROM ng_pairs t
+        JOIN ng_sh x ON x.doc_id = t.a
+        JOIN ng_sh y ON y.doc_id = t.b""")
+
+
+SCALE_ORACLE_FNS["ngram_jaccard_pairs"] = _fn_ngram_jaccard_pairs
+
+
+def _fn_simhash_hamming_pairs(con):
+    """Staged restatement (r12 — the doc_similarity_topk treatment):
+    the string form's cand CTE references sh twice per pigeonhole arm
+    plus twice in the final join, and DuckDB inlines plain CTEs, so the
+    word->bit simhash pipeline (doc x word x 32 bit-positions rows)
+    evaluated ~6x and spilled >51 GB at 100x. Stage the per-doc simhash
+    ONCE into a temp table, then push the hamming filter INSIDE each
+    pigeonhole arm so only ANSWER rows ever reach the distinct UNION
+    (filter commutes with union/distinct — identical result set to the
+    canonical filter-after-union form)."""
+    tok = _fixture_token(con)
+    if getattr(_fn_simhash_hamming_pairs, "_built", None) != (id(con), tok):
+        con.execute("DROP TABLE IF EXISTS simh")
+        con.execute(f"CREATE TEMP TABLE simh AS WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sh")
+        _fn_simhash_hamming_pairs._built = (id(con), tok)
+    return con.sql("""
+        WITH cand AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hd
+          FROM simh a JOIN simh b
+            ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+          UNION
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hd
+          FROM simh a JOIN simh b
+            ON (a.simhash & 65535) = (b.simhash & 65535) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
+        SELECT a, b, CAST(hd AS INTEGER) AS hamming FROM cand""")
+
+
+SCALE_ORACLE_FNS["simhash_hamming_pairs"] = _fn_simhash_hamming_pairs
+
+
+def _fn_image_ahash_pairs(con):
+    """Staged restatement (r12): same treatment as simhash — the aHash
+    tile pipeline (doc x 32 tiles x 4-char means) materializes once,
+    and the hamming<=2 filter moves inside each of the three pigeonhole
+    arms so the distinct UNION only ever sees answer rows."""
+    tok = _fixture_token(con)
+    if getattr(_fn_image_ahash_pairs, "_built", None) != (id(con), tok):
+        con.execute("DROP TABLE IF EXISTS imgh")
+        con.execute("""
+            CREATE TEMP TABLE imgh AS
+            WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 128),
+            tiles AS (SELECT doc_id, unnest(range(0, 32)) AS t, text FROM d),
+            tm AS (
+              SELECT doc_id, t,
+                     list_avg(list_transform(range(1, 5),
+                       i -> CAST(ascii(substr(text, CAST(t * 4 + i AS INT), 1)) AS DOUBLE))) AS m
+              FROM tiles),
+            gm AS (SELECT doc_id, avg(m) AS g FROM tm GROUP BY doc_id),
+            ah0 AS (
+              SELECT tm.doc_id,
+                     CAST(sum(CASE WHEN tm.m > gm.g THEN 1 << t ELSE 0 END) AS BIGINT) AS ahash
+              FROM tm JOIN gm USING (doc_id) GROUP BY tm.doc_id)
+            SELECT * FROM ah0
+            WHERE bit_count(ahash) > 0 AND bit_count(ahash) < 32""")
+        _fn_image_ahash_pairs._built = (id(con), tok)
+    return con.sql("""
+        WITH cand AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.ahash, b.ahash)) AS hd
+          FROM imgh a JOIN imgh b
+            ON (a.ahash & 2047) = (b.ahash & 2047) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+          UNION
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.ahash, b.ahash)) AS hd
+          FROM imgh a JOIN imgh b
+            ON ((a.ahash >> 11) & 2047) = ((b.ahash >> 11) & 2047) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+          UNION
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 bit_count(xor(a.ahash, b.ahash)) AS hd
+          FROM imgh a JOIN imgh b
+            ON ((a.ahash >> 22) & 1023) = ((b.ahash >> 22) & 1023) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ahash, b.ahash)) <= 2)
+        SELECT a, b, CAST(hd AS INTEGER) AS hamming FROM cand
+        ORDER BY a, b""")
+
+
+SCALE_ORACLE_FNS["image_ahash_pairs"] = _fn_image_ahash_pairs
