@@ -379,11 +379,12 @@ _PLAN_BUDGETS = {
     # ReuseExchange, so the input-linear round-robin shuffle prints
     # (and runs) twice — trivia next to the pair compute it protects
     "semantic_dedup_pairs": (2, 1, 0),
-    # r11 checked-contract publish: the approx profile now ALSO runs the
-    # exact profile + a p45/p55 bounds agg and joins all three on
-    # `column` (broadcast — rows = n_columns), so the cold plan is the
-    # sum of both profiles' aggs; measured (9, 3)
-    "profile_lineitem_approx": (9, 3, 0),
+    # r12 shape: the approx profile joins the SHARED exact profile
+    # (one freq-frame pass, p45/p55 riding the same persisted frame —
+    # the r11 separate bounds agg and its broadcast join are gone), so
+    # one fewer shuffle and one fewer BHJ than the r11 (9, 3) budget;
+    # measured (8, 2)
+    "profile_lineitem_approx": (8, 2, 0),
     "pq_ann_topk": (3, 3, 1),
     "doc_similarity_topk": (6, 3, 0),
     "embedding_pc1_power_iteration": (0, 0, 0),
