@@ -147,25 +147,34 @@ def zorder_value(cols: list, bits: int = 16) -> F.Column:
     return z
 
 
-def _bucket_search_expr(col: F.Column, bounds: list[float]) -> F.Column:
-    """count(bounds <= col) as a BALANCED BINARY-SEARCH `when` tree —
+def _bucket_search_expr(col_sql: str, bounds: list[float]) -> F.Column:
+    """count(bounds <= col) as a BALANCED BINARY-SEARCH CASE tree —
     log2(n) codegen'd comparisons per row. The HOF fold this replaced
     (aggregate over a literal bounds array) runs the lambda INTERPRETED,
     one step per boundary per row: at 255 boundaries x 2 columns it was
     ~500 interpreted steps/row and dominated the whole z-order write
     (measured 36s vs ~3s for everything else at sf0.1). NULL input
-    lands in bucket 0, matching the old coalesce(fold, 0) contract."""
-    def rec(lo: int, hi: int) -> F.Column:
+    lands in bucket 0 (NULL comparisons fall through to the low branch),
+    matching the old coalesce(fold, 0) contract.
+
+    Built as ONE SQL string handed to F.expr, not as nested F.when
+    Columns: the 2·n-node tree costs ~1000 py4j round-trips per column
+    the Column way — measured 2.6-3.0s of pure DRIVER time per
+    invocation at 255 bounds x 2 columns vs 0.3s for a single parsed
+    string (same analyzed tree, bit-identical buckets). `col_sql` is
+    the column as a SQL fragment; it is repeated once per CASE level,
+    so keep it a simple cast/column reference."""
+    def rec(lo: int, hi: int) -> str:
         if lo == hi:
-            return F.lit(lo)
+            return str(lo)
         mid = (lo + hi) // 2
-        # col >= bounds[mid] -> answer in [mid+1, hi]; NULL comparisons
-        # fall through to the low branch, bottoming out at 0
-        return F.when(col >= F.lit(float(bounds[mid])), rec(mid + 1, hi)).otherwise(
-            rec(lo, mid)
+        # col >= bounds[mid] -> answer in [mid+1, hi]
+        return (
+            f"(CASE WHEN {col_sql} >= {float(bounds[mid])!r} "
+            f"THEN {rec(mid + 1, hi)} ELSE {rec(lo, mid)} END)"
         )
 
-    return rec(0, len(bounds))
+    return F.expr(rec(0, len(bounds)))
 
 
 def write_zordered(df: DataFrame, path: str, zorder_cols: list[str], bits: int = 16, n_files: int | None = None) -> None:
@@ -221,7 +230,7 @@ def zordered_frame(
     ).approxQuantile([f"__v_{i}" for i in range(len(zorder_cols))], probs, 0.001)
     tmp = df
     for c, bounds in zip(zorder_cols, all_bounds):
-        bucket = _bucket_search_expr(F.col(c).cast("double"), bounds)
+        bucket = _bucket_search_expr(f"CAST(`{c}` AS DOUBLE)", bounds)
         tmp = tmp.withColumn(f"__n_{c}", bucket.cast("long"))
     tmp = tmp.withColumn(
         "__z", zorder_value([F.col(f"__n_{c}") for c in zorder_cols], bits)
