@@ -3017,16 +3017,31 @@ def _ann_contract_row(
     the contract — every query returns exactly k rows and mean recall
     against the in-engine exact top-k clears the floor. Collects here
     are two agg scalars (bounded)."""
+    # ONE action for the whole contract: the row census and the recall
+    # hits used to be two separate actions (.first() + .count()), and
+    # the second re-ran the entire ANN pipeline lineage (quantizer
+    # assignment + probe/scoring + rank window — for pq_topk two chained
+    # mapInPandas stages) a second time. A left join against the exact
+    # ids with a hit flag folds both into one aggregate, so res and
+    # exact are each computed exactly once per gate invocation.
     got = res.select("query_id", "neighbor_id")
-    per_q = got.groupBy("query_id").agg(F.count("*").alias("nres")).agg(
-        F.count("*").alias("nq"),
-        F.min("nres").alias("lo"),
-        F.max("nres").alias("hi"),
-    ).first()
-    hits = got.join(
-        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
-        "left_semi",
-    ).count()
+    per_q = (
+        got.join(
+            exact.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("nres"), F.sum("__hit").alias("nhit"))
+        .agg(
+            F.count("*").alias("nq"),
+            F.min("nres").alias("lo"),
+            F.max("nres").alias("hi"),
+            F.sum("nhit").alias("hits"),
+        )
+        .first()
+    )
+    hits = int(per_q["hits"] or 0)
     nq = int(per_q["nq"])
     recall_ppm = hits * 1_000_000 // max(nq * k, 1)
     return spark.createDataFrame(
