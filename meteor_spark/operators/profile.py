@@ -187,17 +187,26 @@ def profile_df(
         # high-cardinality columns (and cost ~half the exact-profile
         # runtime at sf0.1). The aggregate form combines map-side partial
         # value->count maps instead; no global sort, no one-task window.
+        # ONE percentile aggregate evaluating every requested quantile
+        # from a single weighted buffer (the array-percentage form).
+        # Separate percentile(...) calls per quantile each build, merge
+        # and sort their own value->weight map over the same rows —
+        # measured 4.2s vs 2.2s for [med, p45, p55] on the cached
+        # 600k-row lineitem freq frame at sf0.1, values bit-identical.
+        # med is rounded after extraction; the extra quantiles stay
+        # unrounded — window-bound consumers must not lose a boundary
+        # to rounding.
+        qitems = list((quantiles or {}).items())
         med = pre.groupBy("column").agg(
-            F.round(
-                F.percentile(F.col("v").cast("double"), F.lit(0.5), F.col("cnt")), round_to
-            ).alias("med"),
-            # extra exact quantiles ride the same freq-frame aggregate;
-            # unrounded — window-bound consumers must not lose a
-            # boundary to rounding
-            *[
-                F.percentile(F.col("v").cast("double"), F.lit(q), F.col("cnt")).alias(qn)
-                for qn, q in (quantiles or {}).items()
-            ],
+            F.percentile(
+                F.col("v").cast("double"),
+                F.array(F.lit(0.5), *[F.lit(q) for _, q in qitems]),
+                F.col("cnt"),
+            ).alias("__qs")
+        ).select(
+            "column",
+            F.round(F.col("__qs")[0], round_to).alias("med"),
+            *[F.col("__qs")[i + 1].alias(qn) for i, (qn, _) in enumerate(qitems)],
         )
         return stats.join(med, "column").select(
             "column", "min", "max", "avg", "med", "unique", "count", "top", *qnames
