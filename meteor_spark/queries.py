@@ -9093,15 +9093,27 @@ def zorder_footer_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     zdir = _os.path.join(
         _zreal_secure_base(), _os.path.basename(sf_dir.rstrip("/"))
     )
-    rows = []
-    for layout, z in (("zorder", True), ("rowkey", False)):
+    # The two layout writes are independent jobs whose heavy stages are
+    # single-partition ntile window chains (one core each); running them
+    # sequentially leaves the cluster idle during both (guide §2.6 —
+    # overlap independent jobs). A 2-thread pool overlaps the rowkey
+    # write (~1.7s at sf0.1) entirely inside the zorder write (~3.6s);
+    # outputs are disjoint dirs, results deterministic, order preserved
+    # by pool.map.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_layout(args: tuple) -> tuple:
+        layout, z = args
         path = f"{zdir}/{layout}"
         write_zorder_files(
             li, path, "l_partkey", "l_suppkey", "rk",
             n_files=_ZCHUNKS, bits=_ZB, zorder=z,
         )
         n_files, n_read = footer_box_hits(spark, path, _ZBOX)
-        rows.append((layout, n_files, n_read, n_read * 1_000_000 // n_files))
+        return (layout, n_files, n_read, n_read * 1_000_000 // n_files)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows = list(pool.map(_one_layout, (("zorder", True), ("rowkey", False))))
     return spark.createDataFrame(
         rows, "layout string, n_files long, n_read long, read_ppm long"
     )
