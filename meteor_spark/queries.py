@@ -8216,6 +8216,18 @@ def mw_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_TABLES = ("customer", "nation", "part", "region", "supplier")
 
 
+def _parallel_writes(write_one, tables) -> None:
+    """Run the per-table round-trip writes of the format-catalog gates
+    concurrently (guide §2.6 — overlap independent jobs): each table
+    writes to its own directory, and the five dim tables are small
+    enough that each write is one short mostly-idle job; serially they
+    paid five full job latencies. Thread count = table count (<= 5)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        list(pool.map(write_one, tables))
+
+
 @query(
     "orc_catalog_assets",
     "UNION ALL ".join(
@@ -8244,8 +8256,12 @@ def orc_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never share a predictable path.
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
     base = _proc_tmpdir(f"orc_{fixture}")
-    for t in _ORC_TABLES:
-        _t(spark, sf_dir, t).write.mode("overwrite").orc(os.path.join(base, f"{t}.orc"))
+    _parallel_writes(
+        lambda t: _t(spark, sf_dir, t).write.mode("overwrite").orc(
+            os.path.join(base, f"{t}.orc")
+        ),
+        _ORC_TABLES,
+    )
     from meteor_spark.registry import extractors
 
     ex = extractors.get("orc_catalog")
@@ -8575,10 +8591,12 @@ def json_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
     base = _proc_tmpdir(f"jsl_{fixture}")
-    for t in _ORC_TABLES:
-        _t(spark, sf_dir, t).write.mode("overwrite").json(
+    _parallel_writes(
+        lambda t: _t(spark, sf_dir, t).write.mode("overwrite").json(
             os.path.join(base, f"{t}.jsonl")
-        )
+        ),
+        _ORC_TABLES,
+    )
     from meteor_spark.registry import extractors
 
     ex = extractors.get("json_catalog")
@@ -8612,10 +8630,12 @@ def csv_catalog_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fixture = os.path.basename(os.path.normpath(sf_dir)) or "fixture"
     base = _proc_tmpdir(f"csv_{fixture}")
-    for t in _ORC_TABLES:
-        _t(spark, sf_dir, t).write.mode("overwrite").option("header", True).csv(
-            os.path.join(base, f"{t}.csv")
-        )
+    _parallel_writes(
+        lambda t: _t(spark, sf_dir, t).write.mode("overwrite")
+        .option("header", True)
+        .csv(os.path.join(base, f"{t}.csv")),
+        _ORC_TABLES,
+    )
     from meteor_spark.registry import extractors
 
     ex = extractors.get("csv_catalog")
