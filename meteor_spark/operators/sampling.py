@@ -692,18 +692,23 @@ def consistent_hash_reshard(
         return sorted(r["p"] for r in rd.collect())
 
     def assign(col_positions: list[int]):
-        h64 = (
-            F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            * 64
-        )
+        # the key hash is a pre-projected COLUMN, not an expression
+        # inlined into the lambda body: the interpreted HOF filter
+        # evaluates its predicate per ring element, so an embedded
+        # md5+conv ran |ring| times per row per ring (1.4M extra md5s
+        # at 5k keys) — and both rings share the one hash column
         arr = F.lit(col_positions)
         return F.coalesce(
-            F.array_min(F.filter(arr, lambda x: x >= h64)),
+            F.array_min(F.filter(arr, lambda x: x >= F.col("__h64"))),
             F.lit(min(col_positions)),
         ) % 64
 
-    assigned = df.select(
+    h64 = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        * 64
+    )
+    assigned = df.select(h64.alias("__h64")).select(
         assign(ring(old_shards)).cast("long").alias("old_shard"),
         assign(ring(new_shards)).cast("long").alias("new_shard"),
     )
