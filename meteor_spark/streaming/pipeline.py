@@ -628,10 +628,25 @@ def incremental_neardup_stream(
     # rewritten by compact_neardup_store) instead of overwriting it.
     if seed:
         corpus_sh = shingle_frame(corpus, text_col, id_col, k).persist()
-        corpus_sh.withColumn("__corpus", F.lit(True)).write.mode("overwrite").parquet(
-            f"{store_dir}/shingles"
-        )
-        _bands_of(corpus_sh).write.mode("overwrite").parquet(f"{store_dir}/bands")
+        # the two seed writes are independent jobs over the persisted
+        # shingle frame; overlapping them (guide §2.6) hides the
+        # cheaper write inside the band-hash one. Concurrent first
+        # actions race the cache fill, which at worst computes a
+        # partition twice on otherwise-idle cores.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            w1 = pool.submit(
+                lambda: corpus_sh.withColumn("__corpus", F.lit(True))
+                .write.mode("overwrite")
+                .parquet(f"{store_dir}/shingles")
+            )
+            w2 = pool.submit(
+                lambda: _bands_of(corpus_sh)
+                .write.mode("overwrite")
+                .parquet(f"{store_dir}/bands")
+            )
+            w1.result(); w2.result()
         corpus_sh.unpersist()
 
     n_batches = 0
@@ -689,14 +704,28 @@ def incremental_neardup_stream(
 
         dropped = dup_of_store.unionByName(dup_in_batch).distinct()
         survivors_sh = sh_b.join(dropped, id_col, "left_anti").persist()
-        survivors_sh.withColumn("__corpus", F.lit(False)).write.mode("append").parquet(
-            f"{store_dir}/shingles"
-        )
-        nb = _bands_of(survivors_sh)
-        if store_pcol is not None:
-            _partitioned_append(nb, store_pcol, "band_key", f"{store_dir}/bands")
-        else:
-            nb.write.mode("append").parquet(f"{store_dir}/bands")
+
+        # the two survivor appends touch disjoint store dirs and both
+        # read the persisted survivor frame — overlap them (§2.6, the
+        # same move as the seed writes)
+        def _append_shingles() -> None:
+            survivors_sh.withColumn("__corpus", F.lit(False)).write.mode(
+                "append"
+            ).parquet(f"{store_dir}/shingles")
+
+        def _append_bands() -> None:
+            nb = _bands_of(survivors_sh)
+            if store_pcol is not None:
+                _partitioned_append(nb, store_pcol, "band_key", f"{store_dir}/bands")
+            else:
+                nb.write.mode("append").parquet(f"{store_dir}/bands")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            a1 = pool.submit(_append_shingles)
+            a2 = pool.submit(_append_bands)
+            a1.result(); a2.result()
         sh_b.unpersist(); b_b.unpersist(); survivors_sh.unpersist()
 
     stream = (
