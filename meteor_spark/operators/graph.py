@@ -83,20 +83,22 @@ def pagerank(
         )
         # Truncate lineage every SECOND iteration, not every iteration:
         # each eager localCheckpoint is a blocking job + a block-store
-        # write, and a 2-iteration join chain is still a tiny plan.
-        # Halving the materializations measured 3.7s -> 2.8s on the
-        # pagerank gate at sf0.1 with bit-identical ranks (the per-
-        # iteration rounding, not the checkpoint cadence, pins values).
-        # Unbounded chains (no checkpoint at all) are not an option at
-        # scale: lineage depth grows linearly in iters and re-planning
-        # cost with it.
-        if (i + 1) % 2 == 0 and i + 1 < iters:
+        # write, and a 2-iteration join chain is still a tiny plan
+        # (measured ~1s faster on the pagerank gate at sf0.1 with
+        # bit-identical ranks — the per-iteration rounding, not the
+        # checkpoint cadence, pins values). The LAST iteration is
+        # always checkpointed: it keeps the returned frame a cheap
+        # checkpointed scan (consumers may run several actions), lets
+        # the nodes/e caches below be released with nothing left
+        # referencing them, and keeps the cold plan free of the
+        # stats-less SortMergeJoins an unpersisted tail would show
+        # (tests/test_plans.py pins (1, 0, 0)). Unbounded chains (no
+        # checkpoint at all) are not an option at scale: lineage depth
+        # grows linearly in iters and re-planning cost with it.
+        if (i + 1) % 2 == 0 or i + 1 == iters:
             pr = pr.localCheckpoint()
-    # release the iteration caches instead of leaking them for the
-    # session. The final (unchecked-pointed) iteration still references
-    # nodes/e, so the consumer's action recomputes that one tail join
-    # uncached — measured cheaper than the extra eager checkpoint it
-    # replaces.
+    # the final localCheckpoint cut pr's lineage from nodes/e, so the
+    # caches can be released instead of leaking for the session
     nodes.unpersist()
     e.unpersist()
     return pr.select("node", F.round("pr", round_to).alias("pagerank")).orderBy(
