@@ -333,3 +333,61 @@ def test_blocked_exact_pairs_equal_prefix_filter(spark, sf_dir):
         for r in dedup.exact_jaccard_pairs_blocked(docs, threshold=0.5).collect()
     }
     assert new == old
+
+
+def test_simhash_packed_equals_unpacked_reference(spark, sf_dir):
+    """The packed 16-bit-lane simhash aggregate (r12 optimization) must
+    be bit-identical to the original one-sum-per-bit formulation: same
+    explode, same md5 bit decode, s_b = 2*cnt_b - n > 0  <=>
+    2*cnt_b > n. Pinned on the real fixture plus adversarial docs
+    (empty-ish, single word, heavy repetition)."""
+    from pyspark.sql import functions as F
+
+    from meteor_spark.operators.dedup import normalize_text, words
+
+    bits = 32
+
+    def simhash_unpacked(df, text_col="text", id_col="doc_id"):
+        w = df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(words(normalize_text(F.col(text_col))))).alias("w"),
+        )
+        w = w.withColumn(
+            "__v32", F.conv(F.substring(F.md5(F.col("w")), 1, bits // 4), 16, 10).cast("long")
+        )
+        contribs = []
+        for b in range(bits):
+            shift = 4 * (bits // 4 - 1 - b // 4) + (b % 4)
+            contribs.append(
+                ((F.shiftright(F.col("__v32"), shift).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"c{b}")
+            )
+        return (
+            w.select(id_col, *contribs)
+            .groupBy(id_col)
+            .agg(*[F.sum(f"c{b}").alias(f"s{b}") for b in range(bits)])
+            .select(
+                F.col(id_col),
+                sum(
+                    [
+                        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+                        for b in range(bits)
+                    ],
+                    F.lit(0).cast("long"),
+                ).alias("simhash"),
+            )
+        )
+
+    fixture = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    adversarial = spark.createDataFrame(
+        [
+            (1_000_001, "word"),
+            (1_000_002, "  "),
+            (1_000_003, "a a a a a a a a b"),
+            (1_000_004, "x " * 500 + "unique tail tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    df = fixture.unionByName(adversarial)
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    want = {r["doc_id"]: r["simhash"] for r in simhash_unpacked(df).collect()}
+    assert got == want
