@@ -147,6 +147,22 @@ def write_bench_full(full_path: str, payload: dict) -> None:
         json.dump(payload, f, indent=1)
 
 
+def merge_isolated(full: dict, isolated: dict, sf: float) -> None:
+    """MERGE new --isolate medians into the record's prior isolated
+    block rather than replacing it: a single-gate --isolate run must
+    update that gate's median without dropping every other gate's
+    (replacing here is what emptied the 77-median r11 block during
+    r12's per-change isolate runs). Only merge when the prior block was
+    measured at the SAME sf — medians from another scale factor are not
+    comparable (same rule as write_bench_full)."""
+    prior_iso = full.get("isolated", {})
+    if prior_iso and full.get("isolated_sf") == sf:
+        full["isolated"] = {**prior_iso, **isolated}
+    else:
+        full["isolated"] = isolated
+    full["isolated_sf"] = sf
+
+
 def isolate_main(spec: str) -> None:
     """Parent mode: median-of-3 per gate, each in its own process."""
     import statistics
@@ -193,8 +209,7 @@ def isolate_main(spec: str) -> None:
             full = json.load(f)
     except OSError:
         full = {}
-    full["isolated"] = isolated
-    full["isolated_sf"] = _sf_of(sf_dir)
+    merge_isolated(full, isolated, _sf_of(sf_dir))
     try:
         with open(full_path, "w") as f:
             json.dump(full, f, indent=1)

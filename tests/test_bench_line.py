@@ -68,3 +68,19 @@ def test_write_bench_full_preserves_isolated_block(tmp_path):
     p2 = str(tmp_path / "new.json")
     write_bench_full(p2, {"queries": {}})
     assert "isolated" not in json.load(open(p2))
+
+
+def test_merge_isolated_updates_without_wiping():
+    # a single-gate --isolate run must not drop the other gates' medians
+    from bench import merge_isolated
+
+    full = {"isolated": {"a": 1.0, "b": 2.0}, "isolated_sf": 0.1}
+    merge_isolated(full, {"b": 1.8}, 0.1)
+    assert full["isolated"] == {"a": 1.0, "b": 1.8}
+    # a different sf replaces (medians across scales are not comparable)
+    merge_isolated(full, {"c": 0.5}, 0.01)
+    assert full["isolated"] == {"c": 0.5} and full["isolated_sf"] == 0.01
+    # no prior block: just take the new one
+    empty = {}
+    merge_isolated(empty, {"a": 1.0}, 0.1)
+    assert empty["isolated"] == {"a": 1.0} and empty["isolated_sf"] == 0.1
