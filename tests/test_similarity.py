@@ -525,3 +525,29 @@ def test_semantic_survivors_scalable_equals_pair_antijoin(spark, sf_dir):
     }
     assert new == old
     assigned.unpersist()
+
+
+def test_lit_array_sql_rendering_bit_identical(spark):
+    """lit_double_array / lit_long_array render the literal vector as ONE
+    SQL string (round-12 driver-construction optimization); the parsed
+    tree must be the same CreateArray-of-Literals — pinned here as
+    bit-level equality against the element-wise F.lit form over
+    adversarial doubles (denormal, -0.0, exponent forms, round-trip
+    torture values) and as a ValueError on non-finite input."""
+    import struct as st
+
+    from pyspark.sql import functions as F
+
+    vals = [0.1, -0.0, 1e-07, 1e22, math.pi, 5e-324, -123456.789012, 2.0,
+            0.1 + 0.2, 1.0 / 3.0]
+    row = spark.range(1).select(
+        similarity.lit_double_array(vals).alias("a"),
+        F.array(*[F.lit(x) for x in vals]).alias("b"),
+        similarity.lit_long_array([0, -7, 10**12, 65535]).alias("l"),
+    ).first()
+    assert [st.pack("d", x) for x in row["a"]] == [st.pack("d", x) for x in row["b"]]
+    assert row["l"] == [0, -7, 10**12, 65535]
+    with pytest.raises(ValueError):
+        similarity.lit_double_array([float("nan")])
+    with pytest.raises(ValueError):
+        similarity.lit_double_array([float("inf")])
