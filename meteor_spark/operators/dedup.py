@@ -119,28 +119,46 @@ def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
     ONE md5 per shingle, split into two 32-bit words (h1, h2); hash
     family i is Kirsch-Mitzenmacher double hashing h1 + i*h2 — the
     standard way to derive k independent-enough hash functions from one
-    digest. (The first cut hashed every shingle k times; at 12 hashes
-    that was 12x the md5 work and dominated the minhash runtime.)
-    All arithmetic is exact in int64, so the DuckDB oracle reproduces
-    it bit-for-bit via ('0x' || substr(md5(s), ...))::BIGINT.
+    digest. All arithmetic is exact in int64, so the DuckDB oracle
+    reproduces it bit-for-bit via ('0x' || substr(md5(s), ...))::BIGINT.
+
+    "One md5 per shingle" has to be enforced STRUCTURALLY, not assumed:
+    Spark's subexpression elimination skips any tree containing a
+    lambda variable (NamedLambdaVariable is unsupported in
+    EquivalentExpressions), so nothing deduplicates repeated
+    HOF subtrees. Two moves keep the hashing single-pass:
+      - the md5 hex is materialized by an INNER transform, so the
+        (h1, h2) split reads one digest per shingle (md5 inlined twice
+        in the struct would hash every shingle twice);
+      - all num_hashes mins ride ONE aggregate() fold over that array
+        (12 array_min(transform(...)) copies would re-evaluate the
+        whole hash array — md5 included — once per family; measured
+        ~12x the per-row hash work at 12 hashes).
+    least() is an exact drop-in for array_min here: the KM values are
+    never NULL (md5 of a non-null string), and the empty/NULL-shingle
+    rows take the when() branch to the same all-NULL signature the
+    array_min form produced.
     """
     hashes = F.transform(
-        sh,
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+        F.transform(sh, lambda s: F.md5(s)),
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
         ),
     )
-    # materialize the (h1, h2) array once per row, then take 12 cheap mins.
-    # NOTE: the lambda MUST be single-argument — PySpark derives the
-    # higher-order function's arity from the Python signature, so a
-    # captured-default second parameter (lambda p, i=i: ...) silently
-    # becomes transform's (element, index) variant and the "constant"
-    # is the array index instead. A closure factory keeps arity at 1.
-    def km_family(i: int):
-        return lambda p: p.getField("h1") + F.lit(i) * p.getField("h2")
-
-    return F.array(*[F.array_min(F.transform(hashes, km_family(i))) for i in range(num_hashes)])
+    folded = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit((1 << 63) - 1), num_hashes),
+        lambda acc, p: F.array(
+            *[
+                F.least(acc[i], p.getField("h1") + F.lit(i) * p.getField("h2"))
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    return F.when(F.size(sh) > 0, folded).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    )
 
 
 # --------------------------------------------------------- minhash lsh

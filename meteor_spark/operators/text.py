@@ -57,18 +57,46 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: stopword_hits(text, sws) for lang, sws in LANG_STOPWORDS.items()}
 
 
+def _let(bindings: dict[str, Column], body) -> Column:
+    """Single-evaluation let-binding: materialize `bindings` once per row
+    and hand them to `body` as cheap struct-field references.
+
+    Spark has no let expression, and its subexpression elimination skips
+    any tree containing a lambda variable — so an expression that
+    references a filter()/aggregate() score N times re-runs the whole
+    HOF pass N times per row. transform() over a ONE-ELEMENT struct
+    array is the portable let: the argument (the struct of bindings) is
+    evaluated exactly once, and the lambda body sees only GetStructField
+    references. Values are bit-identical to the inlined form — the
+    bound expressions are unchanged, only their evaluation count drops.
+    """
+    row = F.struct(*[v.alias(k) for k, v in bindings.items()])
+    return F.element_at(
+        F.transform(F.array(row), lambda r: body(r)), 1
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Argmax language by stopword hits; 'und' when no stopword matches.
 
     Ties break by LANG_STOPWORDS declaration order (deterministic).
+    The scores are _let-bound: inlined, the greatest() + tie-break
+    when-chain references each lambda-bearing score tree L+2 times
+    (L^2 + 2L interpreted stopword passes per row at L languages —
+    nothing CSEs them, see _let).
     """
     scores = lang_scores(text)
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    # build reversed so earlier languages win ties
-    for lang in reversed(list(scores)):
-        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
-    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+    langs = list(scores)
+
+    def pick(r: Column) -> Column:
+        best = F.greatest(*[r.getField(lang) for lang in langs])
+        expr = F.lit("und")
+        # build reversed so earlier languages win ties
+        for lang in reversed(langs):
+            expr = F.when(r.getField(lang) == best, F.lit(lang)).otherwise(expr)
+        return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+    return _let(scores, pick)
 
 
 def quality_features(text: Column, round_to: int = 4) -> dict[str, Column]:
@@ -107,19 +135,45 @@ def quality_features(text: Column, round_to: int = 4) -> dict[str, Column]:
     }
 
 
+def quality_score_from_features(
+    mean_token_len: Column,
+    stopword_ratio: Column,
+    punct_ratio: Column,
+    round_to: int = 4,
+) -> Column:
+    """The quality formula over ALREADY-COMPUTED (rounded) feature
+    columns — use this when the features are materialized in their own
+    projection (analyze) so the aggregate/filter passes behind them are
+    not re-evaluated per reference."""
+    score = (
+        F.least(stopword_ratio * 2, F.lit(1.0)) * 0.4
+        + F.when((mean_token_len >= 3) & (mean_token_len <= 10), 0.4).otherwise(0.1)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - punct_ratio)
+    )
+    return F.round(score, round_to)
+
+
 def quality_score(text: Column, round_to: int = 4) -> Column:
     """Scalar quality score in [0,1]: rewards stopword presence and sane
     token lengths, penalizes punctuation density. Deterministic, portable.
 
     Computed from the round_to-rounded features so the SQL oracle can
-    reproduce it digit-for-digit from the same feature expressions."""
+    reproduce it digit-for-digit from the same feature expressions.
+    The three features are _let-bound: mean_token_len's aggregate fold
+    is referenced twice by the formula and the stopword filter pass
+    once more than its published twin — inlined, each reference re-runs
+    the HOF pass (see _let)."""
     f = quality_features(text, round_to=round_to)
-    score = (
-        F.least(f["stopword_ratio"] * 2, F.lit(1.0)) * 0.4
-        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.4).otherwise(0.1)
-        + F.greatest(F.lit(0.0), F.lit(0.2) - f["punct_ratio"])
+    return _let(
+        {
+            "m": f["mean_token_len"],
+            "s": f["stopword_ratio"],
+            "p": f["punct_ratio"],
+        },
+        lambda r: quality_score_from_features(
+            r.getField("m"), r.getField("s"), r.getField("p"), round_to
+        ),
     )
-    return F.round(score, round_to)
 
 
 def gopher_rules(
@@ -318,17 +372,32 @@ def winnow_fingerprints(
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full text-analysis pass: one row per doc with id, language guess,
-    token counts, quality features + score, fingerprint. Single scan."""
+    token counts, quality features + score, fingerprint. Single scan;
+    two stacked projections so the quality score reads the feature
+    COLUMNS the first projection already computed instead of re-running
+    their aggregate/filter passes (multiply-referenced non-cheap aliases
+    also keep CollapseProject from merging the two back together)."""
     t = F.col(text_col)
     feats = quality_features(t)
-    return df.select(
+    base = df.select(
         F.col(id_col),
         lang_id(t).alias("lang_guess"),
         token_count(t).alias("n_tokens"),
         regex_token_count(t).alias("n_regex_tokens"),
         *[v.alias(k) for k, v in feats.items() if k != "n_tokens"],
-        quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
+    )
+    feat_names = [k for k in feats if k != "n_tokens"]
+    return base.select(
+        F.col(id_col),
+        "lang_guess",
+        "n_tokens",
+        "n_regex_tokens",
+        *feat_names,
+        quality_score_from_features(
+            F.col("mean_token_len"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ).alias("quality"),
+        "fingerprint",
     )
 
 

@@ -7690,10 +7690,20 @@ def language_confidence_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     scores = text.lang_scores(text.normalize_text(F.col("text")))
     arr = F.array_sort(F.array(*scores.values()))
-    top, second = F.element_at(arr, -1), F.element_at(arr, -2)
-    return docs.select(
+    # the sorted score array is materialized ONCE per row in its own
+    # projection: inlined, the six published references to it would
+    # re-run all four stopword filter passes each (lambda-bearing trees
+    # are excluded from subexpression elimination; the multiply-
+    # referenced non-cheap alias also keeps CollapseProject away)
+    base = docs.select(
         "doc_id",
         text.lang_id(F.col("text")).alias("lang_guess"),
+        arr.alias("__arr"),
+    )
+    top, second = F.element_at(F.col("__arr"), -1), F.element_at(F.col("__arr"), -2)
+    return base.select(
+        "doc_id",
+        "lang_guess",
         top.cast("long").alias("top_score"),
         second.cast("long").alias("second_score"),
         (top - second).cast("long").alias("margin"),

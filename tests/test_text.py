@@ -361,3 +361,96 @@ def test_token_gini_equal_vs_skewed(spark):
     # 97 of 100 tokens in one of four docs -> Gini near the 3/4 ceiling
     assert out["skew"]["gini"] > 0.65
     assert out["skew"]["n_tokens"] == 100
+
+
+def test_let_bound_lang_id_and_quality_match_inline_forms(spark):
+    """The r12 _let-bound lang_id / quality_score must be bit-identical
+    to the straight-line inlined expressions they replaced (the rewrite
+    only changes how many times the lambda-bearing score/feature trees
+    evaluate per row, never a value) — pinned over ties, all-stopword,
+    empty, whitespace-only and NULL text."""
+    rows = [
+        ("the cat and the dog in a house",),
+        ("der hund und die katze ist nicht da",),
+        ("le chat est dans la maison pour une nuit",),
+        ("el perro es un animal para la casa en que",),
+        # tie between en and de scores -> declaration order must win
+        ("the der",),
+        ("xyzzy qwerty zzz",),
+        ("",),
+        ("   ",),
+        (None,),
+        ("the the the the the the the the the the",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    t = F.col("text")
+
+    # inline twins of the pre-r12 forms
+    scores = text.lang_scores(t)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    lang_inline = F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+    f = text.quality_features(t)
+    q_inline = F.round(
+        F.least(f["stopword_ratio"] * 2, F.lit(1.0)) * 0.4
+        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 0.4).otherwise(0.1)
+        + F.greatest(F.lit(0.0), F.lit(0.2) - f["punct_ratio"]),
+        4,
+    )
+
+    got = df.select(
+        lang_inline.alias("l0"),
+        text.lang_id(t).alias("l1"),
+        q_inline.alias("q0"),
+        text.quality_score(t).alias("q1"),
+    ).collect()
+    for r in got:
+        assert r["l0"] == r["l1"], r
+        assert r["q0"] == r["q1"], r
+
+
+def test_minhash_signature_degenerate_inputs_match_array_min_form(spark):
+    """The r12 fold-form signature must agree with the pre-r12
+    array_min form it replaced on every degenerate input: empty text,
+    whitespace-only text, NULL text (all of which shingle to [''] —
+    greatest(NULL, 1) keeps the gram sequence non-empty), an
+    explicitly NULL shingle array, and an explicitly EMPTY one (both
+    of which must publish 12 NULL lanes, not a NULL array)."""
+    from meteor_spark.operators.dedup import minhash_signature, shingles
+
+    def sig_old(sh, num_hashes=12):
+        hashes = F.transform(
+            sh,
+            lambda s: F.struct(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
+            ),
+        )
+
+        def km(i):
+            return lambda p: p.getField("h1") + F.lit(i) * p.getField("h2")
+
+        return F.array(
+            *[F.array_min(F.transform(hashes, km(i))) for i in range(num_hashes)]
+        )
+
+    df = spark.createDataFrame([("",), ("   ",), (None,)], "text string")
+    for sh in (
+        shingles(F.col("text"), 3),
+        F.lit(None).cast("array<string>"),
+        F.array().cast("array<string>"),
+    ):
+        out = df.select(
+            sig_old(sh).alias("s0"), minhash_signature(sh, 12).alias("s1")
+        ).collect()
+        for r in out:
+            assert r["s0"] == r["s1"], (r["s0"], r["s1"])
+    # the NULL/empty-array lanes specifically: 12 NULLs, not a NULL array
+    row = df.limit(1).select(
+        minhash_signature(F.lit(None).cast("array<string>"), 12).alias("n"),
+        minhash_signature(F.array().cast("array<string>"), 12).alias("e"),
+    ).first()
+    assert row["n"] == [None] * 12 and row["e"] == [None] * 12
