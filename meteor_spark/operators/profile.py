@@ -355,20 +355,35 @@ def inclusion_dependency(
 
     The cross-table half of dependency profiling (foreign-key
     discovery / FK validation). Both sides reduce to their distinct
-    value sets first, so the anti-join compares keys, not rows — at
-    scale this is two map-side-combined distincts and one key-sized
-    join, and AQE broadcasts whichever side turns out small.
+    value sets first, so the join compares keys, not rows — at scale
+    this is two map-side-combined distincts and one key-sized join,
+    and AQE broadcasts whichever side turns out small.
+
+    Both published counts ride ONE aggregate over ONE left join with a
+    hit flag (count(*) = distinct child values, hits-missing = the
+    anti-join count). The first form ran a count agg AND a left_anti
+    join against the same child-distinct subtree — nothing reuses that
+    exchange across two separate aggregations, so the child's
+    scan+distinct (the expensive side: the fact table) executed twice
+    per edge (referential_integrity_report's 6-edge union carried 36
+    parquet scans; the fold halves the child work, same values).
     """
     c = child.select(F.col(child_col).alias("__v")).where(F.col(child_col).isNotNull()).distinct()
     p = parent.select(F.col(parent_col).alias("__v")).where(F.col(parent_col).isNotNull()).distinct()
-    missing = c.join(p, "__v", "left_anti")
     return (
-        c.agg(F.count("*").alias("n_child_values"))
-        .crossJoin(F.broadcast(missing.agg(F.count("*").alias("violations"))))
+        c.join(p.withColumn("__hit", F.lit(1)), "__v", "left")
+        .agg(
+            F.count("*").alias("__n"),
+            # coalesce: sum() over an empty child is NULL, but the old
+            # crossJoin-of-count form published 0 violations there
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("__viol"),
+        )
         .select(
-            F.col("n_child_values").cast("long").alias("n_child_values"),
-            F.col("violations").cast("long").alias("violations"),
-            (F.col("violations") == 0).alias("holds"),
+            F.col("__n").cast("long").alias("n_child_values"),
+            F.col("__viol").cast("long").alias("violations"),
+            (F.col("__viol") == 0).alias("holds"),
         )
     )
 
