@@ -138,6 +138,12 @@ def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
     never NULL (md5 of a non-null string), and the empty/NULL-shingle
     rows take the when() branch to the same all-NULL signature the
     array_min form produced.
+
+    ELEMENT-level NULLs are unsupported: a non-empty array whose
+    elements are all NULL publishes Long.MaxValue lanes (the fold's
+    seed) where the array_min form published NULLs. Unreachable via
+    shingles()/shingle_frame (concat_ws never yields NULL elements);
+    callers passing arbitrary arrays must null-filter them first.
     """
     hashes = F.transform(
         F.transform(sh, lambda s: F.md5(s)),
@@ -327,11 +333,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     # the sums, the original s_b = 2·cnt_b − n_words > 0 test becomes
     # 2·cnt_b > n: bit-identical sketches (pinned against the unpacked
     # form in tests and the SQL oracle), measured ~0.85s steady.
-    # DOCUMENTED BOUND (the pc1/exact-Jaccard discipline): a 16-bit
-    # lane saturates at 65,535 DISTINCT words in one document; beyond
-    # that a lane carry corrupts its neighbor. Such a doc is ~0.5 MB of
-    # unique vocabulary — split it upstream or widen lanes (31-bit
-    # lanes x 2 per long = 16 sums) if a corpus legitimately has them.
+    # GUARDED BOUND (the pc1/exact-Jaccard discipline): the TOP 16-bit
+    # lane rides bits 48..63 of a SIGNED long, so its summed
+    # contribution cnt·2^48 overflows the long itself at cnt = 32,768
+    # (ANSI mode then raises a bare ARITHMETIC_OVERFLOW mid-aggregate —
+    # r13 discovered this writing the lane-overflow test; the r12 note
+    # claiming a 65,535 bound was wrong for that lane), and the lower
+    # lanes silently carry into their neighbor at 65,536. The provably
+    # safe bound is therefore 32,767 DISTINCT words per document
+    # (every lane counter is <= n <= 32,767: no long overflow, no lane
+    # carry). Such a doc is ~0.3 MB of unique vocabulary, but at web
+    # scale adversarial docs exist, so the bound is ENFORCED, not
+    # assumed: the final projection raises a NAMED error (per doc, one
+    # integer comparison on the already-aggregated n — agg Functions
+    # count unchanged) instead of silently publishing a corrupted
+    # sketch. A corpus that legitimately has such docs splits them
+    # upstream or widens lanes (e.g. 3 lanes/long at shifts 0/16/32:
+    # 11 sums, 65,535-word bound; or 2x31-bit lanes: 16 sums).
     lanes, lane_bits = 4, 16
     nlongs = bits // lanes
     packs = []
@@ -359,9 +377,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
                 f"(CASE WHEN 2 * ((S{j} >> {lane_bits * i}) & {mask}) > n"
                 f" THEN {1 << b} ELSE 0 END)"
             )
-    return agg.select(
-        F.col(id_col), F.expr(" + ".join(parts)).cast("long").alias("simhash")
+    # n = the doc's distinct word count (every lane counter is <= n), so
+    # n <= 32,767 proves neither the signed-long sum nor any 16-bit lane
+    # overflowed; past it, fail loudly with a named error. (A dense-bit
+    # doc past ~32k words already trips ANSI ARITHMETIC_OVERFLOW inside
+    # the sum — this guard makes the failure deterministic and named
+    # for the sparse-bit docs that would otherwise corrupt silently.)
+    bound = (1 << (lane_bits - 1)) - 1
+    guarded = (
+        f"IF(n <= {bound}, {' + '.join(parts)}, CAST(raise_error(CONCAT("
+        f"'simhash: document has more than {bound} distinct words; its "
+        f"packed 16-bit lane counters would overflow — split the "
+        f"document or widen lanes')) AS BIGINT))"
     )
+    return agg.select(F.col(id_col), F.expr(guarded).cast("long").alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -522,15 +551,23 @@ def prefix_filter_jaccard_pairs(
     freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "gram")
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
-    # (measured: persisting `prefixes` here is a LOSS — the window output
-    # pipelines into both join sides within one stage, and forcing a
-    # materialization breaks that for no rescan saved, since `sh` above
-    # is already the persisted frame.)
+    # PERSIST the prefix frame: it is read by BOTH sides of the
+    # candidate self-join, and Spark plans each side as its own full
+    # explode -> freq-join -> window-sort subtree (AQE does not reuse
+    # the two canonically-identical exchanges across the broadcast and
+    # probe sides — verified in the formatted plan: two Exchange +
+    # Sort + Window stages per action). Materializing it once halves
+    # the gate's dominant shuffle+sort work at any scale; the cached
+    # frame is (id, sz, gram, rn) — a fraction of the exploded input.
+    # (An r12 note claimed this persist measured as a loss; that
+    # measurement predates the positional-filter rewrite — the r13
+    # plan dump shows the window genuinely running twice without it.)
     prefixes = (
         toks.join(freq, "gram")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select(F.col(id_col), "sz", "gram", "rn")
+        .persist()
     )
     pa, pb = prefixes.alias("pa"), prefixes.alias("pb")
     # POSITIONAL filter (the "PP" in PPJoin): both prefixes are sorted by
@@ -558,8 +595,8 @@ def prefix_filter_jaccard_pairs(
     # Budget in estimated BYTES, not rows (r10 advice): gram strings are
     # k-word shingles of unbounded length, so a row-count threshold can
     # blow the 8 GB broadcast/driver ceiling on long-token corpora. One
-    # agg over the already-persisted shingle frame yields both the exact
-    # prefix row count and the corpus mean gram length; estimated
+    # agg over the persisted prefix frame yields both the exact
+    # prefix row count and the mean prefix-gram length; estimated
     # broadcast size = rows x (mean gram bytes + ~64B UnsafeRow/id/sz/rn
     # overhead), held under a 6 GB default margin (below Spark's 8 GB
     # broadcast ceiling; the 100x fixture's 48M-row/~4GB index MUST
@@ -568,11 +605,16 @@ def prefix_filter_jaccard_pairs(
     # need the plan fully lazy (or know their corpus) pin
     # broadcast_index explicitly and skip the sizing action.
     if broadcast_index is None:
-        est = sh.agg(
-            F.sum(F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1)
-            .alias("npfx"),
-            (F.sum(F.aggregate("sh", F.lit(0), lambda acc, g: acc + F.octet_length(g)))
-             / F.sum("sz")).alias("gbytes"),
+        # ONE action does double duty: it materializes the persisted
+        # prefix cache (the frame both join sides read) AND yields the
+        # exact index row count + mean gram bytes for the broadcast
+        # budget. The former sizing job ran a separate interpreted-HOF
+        # fold over the shingle frame to ESTIMATE the same count this
+        # frame carries exactly (per-doc prefix length sums — identical
+        # value), and its work warmed nothing the join reuses.
+        est = prefixes.agg(
+            F.count("*").alias("npfx"),
+            F.avg(F.octet_length("gram")).alias("gbytes"),
         ).first()
         n_prefix = est["npfx"] or 0
         est_bytes = n_prefix * ((est["gbytes"] or 0.0) + 64.0)

@@ -81,22 +81,23 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        # Truncate lineage every SECOND iteration, not every iteration:
-        # each eager localCheckpoint is a blocking job + a block-store
-        # write, and a 2-iteration join chain is still a tiny plan
-        # (measured ~1s faster on the pagerank gate at sf0.1 with
-        # bit-identical ranks — the per-iteration rounding, not the
-        # checkpoint cadence, pins values). The LAST iteration is
-        # always checkpointed: it keeps the returned frame a cheap
-        # checkpointed scan (consumers may run several actions), lets
-        # the nodes/e caches below be released with nothing left
+        # Truncate lineage EVERY iteration (the r11 cadence, restored in
+        # r13): the r12 every-2nd-iteration variant looked ~1s faster in
+        # one container's steady-state probes, but the driver measured
+        # it SLOWER at both 32 and 8 cores (2.07 -> 3.02/2.72s), and an
+        # r13 interleaved same-JVM A/B agrees (median 3.99s vs 15.08s,
+        # min 2.88 vs 3.24 across 6 alternating rounds incl. noise
+        # storms): the deeper 2-join plans cost more in per-action
+        # analysis/codegen than the skipped checkpoint jobs save. The
+        # final iteration's checkpoint also keeps the returned frame a
+        # cheap checkpointed scan (consumers may run several actions),
+        # lets the nodes/e caches below be released with nothing left
         # referencing them, and keeps the cold plan free of the
         # stats-less SortMergeJoins an unpersisted tail would show
         # (tests/test_plans.py pins (1, 0, 0)). Unbounded chains (no
         # checkpoint at all) are not an option at scale: lineage depth
         # grows linearly in iters and re-planning cost with it.
-        if (i + 1) % 2 == 0 or i + 1 == iters:
-            pr = pr.localCheckpoint()
+        pr = pr.localCheckpoint()
     # the final localCheckpoint cut pr's lineage from nodes/e, so the
     # caches can be released instead of leaking for the session
     nodes.unpersist()

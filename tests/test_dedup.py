@@ -391,3 +391,30 @@ def test_simhash_packed_equals_unpacked_reference(spark, sf_dir):
     got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
     want = {r["doc_id"]: r["simhash"] for r in simhash_unpacked(df).collect()}
     assert got == want
+
+
+def test_simhash_lane_overflow_raises_instead_of_corrupting(spark):
+    """A document past the packed-lane bound (32,767 distinct words:
+    the top 16-bit lane rides bits 48..63 of a SIGNED long, so its
+    summed contribution overflows the long itself at 32,768 dense-bit
+    words, and the lower lanes carry into their neighbor at 65,536)
+    must raise loudly instead of silently publishing a corrupted
+    sketch. A doc at exactly the bound must still produce a valid
+    sketch (no false trips)."""
+    import pytest
+
+    over = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(32_768)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as exc:
+        dedup.simhash(over).collect()
+    # either the named r13 guard or ANSI's sum overflow — both are loud;
+    # the named guard fires whenever the aggregate itself survives
+    msg = str(exc.value)
+    assert "distinct words" in msg or "ARITHMETIC_OVERFLOW" in msg
+
+    at_bound = spark.createDataFrame(
+        [(2, " ".join(f"w{i}" for i in range(32_767)))], "doc_id long, text string"
+    )
+    row = dedup.simhash(at_bound).first()
+    assert 0 <= row["simhash"] < 2**32

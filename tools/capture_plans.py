@@ -25,6 +25,9 @@ def main() -> None:
     spark = get_spark("capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
+    # restore whatever value the module (or a caller) had set, not a
+    # hard-coded True — the tool must not silently flip global state
+    prev_eager = io.EAGER_CACHE_RELEASE
     for name in gates:
         _SHARED.clear()
         spark.catalog.clearCache()
@@ -38,7 +41,7 @@ def main() -> None:
             print(f"SKIP {name}: {e}", file=sys.stderr)
             continue
         finally:
-            io.EAGER_CACHE_RELEASE = True
+            io.EAGER_CACHE_RELEASE = prev_eager
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan)
