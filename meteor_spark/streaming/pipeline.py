@@ -42,12 +42,26 @@ def normalize_ts(raw: DataFrame, col: str = "ts") -> DataFrame:
     return raw.withColumn(col, F.col(col).cast("timestamp"))
 
 
+_SCHEMA_MEMO: dict = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture with the schema taken from
     the file footer itself (a batch read of the same path), so the
     driver regenerating the fixture with a different timestamp physical
-    type can never desynchronize this reader from reality."""
-    schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    type can never desynchronize this reader from reality.
+
+    The footer sniff lists the whole fixture directory and decodes a
+    parquet footer on the DRIVER — ~0.2-0.4s of serial stall per call,
+    and every one of the ~13 streaming gates pays it. Memoized per
+    (session, path): schema METADATA only (never data or results), keyed
+    on applicationId so a new session re-sniffs — the same
+    session-scoped discipline as queries._shared."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+        _SCHEMA_MEMO[key] = schema
     # the streaming file source wants a directory; glob-filter to the table
     raw = (
         spark.readStream.schema(schema)
